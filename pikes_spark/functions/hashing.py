@@ -1,0 +1,129 @@
+"""Deterministic hashing: murmur3 x64 128 for fact-graph IRIs,
+polynomial rolling hash for document fingerprints.
+
+The reference names each fact graph ``fact:<murmur3(s,p,o)>``
+(RDFGenerator.java:1993-2015): values are serialized as
+type-marker+string (\\u0001 IRI, \\u0002 bnode, \\u0003 literal
+[+datatype/lang]) and hashed with rdfpro's 128-bit murmur3. We
+re-implement the public MurmurHash3 x64 128 algorithm (Austin
+Appleby, public domain) and render the digest as 22 chars of a
+URL-safe base-64 alphabet — deterministic and collision-safe; exact
+rdfpro text encoding is matched in spirit (we cannot run rdfpro
+here; our golden fixtures freeze THIS encoding).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, List, Sequence
+
+_MASK = (1 << 64) - 1
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _MASK
+
+
+def _fmix(k: int) -> int:
+    k ^= k >> 33
+    k = (k * 0xFF51AFD7ED558CCD) & _MASK
+    k ^= k >> 33
+    k = (k * 0xC4CEB9FE1A85EC53) & _MASK
+    k ^= k >> 33
+    return k
+
+
+def murmur3_x64_128(data: bytes, seed: int = 0) -> tuple:
+    """MurmurHash3 x64 128-bit (public domain algorithm)."""
+    c1 = 0x87C37B91114253D5
+    c2 = 0x4CF5AD432745937F
+    h1 = h2 = seed
+    length = len(data)
+    n_blocks = length // 16
+    for i in range(n_blocks):
+        k1 = int.from_bytes(data[i * 16 : i * 16 + 8], "little")
+        k2 = int.from_bytes(data[i * 16 + 8 : i * 16 + 16], "little")
+        k1 = (k1 * c1) & _MASK
+        k1 = _rotl(k1, 31)
+        k1 = (k1 * c2) & _MASK
+        h1 ^= k1
+        h1 = _rotl(h1, 27)
+        h1 = (h1 + h2) & _MASK
+        h1 = (h1 * 5 + 0x52DCE729) & _MASK
+        k2 = (k2 * c2) & _MASK
+        k2 = _rotl(k2, 33)
+        k2 = (k2 * c1) & _MASK
+        h2 ^= k2
+        h2 = _rotl(h2, 31)
+        h2 = (h2 + h1) & _MASK
+        h2 = (h2 * 5 + 0x38495AB5) & _MASK
+    tail = data[n_blocks * 16 :]
+    k1 = k2 = 0
+    if len(tail) > 8:
+        k2 = int.from_bytes(tail[8:].ljust(8, b"\0"), "little")
+        k2 = (k2 * c2) & _MASK
+        k2 = _rotl(k2, 33)
+        k2 = (k2 * c1) & _MASK
+        h2 ^= k2
+    if len(tail) > 0:
+        k1 = int.from_bytes(tail[:8].ljust(8, b"\0"), "little")
+        k1 = (k1 * c1) & _MASK
+        k1 = _rotl(k1, 31)
+        k1 = (k1 * c2) & _MASK
+        h1 ^= k1
+    h1 ^= length
+    h2 ^= length
+    h1 = (h1 + h2) & _MASK
+    h2 = (h2 + h1) & _MASK
+    h1 = _fmix(h1)
+    h2 = _fmix(h2)
+    h1 = (h1 + h2) & _MASK
+    h2 = (h2 + h1) & _MASK
+    return h1, h2
+
+
+_B64 = "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ-_"
+
+
+def murmur3_id(parts: Sequence[str]) -> str:
+    """Hash a sequence of strings (joined with \\u0000 separators, as
+    rdfpro's Hash.murmur3(String...) concatenates its arguments) into
+    a 22-char URL-safe identifier."""
+    data = "\u0000".join(parts).encode("utf-8")
+    h1, h2 = murmur3_x64_128(data)
+    value = (h1 << 64) | h2
+    out: List[str] = []
+    for _ in range(22):
+        out.append(_B64[value & 63])
+        value >>= 6
+    return "".join(out)
+
+
+def fact_graph_iri(subject: str, predicate: str, obj: str, obj_is_literal: bool = False,
+                   obj_datatype: str = "") -> str:
+    """fact:<murmur3(s,p,o)> with the reference's type markers
+    (RDFGenerator.java:1993-2015)."""
+    parts: List[str] = ["\u0001", subject, "\u0001", predicate]
+    if obj_is_literal:
+        parts += ["\u0003", obj]
+        if obj_datatype and obj_datatype != "http://www.w3.org/2001/XMLSchema#string":
+            parts.append(obj_datatype)
+    else:
+        parts += ["\u0001", obj]
+    return "fact:" + murmur3_id(parts)
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprint (rolling polynomial hash)
+# ---------------------------------------------------------------------------
+
+FP_MOD = 1_000_000_007
+FP_BASE = 131
+
+
+def fingerprint(text: str) -> int:
+    """Rolling polynomial hash over characters, mod 1e9+7 — SQL-expressible
+    (DuckDB list_reduce / Spark aggregate) so the oracle can verify it."""
+    acc = 0
+    for ch in text:
+        acc = (acc * FP_BASE + ord(ch)) % FP_MOD
+    return acc

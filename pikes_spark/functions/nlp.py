@@ -1,0 +1,681 @@
+"""Deterministic rule NLP: dependency parse, NER, TIMEX, SRL, coref.
+
+The reference wraps external models for these stages; what the
+distillation rules consume is only their CONTRACT (SURVEY.md §2.2):
+
+- deps:  CoNLL-2008-style labeled tree per sentence
+  (AnnotationPipeline.java:314-342); the label alphabet must cover the
+  MODIFIER/PARTICIPATION regexes (RDFGenerator.java:106-110):
+  NMOD AMOD TMP LOC TITLE PMOD COORD CONJ SUB VC IM OPRD + NAME APPO.
+- entities: BIO-grouped typed spans incl. value classes
+  (AnnotationPipeline.java:279-308,405-520).
+- timexes: DATE/TIME/DURATION + TimeML value anchored at doc creation
+  time (AnnotationPipeline.java:178-184,497-506).
+- predicates: PropBank (verbs) / NomBank (nouns) rolesets with
+  A0..A5/AM-* roles; role span = dep-descendants of the argument head
+  (AnnotationPipeline.java:522-824, span rule :727-735).
+- corefs: clusters of term spans (AnnotationPipeline.java:946-1020).
+
+These are deterministic rule models (replaceable by real batched
+models inside the same Arrow UDF slots). Pure Python, executed
+vectorized per page batch.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Optional, Set, Tuple
+
+from .deptree import DepGraph
+from .resources import GAZETTEER
+from .tokenize import (Tagged, Token, _MONTHS, _ORDINALS, annotate_text)
+from .numbers import parse_spelled_number
+
+_PER_TITLES = {"mr", "mrs", "ms", "dr", "president", "senator", "general",
+               "prof", "professor", "king", "queen", "minister"}
+_ORG_SUFFIX = {"corp", "inc", "ltd", "co", "university", "institute",
+               "committee", "association", "bank", "agency", "ministry"}
+_LOC_SUFFIX = {"city", "county", "river", "mountain", "island", "republic"}
+
+
+# ---------------------------------------------------------------------------
+# Dependency parsing (rule-based, CoNLL-2008-style labels)
+# ---------------------------------------------------------------------------
+
+_NOMINAL = {"N", "R", "Q", "O"}  # O covers CD tokens
+
+
+def _is_verb_tag(t: str) -> bool:
+    return t.startswith("VB") or t == "MD"
+
+
+def parse_sentence_deps(tokens: List[Token], tags: List[Tagged], lo: int, hi: int,
+                        ) -> List[Tuple[int, int, str]]:
+    """Parse tokens[lo:hi] (one sentence) into (head, dependent, label)
+    edges, term ids are global token indices."""
+    deps: List[Tuple[int, int, str]] = []
+    n = hi - lo
+    if n == 0:
+        return deps
+    attached = [False] * n  # local indices
+
+    def att(head_l: int, dep_l: int, label: str) -> None:
+        if head_l == dep_l or attached[dep_l]:
+            return
+        deps.append((lo + head_l, lo + dep_l, label))
+        attached[dep_l] = True
+
+    pos = [tags[lo + i].pos for i in range(n)]
+    ptb = [tags[lo + i].morphofeat for i in range(n)]
+    forms = [tokens[lo + i].form for i in range(n)]
+    lows = [f.lower() for f in forms]
+
+    # 1. NAME chains: contiguous proper nouns -> head is LAST of the run
+    #    (mate/CoNLL-2008 convention), label NAME; abbreviations/titles in
+    #    run included.
+    i = 0
+    name_head: List[Optional[int]] = [None] * n
+    while i < n:
+        if pos[i] == "R":
+            j = i
+            while j + 1 < n and pos[j + 1] == "R":
+                j += 1
+            for k in range(i, j):
+                att(j, k, "NAME")
+                name_head[k] = j
+            i = j + 1
+        else:
+            i += 1
+
+    # nominal head of a position: follow NAME chain to its head
+    def nom_head(i_l: int) -> int:
+        return name_head[i_l] if name_head[i_l] is not None else i_l
+
+    # 2. noun-phrase internal structure: determiners, adjectives,
+    #    possessives, compounds -> NMOD to the NP head (next nominal head
+    #    before a non-NP token).
+    def np_head_from(i_l: int) -> Optional[int]:
+        j = i_l
+        last_nom = None
+        while j < n:
+            if pos[j] in ("D", "G") or ptb[j] in ("CD", "PRP$", "POS", "JJ"):
+                j += 1
+                continue
+            if pos[j] in ("N", "R"):
+                # continue through compound nouns / names
+                k = j
+                while k + 1 < n and pos[k + 1] in ("N", "R"):
+                    k += 1
+                return nom_head(k) if pos[k] == "R" else k
+            break
+        return last_nom
+
+    for i_l in range(n):
+        if attached[i_l]:
+            continue
+        if pos[i_l] == "D" or ptb[i_l] in ("PRP$", "JJ") or pos[i_l] == "G":
+            h = np_head_from(i_l + 1)
+            if h is not None and h != i_l:
+                att(h, i_l, "NMOD")
+        elif ptb[i_l] == "POS":
+            # 's possessive: attach to following NP head; owner noun NMOD
+            h = np_head_from(i_l + 1)
+            if h is not None:
+                att(h, i_l, "NMOD")
+                owner = nom_head(i_l - 1) if i_l > 0 and pos[i_l - 1] in ("N", "R") else None
+                if owner is not None:
+                    att(h, owner, "NMOD")
+
+    # noun compounds: N/R followed by N (e.g. "aid package") -> NMOD
+    for i_l in range(n - 1):
+        if attached[i_l]:
+            continue
+        if pos[i_l] in ("N", "R") and pos[i_l + 1] in ("N",):
+            k = i_l + 1
+            while k + 1 < n and pos[k + 1] == "N":
+                k += 1
+            att(k, nom_head(i_l), "NMOD")
+
+    # cardinal runs before a noun: "5 billion dollar aid" -> NMOD to NP head;
+    # bare runs ("$5 billion") head at the last CD
+    for i_l in range(n):
+        if attached[i_l] or ptb[i_l] != "CD":
+            continue
+        h = np_head_from(i_l + 1)
+        if h is not None and h != i_l:
+            att(h, i_l, "NMOD")
+        elif i_l + 1 < n and ptb[i_l + 1] == "CD":
+            k = i_l + 1
+            while k + 1 < n and ptb[k + 1] == "CD":
+                k += 1
+            att(k, i_l, "NMOD")
+
+    # 3. verb chain: modal/aux -> VC; "to V" -> IM
+    verb_idxs = [i_l for i_l in range(n) if pos[i_l] == "V"]
+    root_verb: Optional[int] = None
+    vc_child: Dict[int, int] = {}
+    for i_l in verb_idxs:
+        if ptb[i_l] == "MD" or lows[i_l] in ("be", "been", "being", "am", "is",
+                                             "are", "was", "were", "have",
+                                             "has", "had", "do", "does", "did",
+                                             "will", "would"):
+            # find next verb to chain
+            for j in range(i_l + 1, min(i_l + 4, n)):
+                if pos[j] == "V" and not attached[j]:
+                    att(i_l, j, "VC")
+                    vc_child[i_l] = j
+                    break
+    for i_l in range(n - 1):
+        if ptb[i_l] == "TO" and i_l + 1 < n and pos[i_l + 1] == "V":
+            att(i_l, i_l + 1, "IM")
+
+    # root = first unattached verb
+    for i_l in verb_idxs:
+        if not attached[i_l]:
+            root_verb = i_l
+            break
+
+    # 4. coordination: X and Y -> COORD(X->and), CONJ(and->Y)
+    for i_l in range(1, n - 1):
+        if ptb[i_l] == "CC":
+            left = None
+            for j in range(i_l - 1, -1, -1):
+                if pos[j] in ("N", "R", "Q"):
+                    left = nom_head(j)
+                    break
+                if pos[j] == "V":
+                    left = j
+                    break
+            right = None
+            for j in range(i_l + 1, n):
+                if pos[j] in ("N", "R", "Q", "V") and not attached[j]:
+                    right = nom_head(j) if pos[j] != "V" else j
+                    break
+                if pos[j] in ("N", "R") and attached[j]:
+                    h = nom_head(j)
+                    if not attached[h]:
+                        right = h
+                        break
+            if left is not None and right is not None and not attached[i_l]:
+                att(left, i_l, "COORD")
+                if not attached[right]:
+                    att(i_l, right, "CONJ")
+
+    # 5. appositive: NP , NP , -> APPO
+    for i_l in range(n):
+        if forms[i_l] == "," and 0 < i_l < n - 1:
+            left = nom_head(i_l - 1) if pos[i_l - 1] in ("N", "R") else None
+            h = np_head_from(i_l + 1)
+            if left is not None and h is not None and not attached[h]:
+                # appositive only if followed later by comma or sentence end
+                att(left, h, "APPO")
+
+    # 6. prepositions: PMOD for their object; attach prep to verb
+    #    (LOC/TMP/ADV) or preceding noun (NMOD)
+    for i_l in range(n):
+        if pos[i_l] == "P" and ptb[i_l] in ("IN", "TO"):
+            obj = np_head_from(i_l + 1)
+            if obj is None and i_l + 1 < n and ptb[i_l + 1] == "CD":
+                k = i_l + 1
+                while k + 1 < n and ptb[k + 1] == "CD":
+                    k += 1
+                obj = k
+            if obj is not None and not attached[obj]:
+                att(i_l, obj, "PMOD")
+            # attachment site: nearest preceding noun if directly adjacent
+            # NP, else root verb
+            site = None
+            label = "NMOD"
+            if i_l > 0 and pos[i_l - 1] in ("N", "R") and lows[i_l] in ("of", "for", "between", "about"):
+                site = nom_head(i_l - 1)
+                label = "NMOD"
+            elif root_verb is not None:
+                site = root_verb if root_verb not in vc_child else vc_child[root_verb]
+                if obj is not None and _looks_location(forms[obj], lows[obj]):
+                    label = "LOC"
+                elif obj is not None and (lows[obj] in _MONTHS or re.fullmatch(r"\d{4}", forms[obj])):
+                    label = "TMP"
+                else:
+                    label = "ADV"
+            elif i_l > 0 and pos[i_l - 1] in ("N", "R"):
+                site = nom_head(i_l - 1)
+            if site is not None and not attached[i_l]:
+                att(site, i_l, label)
+
+    # 7. subject/object around root verb
+    if root_verb is not None:
+        subj = None
+        for j in range(root_verb - 1, -1, -1):
+            if pos[j] in ("N", "R", "Q") and not attached[nom_head(j)]:
+                subj = nom_head(j)
+                break
+            if pos[j] in ("N", "R") and name_head[j] is not None and not attached[name_head[j]]:
+                subj = name_head[j]
+                break
+        if subj is not None:
+            att(root_verb, subj, "SUB")
+        content_verb = root_verb
+        while content_verb in vc_child:
+            content_verb = vc_child[content_verb]
+        is_copula = lows[content_verb] in ("is", "are", "was", "were", "be",
+                                           "been", "am", "became", "become",
+                                           "becomes", "'s", "'re")
+        obj = None
+        for j in range(content_verb + 1, n):
+            if pos[j] in ("N", "R", "Q") and not attached[nom_head(j)] and name_head[j] is None or \
+               pos[j] in ("N", "R") and not attached[nom_head(j)]:
+                obj = nom_head(j)
+                break
+            if ptb[j] == "CD":
+                # cardinal/money object: head of the CD run ("$5 billion")
+                k = j
+                while k + 1 < n and ptb[k + 1] == "CD":
+                    k += 1
+                if not attached[k] and (k + 1 >= n or pos[k + 1] not in ("N", "R")):
+                    obj = k
+                    break
+            if pos[j] == "P" or pos[j] == "V":
+                break
+        if obj is not None:
+            att(content_verb, obj, "PRD" if is_copula else "OBJ")
+        # objects of remaining verbs in chains
+        for v in verb_idxs:
+            if v in (root_verb, content_verb):
+                continue
+            for j in range(v + 1, n):
+                if pos[j] in ("N", "R", "Q") and not attached[nom_head(j)]:
+                    att(v, nom_head(j), "OBJ")
+                    break
+                if pos[j] in ("P", "V") or ptb[j] == "CC":
+                    break
+
+    # 8. adverbs -> AMOD to nearest verb/adjective
+    for i_l in range(n):
+        if pos[i_l] == "A" and not attached[i_l]:
+            site = None
+            for j in range(i_l + 1, n):
+                if pos[j] in ("V", "G"):
+                    site = j
+                    break
+            if site is None:
+                for j in range(i_l - 1, -1, -1):
+                    if pos[j] in ("V", "G"):
+                        site = j
+                        break
+            if site is None:
+                site = root_verb
+            if site is not None:
+                att(site, i_l, "AMOD")
+
+    # 9. everything else (punctuation, leftovers) -> attach to root as P/DEP
+    root = root_verb
+    if root is None:
+        # nominal sentence: last unattached nominal is root
+        for j in range(n - 1, -1, -1):
+            if not attached[j] and pos[j] in ("N", "R"):
+                root = j
+                break
+    if root is None:
+        for j in range(n):
+            if not attached[j]:
+                root = j
+                break
+    for i_l in range(n):
+        if not attached[i_l] and i_l != root:
+            label = "P" if not any(c.isalnum() for c in forms[i_l]) else "DEP"
+            att(root, i_l, label)
+    return deps
+
+
+def _looks_location(form: str, low: str) -> bool:
+    return GAZETTEER.get(low) == "LOC"
+
+
+# ---------------------------------------------------------------------------
+# NER + TIMEX
+# ---------------------------------------------------------------------------
+
+_YEAR = re.compile(r"(1[5-9]\d\d|20\d\d)")
+_MONTH_NUM = {m: i + 1 for i, m in enumerate(sorted(_MONTHS, key=lambda m: [
+    "january", "february", "march", "april", "may", "june", "july",
+    "august", "september", "october", "november", "december"].index(m)))}
+_DUR_UNITS = {"day": "D", "days": "D", "week": "W", "weeks": "W",
+              "month": "M", "months": "M", "year": "Y", "years": "Y",
+              "hour": "H", "hours": "H", "minute": "M", "minutes": "M",
+              "decade": "0Y", "decades": "0Y"}
+_UNIT_WORDS = set(_DUR_UNITS)
+
+
+def extract_entities_timexes(tokens: List[Token], tags: List[Tagged]):
+    """BIO-style grouping of proper-noun runs + value entities + timexes
+    (AnnotationPipeline.java:279-308, 405-520)."""
+    entities: List[dict] = []
+    timexes: List[dict] = []
+    n = len(tokens)
+    used: Set[int] = set()
+
+    # --- timexes first (entities overlapping timexes get dropped in F3) ---
+    i = 0
+    while i < n:
+        low = tokens[i].form.lower()
+        # "March 2002" / "March 5 , 2002" / bare "March"
+        if low in _MONTHS and tags[i].morphofeat == "NNP":
+            j = i
+            month = _MONTH_NUM[low]
+            day = None
+            year = None
+            if j + 1 < n and re.fullmatch(r"\d{1,2}", tokens[j + 1].form):
+                day = int(tokens[j + 1].form)
+                j += 1
+                if j + 1 < n and tokens[j + 1].form == "," and j + 2 < n and _YEAR.fullmatch(tokens[j + 2].form):
+                    year = int(tokens[j + 2].form)
+                    j += 2
+            elif j + 1 < n and _YEAR.fullmatch(tokens[j + 1].form):
+                year = int(tokens[j + 1].form)
+                j += 1
+            value = ""
+            if year and day:
+                value = f"{year:04d}-{month:02d}-{day:02d}"
+            elif year:
+                value = f"{year:04d}-{month:02d}"
+            elif day:
+                value = f"XXXX-{month:02d}-{day:02d}"
+            else:
+                value = f"XXXX-{month:02d}"
+            timexes.append({"id": f"tmx{len(timexes) + 1}", "type": "DATE",
+                            "value": value, "wf_ids": list(range(i, j + 1))})
+            used.update(range(i, j + 1))
+            i = j + 1
+            continue
+        # bare year "in 1998"
+        if _YEAR.fullmatch(tokens[i].form) and (i == 0 or tokens[i - 1].form.lower() in
+                                                ("in", "since", "until", "by", "of", "during")):
+            timexes.append({"id": f"tmx{len(timexes) + 1}", "type": "DATE",
+                            "value": tokens[i].form, "wf_ids": [i]})
+            used.add(i)
+            i += 1
+            continue
+        # durations: "three weeks", "5 years"
+        if low in _UNIT_WORDS and i > 0:
+            prev = tokens[i - 1].form.lower()
+            amount = None
+            if re.fullmatch(r"\d+", tokens[i - 1].form):
+                amount = int(tokens[i - 1].form)
+            else:
+                amount = parse_spelled_number([prev])
+            if amount is not None:
+                unit = _DUR_UNITS[low]
+                timexes.append({"id": f"tmx{len(timexes) + 1}", "type": "DURATION",
+                                "value": f"P{int(amount)}{unit}",
+                                "wf_ids": [i - 1, i]})
+                used.update((i - 1, i))
+                i += 1
+                continue
+        i += 1
+
+    def add_entity(ids: List[int], etype: str, named: bool) -> None:
+        entities.append({"id": f"e{len(entities) + 1}", "type": etype,
+                         "named": named, "term_ids": ids, "refs": []})
+
+    # --- named entities: contiguous proper-noun runs -----------------------
+    i = 0
+    while i < n:
+        if tags[i].pos == "R" and i not in used:
+            j = i
+            while j + 1 < n and tags[j + 1].pos == "R" and j + 1 not in used:
+                j += 1
+            surface = " ".join(tokens[k].form for k in range(i, j + 1)).lower()
+            etype = GAZETTEER.get(surface)
+            if etype is None:
+                etype = GAZETTEER.get(tokens[j].form.lower())
+            if etype is None:
+                last = tokens[j].form.lower().rstrip(".")
+                if last in _ORG_SUFFIX:
+                    etype = "ORG"
+                elif last in _LOC_SUFFIX:
+                    etype = "LOC"
+                elif i > 0 and tokens[i - 1].form.lower().rstrip(".") in _PER_TITLES:
+                    etype = "PER"
+                else:
+                    etype = "MISC"
+            add_entity(list(range(i, j + 1)), etype, True)
+            i = j + 1
+        else:
+            i += 1
+
+    # --- value entities (AnnotationPipeline.java:438-510 switch) -----------
+    for i in range(n):
+        if i in used:
+            continue
+        form = tokens[i].form
+        low = form.lower()
+        if re.fullmatch(r"\$\d[\d,]*(?:\.\d+)?", form):
+            ids = [i]
+            j = i + 1
+            while j < n and tokens[j].form.lower() in ("million", "billion", "trillion", "thousand"):
+                ids.append(j)
+                j += 1
+            add_entity(ids, "MONEY", False)
+        elif form.endswith("%"):
+            add_entity([i], "PERCENT", False)
+        elif low in ("percent", "per-cent") and i > 0 and (
+                re.fullmatch(r"[\d.,]+", tokens[i - 1].form) or
+                parse_spelled_number([tokens[i - 1].form.lower()]) is not None):
+            add_entity([i - 1, i], "PERCENT", False)
+        elif low in _ORDINALS:
+            add_entity([i], "ORDINAL", False)
+        elif re.fullmatch(r"\d+(?:st|nd|rd|th)", low):
+            add_entity([i], "ORDINAL", False)
+        elif tags[i].morphofeat == "CD" and low not in ("percent",):
+            # group spelled-number runs: "5 billion", "twenty three"
+            if i > 0 and tags[i - 1].morphofeat == "CD":
+                continue
+            ids = [i]
+            j = i + 1
+            while j < n and tags[j].morphofeat == "CD":
+                ids.append(j)
+                j += 1
+            if j < n and tokens[j].form.lower() in ("percent",):
+                continue
+            if any(k in used for k in ids):
+                continue
+            add_entity(ids, "CARDINAL", False)
+    return entities, timexes
+
+
+# ---------------------------------------------------------------------------
+# SRL
+# ---------------------------------------------------------------------------
+
+# tiny NomBank-ish inventory: nominal lemmas with a roleset
+NOMINAL_ROLESETS = {
+    "meeting": "meeting.01", "fight": "fight.01", "support": "support.01",
+    "supporter": "support.01", "aid": "aid.01", "result": "result.01",
+    "agreement": "agree.01", "announcement": "announce.01",
+    "acquisition": "acquire.01", "founder": "found.01",
+    "visit": "visit.01", "election": "elect.01", "president": "president.01",
+}
+
+_COPULA_LEMMAS = {"be", "become"}
+
+
+def extract_predicates(tokens: List[Token], tags: List[Tagged],
+                       graph: DepGraph) -> List[dict]:
+    """PropBank/NomBank-contract SRL (AnnotationPipeline.java:522-824):
+    verb predicates with A0/A1 from SUB/OBJ|PRD deps, AM-TMP/AM-LOC from
+    TMP/LOC/ADV prepositions; nominal predicates from the roleset table.
+    Role span = dep-descendants of the argument head (:727-735)."""
+    preds: List[dict] = []
+    n = len(tokens)
+
+    def role_span(head: int) -> List[int]:
+        return sorted(graph.descendants([head]))
+
+    for i in range(n):
+        t = tags[i]
+        if t.pos == "V" and t.morphofeat not in ("MD",) and t.lemma not in ("do", "have") \
+                and tokens[i].form.lower() not in ("will", "would"):
+            # skip pure auxiliaries: a verb whose only child is VC and lemma be/have
+            children = graph.children.get(i, [])
+            if t.lemma in ("be", "have") and any(lab == "VC" for _, lab in children):
+                continue
+            roleset = t.lemma + ".01"
+            roles: List[dict] = []
+            subj = obj = None
+            # subject may hang off the aux above this verb (VC chain)
+            scan = i
+            seen_sub = False
+            while True:
+                for child, lab in graph.children.get(scan, []):
+                    if lab == "SUB" and not seen_sub:
+                        subj = child
+                        seen_sub = True
+                p = graph.parent.get(scan)
+                if p is not None and p[1] in ("VC", "IM"):
+                    scan = p[0]
+                else:
+                    break
+            is_cop = t.lemma in _COPULA_LEMMAS
+            for child, lab in children:
+                if lab in ("OBJ", "PRD"):
+                    obj = child
+                elif lab in ("TMP",):
+                    roles.append({"sem_role": "AM-TMP", "term_ids": role_span(child),
+                                  "head_id": child, "refs": []})
+                elif lab == "LOC":
+                    roles.append({"sem_role": "AM-LOC", "term_ids": role_span(child),
+                                  "head_id": child, "refs": []})
+                elif lab == "ADV" and tags[child].pos == "P":
+                    # classify by PMOD object
+                    pm = [c for c, l2 in graph.children.get(child, []) if l2 == "PMOD"]
+                    if pm and GAZETTEER.get(tokens[pm[0]].form.lower()) == "LOC":
+                        roles.append({"sem_role": "AM-LOC", "term_ids": role_span(child),
+                                      "head_id": child, "refs": []})
+                    elif pm and (re.fullmatch(r"\d{4}", tokens[pm[0]].form)
+                                 or tokens[pm[0]].form.lower() in _MONTHS):
+                        roles.append({"sem_role": "AM-TMP", "term_ids": role_span(child),
+                                      "head_id": child, "refs": []})
+            if subj is not None:
+                roles.insert(0, {"sem_role": "A1" if is_cop else "A0",
+                                 "term_ids": role_span(subj), "head_id": subj, "refs": []})
+            if obj is not None:
+                roles.append({"sem_role": "A2" if is_cop else "A1",
+                              "term_ids": role_span(obj), "head_id": obj, "refs": []})
+            preds.append({
+                "id": f"pr{len(preds) + 1}", "source": "mate",
+                "term_ids": [i], "head_id": i,
+                "refs": [{"resource": "PropBank", "reference": roleset,
+                          "confidence": 1.0, "source": "mate"}],
+                "roles": roles,
+            })
+        elif t.pos in ("N",) and t.lemma in NOMINAL_ROLESETS:
+            roleset = NOMINAL_ROLESETS[t.lemma]
+            roles = []
+            for child, lab in graph.children.get(i, []):
+                if lab == "NMOD" and tags[child].pos in ("Q", "R", "N"):
+                    roles.append({"sem_role": "A0", "term_ids": role_span(child),
+                                  "head_id": child, "refs": []})
+                elif lab == "NMOD" and tags[child].pos == "P" and \
+                        tokens[child].form.lower() == "of":
+                    pm = [c for c, l2 in graph.children.get(child, []) if l2 == "PMOD"]
+                    if pm:
+                        roles.append({"sem_role": "A1", "term_ids": role_span(pm[0]),
+                                      "head_id": pm[0], "refs": []})
+            preds.append({
+                "id": f"pr{len(preds) + 1}", "source": "mate",
+                "term_ids": [i], "head_id": i,
+                "refs": [{"resource": "NomBank", "reference": roleset,
+                          "confidence": 1.0, "source": "mate"}],
+                "roles": roles,
+            })
+    return preds
+
+
+# ---------------------------------------------------------------------------
+# Coreference (within-document, deterministic)
+# ---------------------------------------------------------------------------
+
+_PRON_TYPE = {"he": "PER", "she": "PER", "him": "PER", "her": "PER",
+              "his": "PER", "it": None, "its": None, "they": None,
+              "them": None, "their": None}
+
+
+def extract_corefs(tokens: List[Token], tags: List[Tagged],
+                   entities: List[dict]) -> List[dict]:
+    """Exact-surface-match clusters + pronoun -> nearest preceding
+    compatible named entity (contract of AnnotationPipeline.java:946-1020)."""
+    clusters: List[List[List[int]]] = []
+    by_surface: Dict[str, int] = {}
+    ent_at: List[Tuple[int, List[int], str]] = []  # (first term, ids, type)
+    for ent in entities:
+        if not ent["named"]:
+            continue
+        ids = ent["term_ids"]
+        surface = " ".join(tokens[k].form for k in ids).lower()
+        ent_at.append((ids[0], ids, ent["type"]))
+        if surface in by_surface:
+            clusters[by_surface[surface]].append(list(ids))
+        else:
+            by_surface[surface] = len(clusters)
+            clusters.append([list(ids)])
+    # pronouns
+    for i, tok in enumerate(tokens):
+        low = tok.form.lower()
+        if tags[i].pos == "Q" and low in _PRON_TYPE:
+            want = _PRON_TYPE[low]
+            plural = low in ("they", "them", "their")
+            best = None
+            best_per = None
+            for first, ids, etype in ent_at:
+                if first >= i:
+                    break
+                if want is not None and etype != want:
+                    continue
+                if etype == "PER":
+                    best_per = (first, ids)
+                best = (first, ids)
+            if plural and best_per is not None:
+                best = best_per
+            if best is not None:
+                surface = " ".join(tokens[k].form for k in best[1]).lower()
+                clusters[by_surface[surface]].append([i])
+    out = [{"id": f"co{ci + 1}", "spans": spans}
+           for ci, spans in enumerate(clusters) if len(spans) >= 2]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Full per-document annotation
+# ---------------------------------------------------------------------------
+
+def annotate_document(text: str) -> dict:
+    """text -> NAF-equivalent nested layers (FIXTURES.md §2 schema)."""
+    sents, tokens, tagged = annotate_text(text)
+    deps: List[Tuple[int, int, str]] = []
+    # sentence boundaries over token ids
+    s_start = 0
+    for s_idx in range(len(sents)):
+        s_end = s_start
+        while s_end < len(tokens) and tokens[s_end].sent == s_idx:
+            s_end += 1
+        deps.extend(parse_sentence_deps(tokens, tagged, s_start, s_end))
+        s_start = s_end
+    graph = DepGraph(deps)
+    entities, timexes = extract_entities_timexes(tokens, tagged)
+    predicates = extract_predicates(tokens, tagged, graph)
+    corefs = extract_corefs(tokens, tagged, entities)
+    return {
+        "sentences": [{"sent": i, "begin": b, "end": e}
+                      for i, (b, e) in enumerate(sents)],
+        "tokens": [{"id": t.id, "sent": t.sent, "begin": t.begin,
+                    "len": t.length, "form": t.form} for t in tokens],
+        "terms": [{"id": i, "lemma": tg.lemma, "pos": tg.pos,
+                   "morphofeat": tg.morphofeat, "upos": "", "wf_ids": [i],
+                   "refs": []} for i, tg in enumerate(tagged)],
+        "deps": [{"from": f, "to": t, "rfunc": r} for f, t, r in deps],
+        "entities": entities,
+        "timexes": timexes,
+        "predicates": predicates,
+        "corefs": corefs,
+        "linked": [],
+    }

@@ -1,0 +1,57 @@
+"""Shared deterministic lexical resources (broadcast at scale).
+
+Mirrors the reference's broadcast-resource pattern: PredicateMatrix /
+PropBank / NomBank / gazetteer tables are loaded once per executor
+and shared across batches (PropBank.java:23-60, PredicateMatrix.java:59;
+Spark: sc.broadcast or executor-global module state inside UDFs).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+# surface -> NER type; deterministic fixture gazetteer (replaceable by a
+# real broadcast candidate dictionary at deployment)
+GAZETTEER: Dict[str, str] = {
+    "g.w. bush": "PER", "george w. bush": "PER", "bush": "PER",
+    "bono": "PER", "barack obama": "PER", "obama": "PER",
+    "blatter": "PER", "sepp blatter": "PER", "john": "PER", "mary": "PER",
+    "africa": "LOC", "united states": "LOC", "paris": "LOC",
+    "france": "LOC", "europe": "LOC", "germany": "LOC", "london": "LOC",
+    "fifa": "ORG", "united nations": "ORG", "google": "ORG",
+    "microsoft": "ORG", "nasa": "ORG",
+    "hiv": "MISC", "aids": "MISC",
+}
+
+# DBpedia-style entity-linking candidate dictionary:
+# surface -> list of (uri, prior); ambiguous surfaces get >1 candidate
+# (N11 broadcast join; AnnotationPipeline.java:197-206,461-481)
+EL_CANDIDATES: Dict[str, list] = {
+    "g.w. bush": [("http://dbpedia.org/resource/George_W._Bush", 0.95)],
+    "bush": [("http://dbpedia.org/resource/George_W._Bush", 0.6),
+             ("http://dbpedia.org/resource/Bush_(band)", 0.2)],
+    "bono": [("http://dbpedia.org/resource/Bono", 0.9)],
+    "barack obama": [("http://dbpedia.org/resource/Barack_Obama", 0.97)],
+    "obama": [("http://dbpedia.org/resource/Barack_Obama", 0.8)],
+    "blatter": [("http://dbpedia.org/resource/Sepp_Blatter", 0.85)],
+    "africa": [("http://dbpedia.org/resource/Africa", 0.9)],
+    "united states": [("http://dbpedia.org/resource/United_States", 0.95)],
+    "paris": [("http://dbpedia.org/resource/Paris", 0.7),
+              ("http://dbpedia.org/resource/Paris,_Texas", 0.1)],
+    "london": [("http://dbpedia.org/resource/London", 0.9)],
+    "fifa": [("http://dbpedia.org/resource/FIFA", 0.9)],
+    "hiv": [("http://dbpedia.org/resource/HIV", 0.9)],
+    "france": [("http://dbpedia.org/resource/France", 0.92)],
+    "europe": [("http://dbpedia.org/resource/Europe", 0.9)],
+    "germany": [("http://dbpedia.org/resource/Germany", 0.92)],
+    "google": [("http://dbpedia.org/resource/Google", 0.93)],
+    "microsoft": [("http://dbpedia.org/resource/Microsoft", 0.93)],
+    "nasa": [("http://dbpedia.org/resource/NASA", 0.93)],
+    "united nations": [("http://dbpedia.org/resource/United_Nations", 0.93)],
+}
+
+# normalized surfaces never linkable (NAFFilter.java:752-781 stop list)
+LINKING_STOPWORDS = {
+    "the", "a", "an", "it", "he", "she", "they", "this", "that", "one",
+    "time", "year", "day", "way", "thing", "man", "world", "life",
+}

@@ -1,0 +1,708 @@
+"""Graph distillation: annotation layers -> RDF triples.
+
+Per-document rule engine re-expressing the semantics of the
+reference's two rule passes (SURVEY.md §2.3/§2.4):
+
+NAFFilter (pikes-resources NAFFilter.java:248-333 fixed stage order):
+  F1 termSenseFiltering     (:375-386)   — n/a (no sense refs in stub NLP)
+  F3 entityRemoveOverlaps   (:536-568)   — drop contained / timex-overlap
+  F4 entitySpanFixing       (:498-534)   — strip leading D/P + symbol terms
+  F7 entityAddition         (:570-623)   — entity for bare nouns/pronouns
+  F8 entityValueNormalization (:625-665) — spelled-number -> value ref
+
+RDFGenerator.Extractor (pikes-rdf RDFGenerator.java:497-719 step order):
+  D0 metadata       (:721-798)
+  D1 timex          (:800-873)
+  D2 entities       (:875-973) + attributes (:1520-1582)
+  D3 predicates     (:975-1078) incl. copular be skip (:533-567)
+  D5 modifiers      (:587-619, 1101-1149) via MODIFIER_REGEX (:106)
+  D6 coref sameAs   (:1151-1259)
+  D7 roles          (:1261-1391) via PARTICIPATION_REGEX (:109-110)
+  D9 mentions       (:1584-1670) — NIF char-offset IRIs
+  D11 fact graphs   (:1824-1857, 1966-2015) — murmur3 graph IRIs
+
+Pure Python per document (documents are small); executed vectorized
+over Arrow batches by operators.annotate / pipeline. Emits flat
+triple rows: (url, subject, predicate, object, graph, sent,
+mention_begin, mention_end, conf, component).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Optional, Sequence, Set, Tuple
+
+from ..functions.deptree import DepGraph
+from ..functions.numbers import parse_spelled_number, ordinal_rank
+from ..functions.hashing import fact_graph_iri, murmur3_id
+from ..functions.resources import LINKING_STOPWORDS
+
+# namespace table (RDFGenerator.java:128-144 DEFAULT_NAMESPACE_MAP)
+NS = {
+    "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+    "rdfs": "http://www.w3.org/2000/01/rdf-schema#",
+    "owl": "http://www.w3.org/2002/07/owl#",
+    "ks": "http://dkm.fbk.eu/ontologies/knowledgestore#",
+    "nif": "http://persistence.uni-leipzig.org/nlp2rdf/ontologies/nif-core#",
+    "sem": "http://semanticweb.cs.vu.nl/2009/11/sem/",
+    "nwr": "http://www.newsreader-project.eu/ontologies/",
+    "gaf": "http://groundedannotationframework.org/gaf#",
+    "foaf": "http://xmlns.com/foaf/0.1/",
+    "dct": "http://purl.org/dc/terms/",
+    "gr": "http://purl.org/goodrelations/v1#",
+    "propbank": "http://www.newsreader-project.eu/ontologies/propbank/",
+    "nombank": "http://www.newsreader-project.eu/ontologies/nombank/",
+    "entity": "entity:",
+    "attribute": "attr:",
+    "owltime": "http://www.newsreader-project.eu/time/",
+}
+
+RDF_TYPE = NS["rdf"] + "type"
+RDFS_LABEL = NS["rdfs"] + "label"
+OWL_SAMEAS = NS["owl"] + "sameAs"
+KS_ENTITY = NS["ks"] + "Entity"
+KS_TIME = NS["ks"] + "Time"
+KS_ATTRIBUTE = NS["ks"] + "Attribute"
+KS_MOD = NS["ks"] + "mod"
+KS_QUANTITY = NS["ks"] + "quantity"
+KS_RANK = NS["ks"] + "rank"
+KS_PERCENTAGE = NS["ks"] + "percentage"
+KS_EXPRESSED_BY = NS["ks"] + "expressedBy"
+KS_MENTION_OF = NS["ks"] + "mentionOf"
+KS_HAS_MENTION = NS["ks"] + "hasMention"
+KS_MENTION = NS["ks"] + "Mention"
+KS_INCLUDE = NS["ks"] + "include"
+GAF_DENOTED_BY = NS["gaf"] + "denotedBy"
+FOAF_NAME = NS["foaf"] + "name"
+SEM_EVENT = NS["sem"] + "Event"
+SEM_HAS_ACTOR = NS["sem"] + "hasActor"
+SEM_HAS_TIME = NS["sem"] + "hasTime"
+SEM_HAS_PLACE = NS["sem"] + "hasPlace"
+NIF_BEGIN = NS["nif"] + "beginIndex"
+NIF_END = NS["nif"] + "endIndex"
+NIF_ANCHOR = NS["nif"] + "anchorOf"
+
+# DEFAULT_TYPE_MAP (RDFGenerator.java:112-126)
+TYPE_MAP = {
+    "entity.per": NS["nwr"] + "PERSON",
+    "entity.person": NS["nwr"] + "PERSON",
+    "entity.org": NS["nwr"] + "ORGANIZATION",
+    "entity.organization": NS["nwr"] + "ORGANIZATION",
+    "entity.loc": NS["nwr"] + "LOCATION",
+    "entity.location": NS["nwr"] + "LOCATION",
+    "entity.misc": NS["nwr"] + "MISC",
+    "entity.money": NS["gr"] + "PriceSpecification",
+    "entity.date": "http://www.w3.org/TR/owl-time#DateTimeInterval",
+    "entity.time": "http://www.w3.org/TR/owl-time#DateTimeInterval",
+    "timex.date": "http://www.w3.org/TR/owl-time#DateTimeInterval",
+    "timex.duration": "http://www.w3.org/TR/owl-time#ProperInterval",
+}
+
+MODIFIER_REGEX = "(NMOD|AMOD|TMP|LOC|TITLE) PMOD? (COORD CONJ?)* PMOD?"
+PARTICIPATION_REGEX = "SUB? (COORD CONJ?)* (PMOD (COORD CONJ?)*)? ((VC OPRD?)|(IM OPRD?))*"
+COORD_REGEX = "(COORD CONJ?)*"
+
+# property-entity types skipped as instances when used as modifiers
+# (RDFGenerator.java:890-901)
+_PROPERTY_TYPES = {"money", "cardinal", "ordinal", "percent", "language",
+                   "norp", "quantity"}
+
+_XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+_XSD_DOUBLE = "http://www.w3.org/2001/XMLSchema#double"
+_XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
+
+
+class Triple(dict):
+    pass
+
+
+class Distiller:
+    """One Extractor per document (RDFGenerator.java:477-719)."""
+
+    def __init__(self, url: str, text: str, doc: dict, lang: str = "en"):
+        self.url = url
+        self.base = url  # document IRI base for minted instance IRIs
+        self.text = text
+        self.doc = doc
+        self.lang = lang
+        self.tokens = doc["tokens"]
+        self.terms = doc["terms"]
+        self.graph = DepGraph([(d["from"], d["to"], d["rfunc"]) for d in doc["deps"]])
+        self.triples: List[dict] = []
+        # head term id -> (object_iri, predicate_iri) (RDFGenerator annotations map :2019-2036)
+        self.ann_obj: Dict[int, str] = {}
+        self.ann_pred: Dict[int, str] = {}
+        self.ann_extent: Dict[int, List[int]] = {}
+        self.minted: Dict[str, str] = {}
+        self.minted_inv: Set[str] = set()
+        self._timex_wfs: Set[int] = set()
+        for tmx in doc["timexes"]:
+            self._timex_wfs.update(tmx["wf_ids"])
+
+    # ------------------------------------------------------------------
+    # offsets (NAFUtils.java:378-393)
+    # ------------------------------------------------------------------
+    def t_begin(self, tid: int) -> int:
+        return self.tokens[tid]["begin"]
+
+    def t_end(self, tid: int) -> int:
+        tok = self.tokens[tid]
+        if tok["form"] in ("-LSB-", "-RSB-", "''"):
+            return tok["begin"] + 1
+        return tok["begin"] + tok["len"]
+
+    def span_text(self, tids: Sequence[int]) -> str:
+        tids = sorted(tids)
+        return self.text[self.t_begin(tids[0]) : self.t_end(tids[-1])]
+
+    # getText (NAFUtils.java:172-186): proper nouns keep case, rest lowered
+    def naf_text(self, tids: Sequence[int]) -> str:
+        parts = []
+        for tid in sorted(tids):
+            form = self.tokens[tid]["form"]
+            if not self.terms[tid]["morphofeat"].startswith("NNP"):
+                form = form.lower()
+            parts.append(form)
+        return " ".join(parts)
+
+    # filterTerms (NAFUtils.java:153-171)
+    def filter_terms(self, tids: Sequence[int]) -> List[int]:
+        result: List[int] = []
+        at_beginning = True
+        for tid in sorted(tids):
+            pos = (self.terms[tid]["pos"] or "O")[0].upper()
+            if at_beginning and pos in ("D", "P"):
+                continue
+            form = self.tokens[tid]["form"]
+            if any(c.isalnum() for c in form):
+                result.append(tid)
+                at_beginning = False
+        return result
+
+    # ------------------------------------------------------------------
+    # IRI minting (RDFGenerator.java:1788-1822)
+    # ------------------------------------------------------------------
+    def mint_iri(self, key: str, suggested: Optional[str] = None) -> str:
+        local = self.minted.get(key)
+        if local is None:
+            name = suggested if suggested is not None else key
+            base = "".join("_" if c.isspace() else c for c in name)
+            counter = 1
+            while True:
+                local = base if counter == 1 else f"{base}_{counter}"
+                if local not in self.minted_inv:
+                    self.minted[key] = local
+                    self.minted_inv.add(local)
+                    break
+                counter += 1
+        return _clean_iri(self.base + "#" + local)
+
+    # ------------------------------------------------------------------
+    # emission
+    # ------------------------------------------------------------------
+    def _emit(self, s: str, p: str, o: str, graph: str, component: str,
+              sent: int = -1, mb: int = -1, me: int = -1, conf: float = 1.0,
+              o_literal: bool = False, o_datatype: str = "") -> None:
+        self.triples.append({
+            "url": self.url, "subject": s, "predicate": p, "object": o,
+            "graph": graph, "component": component, "sent": sent,
+            "mention_begin": mb, "mention_end": me, "conf": conf,
+            "object_is_literal": o_literal, "object_datatype": o_datatype,
+        })
+
+    def emit_meta(self, s: str, p: str, o: str, component: str = "meta",
+                  o_literal: bool = False, o_datatype: str = "") -> None:
+        if s and p and o is not None:
+            self._emit(s, p, o, "", component, o_literal=o_literal,
+                       o_datatype=o_datatype)
+
+    def emit_fact(self, s: str, p: str, o: str, mention: Optional[str],
+                  component: str, sent: int = -1, mb: int = -1, me: int = -1,
+                  conf: float = 1.0, o_literal: bool = False,
+                  o_datatype: str = "") -> None:
+        """emitFact (RDFGenerator.java:1834-1857): reify in fact graph;
+        rdf:type objects expand through TYPE_MAP."""
+        if not (s and p and o):
+            return
+        objects = [o]
+        if p == RDF_TYPE and o in TYPE_MAP:
+            objects = [TYPE_MAP[o]]
+        elif p == RDF_TYPE and "." in o and o.split(".")[0] in ("entity", "timex") \
+                and o not in TYPE_MAP and not o.startswith("http"):
+            objects = []  # unmapped string type key -> nothing (extract() map miss)
+        for obj in objects:
+            g = fact_graph_iri(s, p, obj, o_literal, o_datatype)
+            self._emit(s, p, obj, g, component, sent, mb, me, conf,
+                       o_literal, o_datatype)
+            if mention:
+                self._emit(g, KS_EXPRESSED_BY, mention, "", "mention_link",
+                           sent, mb, me, conf)
+
+    # ------------------------------------------------------------------
+    # D9 emitMention (RDFGenerator.java:1584-1670)
+    # ------------------------------------------------------------------
+    def emit_mention(self, tids: Sequence[int]) -> Optional[str]:
+        sorted_ids = sorted(set(tids), key=lambda t: (self.t_begin(t), self.t_end(t)))
+        if not sorted_ids:
+            return None
+        begin = self.t_begin(sorted_ids[0])
+        component_iris: List[str] = []
+        anchor_parts: List[str] = []
+        uri = [f"{self.url}#char={begin},"]
+        offset = begin
+        start_idx = 0
+        for i, tid in enumerate(sorted_ids):
+            t_off = self.t_begin(tid)
+            if t_off > offset and self.text[offset:t_off].strip():
+                seg_start = self.t_begin(sorted_ids[start_idx])
+                anchor_parts.append(self.text[seg_start:offset] + " [...] ")
+                uri.append(f"{offset};{t_off},")
+                sub = self.emit_mention(sorted_ids[start_idx:i])
+                if sub:
+                    component_iris.append(sub)
+                start_idx = i
+            offset = self.t_end(tid)
+        if start_idx > 0:
+            sub = self.emit_mention(sorted_ids[start_idx:])
+            if sub:
+                component_iris.append(sub)
+        anchor_parts.append(self.text[self.t_begin(sorted_ids[start_idx]):offset])
+        uri.append(str(offset))
+        anchor = "".join(anchor_parts)
+        mention = "".join(uri)
+        self.emit_meta(mention, KS_MENTION_OF, self.url, "mention")
+        self.emit_meta(self.url, KS_HAS_MENTION, mention, "mention")
+        self.emit_meta(mention, RDF_TYPE, KS_MENTION, "mention")
+        if component_iris:
+            self.emit_meta(mention, RDF_TYPE, NS["ks"] + "CompoundString", "mention")
+            for c in component_iris:
+                self.emit_meta(mention, NS["ks"] + "componentSubString", c, "mention")
+        self.emit_meta(mention, NIF_BEGIN, str(begin), "mention", True, _XSD_INT)
+        self.emit_meta(mention, NIF_END, str(offset), "mention", True, _XSD_INT)
+        self.emit_meta(mention, NIF_ANCHOR, anchor, "mention", True)
+        return mention
+
+    # ------------------------------------------------------------------
+    # NAFFilter stages
+    # ------------------------------------------------------------------
+    def filter_stage(self) -> None:
+        doc = self.doc
+        # F4 entitySpanFixing (NAFFilter.java:498-534)
+        fixed = []
+        for ent in doc["entities"]:
+            tids = self.filter_terms(ent["term_ids"])
+            if tids:
+                ent = dict(ent)
+                ent["term_ids"] = tids
+                fixed.append(ent)
+        # F3 entityRemoveOverlaps (NAFFilter.java:536-568)
+        keep: List[dict] = []
+        for i, ent in enumerate(fixed):
+            span = set(ent["term_ids"])
+            contained = any(
+                j != i and span < set(other["term_ids"]) for j, other in enumerate(fixed)
+            )
+            overlaps_timex = bool(span & self._timex_wfs)
+            if not contained and not overlaps_timex:
+                keep.append(ent)
+        # F7 entityAddition (NAFFilter.java:570-623): bare nouns/pronouns not
+        # in any entity/timex -> new non-named entity (type None)
+        covered: Set[int] = set()
+        for ent in keep:
+            covered.update(ent["term_ids"])
+        covered |= self._timex_wfs
+        for tid, term in enumerate(self.terms):
+            pos = (term["pos"] or "O")[0].upper()
+            if pos not in ("R", "N", "Q") or tid in covered:
+                continue
+            # NAME dep part of a larger name -> skip (namePart rule)
+            dep = self.graph.dep_to(tid)
+            if pos == "R" and dep is not None and "name" in dep[1].lower():
+                continue
+            span = self.nominal_span(tid)
+            keep.append({"id": f"auto{tid}", "type": None, "named": pos == "R",
+                         "term_ids": span, "refs": []})
+            covered.update(span)
+        # F8 entityValueNormalization (NAFFilter.java:625-665)
+        for ent in keep:
+            if ent["type"] in ("CARDINAL", "ORDINAL", "PERCENT", "MONEY"):
+                words = [self.tokens[t]["form"] for t in ent["term_ids"]]
+                if ent["type"] == "ORDINAL":
+                    val = ordinal_rank(words[0])
+                else:
+                    clean = [w.lstrip("$").rstrip("%") for w in words]
+                    val = parse_spelled_number(clean)
+                if val is not None:
+                    prefix = ""
+                    joined = " ".join(words)
+                    if "$" in joined:
+                        prefix = "$"
+                    elif "%" in joined or ent["type"] == "PERCENT":
+                        prefix = "%"
+                    ent = ent  # mutate in place
+                    ent.setdefault("refs", []).append(
+                        {"resource": "value", "reference": prefix + _fmt_num(val),
+                         "confidence": 1.0})
+        doc["entities"] = keep
+
+    # getNominalSpan simplified (NAFUtils.java:286-334): markable closure +
+    # NAME-regex descendants
+    def nominal_span(self, tid: int) -> List[int]:
+        terms = {tid}
+        head = tid
+        terms |= self.graph.descendants_matching([head], "NAME")
+        return sorted(terms)
+
+    # ------------------------------------------------------------------
+    # RDF generation stages
+    # ------------------------------------------------------------------
+    def run(self) -> List[dict]:
+        self.filter_stage()
+        self.process_metadata()   # D0
+        self.process_timexes()    # D1
+        self.process_entities()   # D2
+        self.process_predicates() # D3 (+D7 roles, D5 modifiers)
+        self.process_corefs()     # D6
+        self.process_modifiers()  # D5
+        self.process_roles()      # D7
+        return self.triples
+
+    # D0 (RDFGenerator.java:721-798)
+    def process_metadata(self) -> None:
+        self.emit_meta(self.url, RDF_TYPE, NS["ks"] + "Resource", "meta")
+        self.emit_meta(self.url, RDF_TYPE, NS["ks"] + "Text", "meta")
+        self.emit_meta(self.url, NS["dct"] + "language",
+                       "http://lexvo.org/id/iso639-1/" + (self.lang or "en"), "meta")
+        self.emit_meta(self.url, NS["ks"] + "textHash",
+                       murmur3_id([self.text]), "meta", True)
+
+    # D1 (RDFGenerator.java:800-873)
+    def process_timexes(self) -> None:
+        for tmx in self.doc["timexes"]:
+            tids = sorted(tmx["wf_ids"])
+            head = self.graph.head_of_span(tids) or tids[-1]
+            mention = self.emit_mention(tids)
+            value = tmx.get("value") or ""
+            ttype = (tmx.get("type") or "DATE").lower()
+            if value:
+                iri = NS["owltime"] + re.sub(r"[^A-Za-z0-9_\-]", "_", value.lower())
+            else:
+                iri = self.mint_iri("tmx:" + tmx["id"], self.span_text(tids))
+            self.ann_obj[head] = iri
+            self.ann_extent[head] = tids
+            sent = self.tokens[tids[0]]["sent"]
+            mb, me = self.t_begin(tids[0]), self.t_end(tids[-1])
+            self.emit_fact(iri, RDF_TYPE, KS_ENTITY, mention, "instance", sent, mb, me)
+            self.emit_fact(iri, RDF_TYPE, KS_TIME, mention, "instance", sent, mb, me)
+            self.emit_fact(iri, RDF_TYPE, "timex." + ttype, mention, "type_timex",
+                           sent, mb, me)
+            self.emit_meta(iri, GAF_DENOTED_BY, mention, "mention")
+            if value:
+                self.emit_fact(iri, NS["owltime"] + "timexValue", value, mention,
+                               "attribute", sent, mb, me, o_literal=True)
+            self.emit_fact(iri, RDFS_LABEL, self.span_text(tids), mention,
+                           "attribute", sent, mb, me, o_literal=True)
+
+    # D2 (RDFGenerator.java:875-973 + emitEntityAttributes :1520-1582)
+    def process_entities(self) -> None:
+        for ent in self.doc["entities"]:
+            tids = sorted(ent["term_ids"])
+            head = self.graph.head_of_span(tids) or tids[-1]
+            etype = (ent["type"] or "").lower()
+            is_property = etype in _PROPERTY_TYPES
+            # property entities that act as modifiers are skipped
+            # (RDFGenerator.java:895-901)
+            if is_property:
+                dep = self.graph.dep_to(head)
+                if dep is not None and re.fullmatch(r"(NMOD|AMOD)",
+                                                    dep[1].split("-")[0]):
+                    continue
+            mention = self.emit_mention(tids)
+            sent = self.tokens[tids[0]]["sent"]
+            mb, me = self.t_begin(tids[0]), self.t_end(tids[-1])
+            named = bool(ent.get("named"))
+            linked_uri = None
+            best_conf = 0.0
+            for ref in ent.get("refs", []):
+                res = (ref.get("resource") or "").lower()
+                if res in ("dbpedia", "spotlight") and (ref.get("confidence") or 0) >= best_conf:
+                    linked_uri = ref.get("reference")
+                    best_conf = ref.get("confidence") or 0.0
+            # IRI minting (RDFGenerator.java:905-919)
+            if named or linked_uri:
+                suggested = self.naf_text(self.filter_terms(tids) or tids)
+                iri = self.mint_iri("ent:" + str(head), suggested)
+            else:
+                local = re.sub(r"[^a-z0-9]+", "_",
+                               self.terms[head]["lemma"].lower()).strip("_")
+                iri = "entity:" + (local or "thing")
+            if head not in self.ann_obj:
+                self.ann_obj[head] = iri
+                self.ann_extent[head] = tids
+            else:
+                iri = self.ann_obj[head]
+            self.emit_fact(iri, RDF_TYPE, KS_ENTITY, mention, "instance", sent, mb, me)
+            if etype:
+                self.emit_fact(iri, RDF_TYPE, "entity." + etype, mention,
+                               "type_entity", sent, mb, me)
+            self.emit_meta(iri, GAF_DENOTED_BY, mention, "mention")
+            if named:
+                self.emit_fact(iri, FOAF_NAME,
+                               self.naf_text(self.filter_terms(tids) or tids),
+                               mention, "attribute", sent, mb, me, o_literal=True)
+            if linked_uri:
+                prop = OWL_SAMEAS if named else NS["rdfs"] + "seeAlso"
+                self.emit_fact(iri, prop, linked_uri, mention, "link", sent, mb, me,
+                               conf=best_conf)
+            # attributes for property entities (RDFGenerator.java:1520-1582)
+            if is_property:
+                value_ref = next((r for r in ent.get("refs", [])
+                                  if (r.get("resource") or "") == "value"), None)
+                if value_ref:
+                    v = value_ref["reference"]
+                    if etype in ("cardinal", "quantity"):
+                        self.emit_fact(iri, KS_QUANTITY, v, mention, "attribute",
+                                       sent, mb, me, o_literal=True, o_datatype=_XSD_DOUBLE)
+                    elif etype == "ordinal":
+                        self.emit_fact(iri, KS_RANK, v, mention, "attribute",
+                                       sent, mb, me, o_literal=True, o_datatype=_XSD_DOUBLE)
+                    elif etype == "percent":
+                        self.emit_fact(iri, KS_PERCENTAGE, v.lstrip("%"), mention,
+                                       "attribute", sent, mb, me, o_literal=True,
+                                       o_datatype=_XSD_DOUBLE)
+                    elif etype == "money":
+                        self.emit_fact(iri, NS["gr"] + "hasCurrency",
+                                       _currency(v), mention, "attribute",
+                                       sent, mb, me, o_literal=True)
+                        self.emit_fact(iri, NS["gr"] + "hasCurrencyValue",
+                                       v.lstrip("$€¥"), mention, "attribute",
+                                       sent, mb, me, o_literal=True,
+                                       o_datatype=_XSD_DOUBLE)
+
+    # D3 (RDFGenerator.java:975-1078) + copular skip (:533-567)
+    def process_predicates(self) -> None:
+        coref_pairs = self._coref_head_pairs()
+        named_heads: Set[int] = set()
+        for ent in self.doc["entities"]:
+            if ent.get("named") or (ent["type"] or "").lower() in ("ordinal",):
+                h = self.graph.head_of_span(ent["term_ids"])
+                if h is not None:
+                    named_heads.add(h)
+        for tmx in self.doc["timexes"]:
+            h = self.graph.head_of_span(tmx["wf_ids"])
+            named_heads.add(h if h is not None else -1)
+            named_heads.update(tmx["wf_ids"])
+        for pred in self.doc["predicates"]:
+            head = pred.get("head_id", pred["term_ids"][0])
+            # skip if head is a timex or named/ordinal entity head (:983-990)
+            if head in named_heads:
+                continue
+            # noun-sharing: predicate over an existing non-named entity
+            # reuses the entity IRI (selfArg logic :1005-1028)
+            shared_iri = self.ann_obj.get(head)
+            roleset = next((r["reference"] for r in pred.get("refs", [])
+                            if (r.get("resource") or "").lower() in ("propbank", "nombank")),
+                           None)
+            # copular 'be' predicate with coreferring A1/A2 -> skip (:533-567)
+            if roleset and roleset.split(".")[0] in ("be", "become"):
+                heads = {}
+                for role in pred.get("roles", []):
+                    h = role.get("head_id")
+                    if role["sem_role"] in ("A1", "A2") and h is not None:
+                        heads[role["sem_role"]] = h
+                if len(heads) == 2:
+                    a1, a2 = heads["A1"], heads["A2"]
+                    if (a1, a2) in coref_pairs or (a2, a1) in coref_pairs or \
+                            self._emit_copula_sameas(pred, a1, a2):
+                        continue
+            tids = sorted(pred["term_ids"])
+            mention = self.emit_mention(tids)
+            sent = self.tokens[tids[0]]["sent"]
+            mb, me = self.t_begin(tids[0]), self.t_end(tids[-1])
+            if shared_iri is not None:
+                iri = shared_iri
+            else:
+                iri = self.mint_iri("pred:" + str(head),
+                                    self.terms[head]["lemma"] + "_" + str(head))
+            self.ann_pred[head] = iri
+            if head not in self.ann_extent:
+                self.ann_extent[head] = tids
+            self.emit_fact(iri, RDF_TYPE, KS_ENTITY, mention, "instance", sent, mb, me)
+            self.emit_fact(iri, RDF_TYPE, SEM_EVENT, mention, "instance", sent, mb, me)
+            self.emit_meta(iri, GAF_DENOTED_BY, mention, "mention")
+            for ref in pred.get("refs", []):
+                res = (ref.get("resource") or "").lower()
+                if res in NS and ref.get("reference"):
+                    self.emit_fact(iri, RDF_TYPE,
+                                   NS[res] + ref["reference"].replace("#", "."),
+                                   mention, "type_" + ("pb" if res == "propbank" else
+                                                       "nb" if res == "nombank" else res),
+                                   sent, mb, me)
+
+    def _emit_copula_sameas(self, pred: dict, a1_head: int, a2_head: int) -> bool:
+        """Copular be/become: if both args are annotated instances, emit
+        owl:sameAs between them instead of an event (RDFGenerator.java:533-567
+        emits nothing for the predicate; the coreference between the arg
+        instances is handled by coref — we additionally link them when the
+        copula explicitly equates two instances)."""
+        o1, o2 = self.ann_obj.get(a1_head), self.ann_obj.get(a2_head)
+        if o1 and o2 and o1 != o2:
+            tids = sorted(pred["term_ids"])
+            mention = self.emit_mention(sorted(set(
+                self.ann_extent.get(a1_head, []) + self.ann_extent.get(a2_head, []))))
+            sent = self.tokens[tids[0]]["sent"]
+            self.emit_fact(o1, OWL_SAMEAS, o2, mention, "sameas", sent)
+            return True
+        return False
+
+    def _coref_head_pairs(self) -> Set[Tuple[int, int]]:
+        pairs: Set[Tuple[int, int]] = set()
+        for coref in self.doc.get("corefs", []):
+            heads = []
+            for span in coref["spans"]:
+                h = self.graph.head_of_span(span)
+                if h is not None:
+                    heads.append(h)
+            for i in range(len(heads)):
+                for j in range(i + 1, len(heads)):
+                    pairs.add((heads[i], heads[j]))
+        return pairs
+
+    # D6 (RDFGenerator.java:1151-1259)
+    def process_corefs(self) -> None:
+        for coref in self.doc.get("corefs", []):
+            members: List[Tuple[int, str, List[int]]] = []
+            for span in coref["spans"]:
+                h = self.graph.head_of_span(span)
+                if h is None:
+                    continue
+                iri = self.ann_obj.get(h)
+                if iri is None:
+                    continue
+                members.append((h, iri, sorted(span)))
+            # all-pairs owl:sameAs with joint mention (:1243-1258)
+            for i in range(len(members)):
+                for j in range(i + 1, len(members)):
+                    joint = sorted(set(members[i][2] + members[j][2]))
+                    mention = self.emit_mention(joint)
+                    sent = self.tokens[joint[0]]["sent"]
+                    self.emit_fact(members[i][1], OWL_SAMEAS, members[j][1],
+                                   mention, "sameas", sent)
+
+    # D5 (RDFGenerator.java:587-619, 1101-1149)
+    def process_modifiers(self) -> None:
+        coref_heads = {h for pair in self._coref_head_pairs() for h in pair}
+        seen: Set[Tuple[int, str]] = set()
+        for head, iri in list(self.ann_obj.items()) + list(self.ann_pred.items()):
+            if (head, iri) in seen:
+                continue
+            seen.add((head, iri))
+            extent = set(self.ann_extent.get(head, [head]))
+            for mod in self.graph.descendants_matching([head], MODIFIER_REGEX):
+                if mod == head or mod in extent or mod in coref_heads:
+                    continue
+                target = self.ann_obj.get(mod) or self.ann_pred.get(mod)
+                sent = self.tokens[head]["sent"]
+                if target:
+                    self.emit_fact(iri, KS_MOD, target, None, "edge", sent)
+                else:
+                    term = self.terms[mod]
+                    if (term["pos"] or "O")[0].upper() in ("G", "A"):
+                        attr = self.emit_term(mod)
+                        if attr:
+                            self.emit_fact(iri, KS_MOD, attr, None, "edge", sent)
+
+    # D10 emitTerm (RDFGenerator.java:1672-1730)
+    def emit_term(self, head: int) -> Optional[str]:
+        mods = sorted(self.graph.descendants_matching([head], "(AMOD|NMOD)*"))
+        key = "attr:" + "_".join(str(m) for m in mods if m != head) + "_" + str(head)
+        label = self.naf_text(mods)
+        iri = self.mint_iri(key, "attr_" + re.sub(r"[^a-z0-9]+", "_", label.lower()).strip("_"))
+        mention = self.emit_mention(mods)
+        sent = self.tokens[head]["sent"]
+        self.emit_fact(iri, RDF_TYPE, KS_ATTRIBUTE, mention, "instance", sent)
+        self.emit_fact(iri, RDFS_LABEL, label, mention, "attribute", sent, o_literal=True)
+        return iri
+
+    # D7 (RDFGenerator.java:1261-1391)
+    def process_roles(self) -> None:
+        for pred in self.doc["predicates"]:
+            phead = pred.get("head_id", pred["term_ids"][0])
+            pred_iri = self.ann_pred.get(phead)
+            if pred_iri is None:
+                continue
+            roleset = next((r["reference"] for r in pred.get("refs", [])
+                            if (r.get("resource") or "").lower() in ("propbank", "nombank")),
+                           None)
+            res = next(((r.get("resource") or "").lower() for r in pred.get("refs", [])
+                        if (r.get("resource") or "").lower() in ("propbank", "nombank")),
+                       "propbank")
+            for role in pred.get("roles", []):
+                sem = role["sem_role"]
+                if sem.startswith("R-"):
+                    continue  # skip reference roles (:1272)
+                rhead = role.get("head_id")
+                if rhead is None:
+                    rhead = self.graph.head_of_span(role["term_ids"])
+                if rhead is None:
+                    continue
+                # argument heads via PARTICIPATION_REGEX (:1281-1292)
+                arg_heads = self.graph.descendants_matching([rhead], PARTICIPATION_REGEX)
+                # properties (:1294-1361)
+                props: List[Tuple[str, str]] = []
+                if sem == "A0":
+                    props.append((SEM_HAS_ACTOR, "role_sem"))
+                elif sem in ("AM-TMP",):
+                    props.append((SEM_HAS_TIME, "role_sem"))
+                elif sem in ("AM-LOC",):
+                    props.append((SEM_HAS_PLACE, "role_sem"))
+                if roleset:
+                    m = re.fullmatch(r"A(\d)", sem)
+                    if m:
+                        props.append((NS[res] + roleset + "_" + m.group(1),
+                                      "role_pb" if res == "propbank" else "role_nb"))
+                    elif sem.startswith("AM-"):
+                        props.append((NS[res] + sem.lower(), "role_pb" if res == "propbank" else "role_nb"))
+                sent = self.tokens[rhead]["sent"]
+                for ah in sorted(arg_heads):
+                    arg_iri = self.ann_obj.get(ah) or self.ann_pred.get(ah)
+                    if arg_iri is None and ah != rhead:
+                        continue
+                    if arg_iri is None:
+                        # unannotated N/G/A arg -> attribute node (:1374-1390)
+                        if (self.terms[ah]["pos"] or "O")[0].upper() in ("N", "G", "A"):
+                            arg_iri = self.emit_term(ah)
+                        if arg_iri is None:
+                            continue
+                    mention = self.emit_mention(sorted(set(role["term_ids"]) | {phead}))
+                    mb = self.t_begin(min(role["term_ids"]))
+                    me = self.t_end(max(role["term_ids"]))
+                    for prop, component in props:
+                        self.emit_fact(pred_iri, prop, arg_iri, mention, component,
+                                       sent, mb, me)
+
+
+def _fmt_num(v: float) -> str:
+    if v == int(v):
+        return str(int(v))
+    return repr(v)
+
+
+def _currency(v: str) -> str:
+    if v.startswith("$"):
+        return "USD"
+    if v.startswith("€"):
+        return "EUR"
+    if v.startswith("¥"):
+        return "JPY"
+    return "USD"
+
+
+def _clean_iri(iri: str) -> str:
+    """Util.cleanIRI-equivalent: strip characters illegal in IRIs."""
+    return re.sub(r"[^\w\-.~:/?#\[\]@!$&'()*+,;=%]", "_", iri)
+
+
+def distill_document(url: str, text: str, doc: dict, lang: str = "en") -> List[dict]:
+    """annotation layers -> triple rows (one document)."""
+    return Distiller(url, text, doc, lang).run()
