@@ -1,0 +1,215 @@
+"""J1 annotate + J3 distill Spark operators (mapInPandas).
+
+pages -> annotations (nested NAF-equivalent layers) -> triples.
+
+Idiomatic-Spark notes:
+- ``mapInPandas`` with Arrow batches: the per-document rule models run
+  vectorized per batch; heavyweight resources (gazetteers, rolesets)
+  are module-level singletons loaded once per Python worker — the
+  executor-global pattern the reference uses for its interned
+  PropBank/PredicateMatrix singletons (PropBank.java:23-60).
+- The length guard + language filter are plain Catalyst filters and
+  push down to the parquet/Iceberg scan.
+- Per-document cost varies with text length; callers can
+  ``repartitionByRange`` on ``length(text)`` to even out batches
+  (SURVEY.md §4 skew note).
+- Error isolation: per-row try/except, failures emitted to an error
+  side-channel column (reference catches per document,
+  RDFGenerator.java:419-423).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.htmltext import MAX_TEXT_LEN, extract_text
+from ..functions.nlp import annotate_document
+from .distill import distill_document
+
+# FIXTURES.md §2 annotations schema
+ANNOTATIONS_SCHEMA = """
+    url string, lang string, text string, error string,
+    sentences array<struct<sent:int, begin:int, end:int>>,
+    tokens array<struct<id:int, sent:int, begin:int, len:int, form:string>>,
+    terms array<struct<id:int, lemma:string, pos:string, morphofeat:string,
+                       upos:string, wf_ids:array<int>,
+                       refs:array<struct<resource:string, reference:string,
+                                         confidence:double, source:string>>>>,
+    deps array<struct<from:int, to:int, rfunc:string>>,
+    entities array<struct<id:string, type:string, named:boolean,
+                          term_ids:array<int>,
+                          refs:array<struct<resource:string, reference:string,
+                                            confidence:double>>>>,
+    timexes array<struct<id:string, type:string, value:string, wf_ids:array<int>>>,
+    predicates array<struct<id:string, source:string, term_ids:array<int>,
+                            head_id:int,
+                            refs:array<struct<resource:string, reference:string,
+                                              confidence:double, source:string>>,
+                            roles:array<struct<sem_role:string, term_ids:array<int>,
+                                               head_id:int,
+                                               refs:array<struct<resource:string,
+                                                                 reference:string>>>>>>,
+    corefs array<struct<id:string, spans:array<struct<ids:array<int>>>>>
+"""
+# NOTE: coref spans are array<struct<ids:...>> not array<array<int>>:
+# pyarrow 16 segfaults converting list-of-list columns to pandas.
+
+TRIPLES_SCHEMA = """
+    url string, subject string, predicate string, object string,
+    graph string, component string, sent int,
+    mention_begin int, mention_end int, conf double,
+    object_is_literal boolean, object_datatype string
+"""
+
+
+def _extract_batch(htmls: pd.Series) -> List[str]:
+    return [extract_text(h if h is not None else b"") for h in htmls]
+
+
+def extract_pages_text(pages: DataFrame) -> DataFrame:
+    """N1: html -> extracted text (byte-identical invariant vs the
+    ``text`` oracle column). Vectorized Arrow UDF."""
+    from pyspark.sql.types import StringType
+
+    @F.pandas_udf(StringType())
+    def _udf(h: pd.Series) -> pd.Series:
+        return pd.Series(_extract_batch(h))
+
+    return pages.withColumn("extracted_text", _udf(F.col("html")))
+
+
+def _row_annotations(url: str, lang: str, text: str) -> dict:
+    doc = annotate_document(text)
+    return {
+        "url": url, "lang": lang, "text": text, "error": None,
+        "sentences": doc["sentences"], "tokens": doc["tokens"],
+        "terms": doc["terms"], "deps": doc["deps"],
+        "entities": doc["entities"], "timexes": doc["timexes"],
+        "predicates": doc["predicates"],
+        "corefs": [{"id": c["id"], "spans": [{"ids": s} for s in c["spans"]]}
+                   for c in doc["corefs"]],
+    }
+
+
+def annotate_pages(pages: DataFrame, from_html: bool = True) -> DataFrame:
+    """pages -> annotations. Language/length guards are Catalyst
+    filters (pushed down); the NLP stack runs inside mapInPandas."""
+    filtered = (pages
+                .filter(F.col("lang") == "en")
+                .filter(F.length("text") > 0)
+                .filter(F.length("text") <= MAX_TEXT_LEN))
+
+    use_html = from_html
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                text = extract_text(r.html) if use_html else r.text
+                try:
+                    rows.append(_row_annotations(r.url, r.lang, text))
+                except Exception as exc:  # error isolation per document
+                    rows.append({"url": r.url, "lang": r.lang, "text": text,
+                                 "error": repr(exc)[:500], "sentences": [],
+                                 "tokens": [], "terms": [], "deps": [],
+                                 "entities": [], "timexes": [],
+                                 "predicates": [], "corefs": []})
+            yield pd.DataFrame(rows)
+
+    cols = ["url", "lang", "html", "text"] if use_html else ["url", "lang", "text"]
+    return filtered.select(*cols).mapInPandas(gen, ANNOTATIONS_SCHEMA)
+
+
+def distill_annotations(annotations: DataFrame,
+                        links: DataFrame | None = None) -> DataFrame:
+    """annotations (+ optional per-url entity links) -> triple rows.
+
+    ``links`` schema: url, begin, end, uri, score — the output of
+    operators.linking; they are grouped per url and merged into the
+    matching entity's refs before distillation (linkingCompletion F5,
+    NAFFilter.java:667-750)."""
+    ann = annotations
+    if links is not None:
+        grouped = (links.groupBy("url")
+                   .agg(F.collect_list(F.struct("begin", "end", "uri", "score"))
+                        .alias("_links")))
+        ann = ann.join(grouped, "url", "left")
+    else:
+        ann = ann.withColumn("_links", F.lit(None).cast(
+            "array<struct<begin:int,end:int,uri:string,score:double>>"))
+
+    # NOTE: mapInArrow, not mapInPandas — pyarrow 16's to_pandas segfaults
+    # on Spark-produced chunked nested (list<struct<list>>) columns;
+    # RecordBatch.to_pylist is safe and the distiller wants dicts anyway.
+    import pyarrow as pa
+    from pyspark.sql.types import StructType, _parse_datatype_string
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    out_schema = to_arrow_schema(_parse_datatype_string(TRIPLES_SCHEMA))
+    out_cols = [f.name for f in out_schema]
+
+    def gen(batches):
+        for batch in batches:
+            out: List[dict] = []
+            for r in batch.to_pylist():
+                if r.get("error"):
+                    continue
+                doc = {
+                    "sentences": r["sentences"] or [], "tokens": r["tokens"] or [],
+                    "terms": r["terms"] or [], "deps": r["deps"] or [],
+                    "entities": [dict(e) for e in r["entities"] or []],
+                    "timexes": r["timexes"] or [],
+                    "predicates": r["predicates"] or [],
+                    "corefs": [{"id": c["id"],
+                                "spans": [list(s["ids"]) for s in c["spans"] or []]}
+                               for c in r["corefs"] or []],
+                    "linked": [],
+                }
+                _merge_links(doc, r.get("_links") or [])
+                try:
+                    out.extend(distill_document(r["url"], r["text"], doc, r["lang"]))
+                except Exception:
+                    continue
+            yield pa.RecordBatch.from_pylist(out, schema=out_schema)
+
+    return ann.mapInArrow(gen, TRIPLES_SCHEMA)
+
+
+def _l(v):
+    if v is None:
+        return []
+    if isinstance(v, list):
+        return [dict(x) if isinstance(x, dict) else x for x in v]
+    try:
+        return [dict(x) if isinstance(x, dict) else x for x in list(v)]
+    except TypeError:
+        return []
+
+
+def _merge_links(doc: dict, links: List[dict]) -> None:
+    """linkingCompletion (F5): attach best link whose char span matches
+    the entity span to the entity's refs."""
+    if not links:
+        return
+    tokens = doc["tokens"]
+    for ent in doc["entities"]:
+        tids = sorted(ent["term_ids"])
+        if not tids:
+            continue
+        b = tokens[tids[0]]["begin"]
+        e = tokens[tids[-1]]["begin"] + tokens[tids[-1]]["len"]
+        refs = list(ent.get("refs") or [])
+        for lk in links:
+            if lk and lk.get("begin") == b and lk.get("end") == e:
+                refs.append({"resource": "dbpedia", "reference": lk["uri"],
+                             "confidence": float(lk.get("score") or 0.0)})
+        ent["refs"] = refs
+
+
+def pages_to_triples(pages: DataFrame, links: DataFrame | None = None,
+                     from_html: bool = True) -> DataFrame:
+    return distill_annotations(annotate_pages(pages, from_html=from_html), links)

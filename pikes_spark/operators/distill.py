@@ -423,7 +423,7 @@ class Distiller:
             named = bool(ent.get("named"))
             linked_uri = None
             best_conf = 0.0
-            for ref in ent.get("refs", []):
+            for ref in ent.get("refs") or []:
                 res = (ref.get("resource") or "").lower()
                 if res in ("dbpedia", "spotlight") and (ref.get("confidence") or 0) >= best_conf:
                     linked_uri = ref.get("reference")
@@ -456,7 +456,7 @@ class Distiller:
                                conf=best_conf)
             # attributes for property entities (RDFGenerator.java:1520-1582)
             if is_property:
-                value_ref = next((r for r in ent.get("refs", [])
+                value_ref = next((r for r in ent.get("refs") or []
                                   if (r.get("resource") or "") == "value"), None)
                 if value_ref:
                     v = value_ref["reference"]
@@ -500,13 +500,13 @@ class Distiller:
             # noun-sharing: predicate over an existing non-named entity
             # reuses the entity IRI (selfArg logic :1005-1028)
             shared_iri = self.ann_obj.get(head)
-            roleset = next((r["reference"] for r in pred.get("refs", [])
+            roleset = next((r["reference"] for r in pred.get("refs") or []
                             if (r.get("resource") or "").lower() in ("propbank", "nombank")),
                            None)
             # copular 'be' predicate with coreferring A1/A2 -> skip (:533-567)
             if roleset and roleset.split(".")[0] in ("be", "become"):
                 heads = {}
-                for role in pred.get("roles", []):
+                for role in pred.get("roles") or []:
                     h = role.get("head_id")
                     if role["sem_role"] in ("A1", "A2") and h is not None:
                         heads[role["sem_role"]] = h
@@ -530,7 +530,7 @@ class Distiller:
             self.emit_fact(iri, RDF_TYPE, KS_ENTITY, mention, "instance", sent, mb, me)
             self.emit_fact(iri, RDF_TYPE, SEM_EVENT, mention, "instance", sent, mb, me)
             self.emit_meta(iri, GAF_DENOTED_BY, mention, "mention")
-            for ref in pred.get("refs", []):
+            for ref in pred.get("refs") or []:
                 res = (ref.get("resource") or "").lower()
                 if res in NS and ref.get("reference"):
                     self.emit_fact(iri, RDF_TYPE,
@@ -631,13 +631,13 @@ class Distiller:
             pred_iri = self.ann_pred.get(phead)
             if pred_iri is None:
                 continue
-            roleset = next((r["reference"] for r in pred.get("refs", [])
+            roleset = next((r["reference"] for r in pred.get("refs") or []
                             if (r.get("resource") or "").lower() in ("propbank", "nombank")),
                            None)
-            res = next(((r.get("resource") or "").lower() for r in pred.get("refs", [])
+            res = next(((r.get("resource") or "").lower() for r in pred.get("refs") or []
                         if (r.get("resource") or "").lower() in ("propbank", "nombank")),
                        "propbank")
-            for role in pred.get("roles", []):
+            for role in pred.get("roles") or []:
                 sem = role["sem_role"]
                 if sem.startswith("R-"):
                     continue  # skip reference roles (:1272)
