@@ -1,38 +1,234 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   -- flagship: full pages->triples KG pipeline at sf0.001.
+queries()      -- one entry per implemented operator (SURVEY.md §2 +
+                  training-data ops); each takes (spark, sf_dir).
+oracle_sql()   -- DuckDB-equivalent SQL for every SQL-expressible query
+                  (tables region nation customer supplier part orders
+                  lineitem events documents embeddings are views).
+                  Non-SQL-expressible ops (the NLP/KG rule stages) get
+                  rows-only checks.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from pikes_spark.sources.pages import pages_from_documents, PAGES_ORACLE_CTE
+from pikes_spark.operators.annotate import (
+    annotate_pages, distill_annotations, extract_pages_text, pages_to_triples)
+from pikes_spark.operators import textstats, dedup, similarity
+from pikes_spark.operators.linking import candidates_df, link_entities
+from pikes_spark.operators.canonicalize import canonicalize_triples
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: pages -> annotate -> link -> distill -> canonicalize."""
+    sf_dir = "/root/testdata/sf0.001"
+    pages = pages_from_documents(spark, sf_dir)
+    ann = annotate_pages(pages)
+    links = link_entities(ann, candidates_df(spark))
+    triples = distill_annotations(ann, links)
+    return canonicalize_triples(triples, max_iter=6)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_pages(spark, sf_dir):
+    return (pages_from_documents(spark, sf_dir)
+            .select("url",
+                    F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("warc_ts_s"),
+                    F.length("html").alias("n_html_bytes"),
+                    "lang")
+            .orderBy("url"))
+
+
+def _q_extract(spark, sf_dir):
+    """N1: byte-identical text extraction from html (the input_hint
+    per-row invariant, checked VALUE-wise against the documents text)."""
+    pages = pages_from_documents(spark, sf_dir).drop("text")
+    return (extract_pages_text(pages)
+            .select("url", F.col("extracted_text").alias("text"))
+            .orderBy("url"))
+
+
+def _q_annotations(spark, sf_dir):
+    """N2/N3/N5/N7/N8 rule-NLP front-end: per-url layer counts."""
+    ann = annotate_pages(pages_from_documents(spark, sf_dir))
+    return (ann.select(
+        "url",
+        F.size("sentences").alias("n_sentences"),
+        F.size("tokens").alias("n_tokens"),
+        F.size("deps").alias("n_deps"),
+        F.size("entities").alias("n_entities"),
+        F.size("timexes").alias("n_timexes"),
+        F.size("predicates").alias("n_predicates"),
+        F.size("corefs").alias("n_corefs"))
+        .orderBy("url"))
+
+
+def _q_linking(spark, sf_dir):
+    """N11 broadcast-dictionary entity linking + window argmax."""
+    ann = annotate_pages(pages_from_documents(spark, sf_dir))
+    links = link_entities(ann, candidates_df(spark))
+    return (links.select("url", "begin", "end", "uri",
+                         F.floor(F.col("score") * 1000).cast("bigint").alias("score_x1000"))
+            .orderBy("url", "begin"))
+
+
+def _q_triples(spark, sf_dir):
+    """F*/D* distillation: mention-level triples (pre-canonicalization)."""
+    return (pages_to_triples(pages_from_documents(spark, sf_dir))
+            .select("url", "subject", "predicate", "object", "graph", "component")
+            .orderBy("url", "subject", "predicate", "object", "graph"))
+
+
+def _q_triples_by_component(spark, sf_dir):
+    return (pages_to_triples(pages_from_documents(spark, sf_dir))
+            .groupBy("component").agg(F.count("*").alias("n"))
+            .orderBy("component"))
+
+
+def _q_canonical(spark, sf_dir):
+    """J4 canonicalization: connected-components-merged triples."""
+    pages = pages_from_documents(spark, sf_dir)
+    ann = annotate_pages(pages)
+    links = link_entities(ann, candidates_df(spark))
+    triples = distill_annotations(ann, links)
+    out = canonicalize_triples(triples, max_iter=8)
+    return (out.groupBy("component").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("subject").alias("n_subjects"))
+        .orderBy("component"))
+
+
+def _q_sim_ivf(spark, sf_dir):
+    return similarity.ivf_topk(spark, sf_dir, query_vec_id=0, k=10)
+
+
+def _q_media(spark, sf_dir):
+    from pikes_spark.operators.multimodal import synthetic_media, extract_features
+    feats = extract_features(synthetic_media(spark, 64))
+    return (feats.select("media_id", "kind", "n_bytes", "sha256", "frames")
+            .orderBy("media_id"))
+
+
+# relational layer (SURVEY.md §2.6: scan/filter/agg/join/window on the
+# TPC-H-ish tables) — exact SQL oracles
+def _q_rel_agg(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (li.filter(F.col("l_shipdate") < "1997-01-01")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.floor(F.sum("l_quantity")).cast("bigint").alias("sum_qty"),
+                 F.floor(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+                 .cast("bigint").alias("revenue_fl"),
+                 F.count("*").alias("n"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+def _q_rel_join_window(spark, sf_dir):
+    from pyspark.sql import Window
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (j.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("c_mktsegment", "rn", "o_orderkey",
+                    F.floor("o_totalprice").cast("bigint").alias("price_fl"))
+            .orderBy("c_mktsegment", "rn"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # KG pipeline (SURVEY.md §2.1-2.4)
+        "kg_pages_table": _q_pages,
+        "kg_extract_text": _q_extract,
+        "kg_annotations": _q_annotations,
+        "kg_linking": _q_linking,
+        "kg_triples": _q_triples,
+        "kg_triples_by_component": _q_triples_by_component,
+        "kg_canonicalize": _q_canonical,
+        # text analysis
+        "txt_token_counts": textstats.token_counts,
+        "txt_lang_id": textstats.lang_id,
+        "txt_quality": textstats.quality_scores,
+        "txt_fingerprint": textstats.fingerprints,
+        # dedup family
+        "dedup_exact": dedup.exact_duplicates,
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
+        "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
+        "dedup_simhash": dedup.simhash_pairs,
+        "dedup_embedding_cosine": dedup.embedding_neardup_pairs,
+        # similarity search
+        "sim_brute_force_topk": lambda s, d: similarity.brute_force_topk(s, d, 0, 10),
+        "sim_ivf_topk": _q_sim_ivf,
+        # multimodal plumbing
+        "mm_media_features": _q_media,
+        # relational layer
+        "rel_filter_agg": _q_rel_agg,
+        "rel_join_window_topk": _q_rel_join_window,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
+
+PAGES_CTE = "WITH pages AS (" + PAGES_ORACLE_CTE + ")"
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "kg_pages_table": PAGES_CTE + """
+            SELECT url, strftime(warc_ts, '%Y-%m-%d %H:%M:%S') AS warc_ts_s,
+                   octet_length(encode(
+                     '<!DOCTYPE html><html><head><title></title><style>body{margin:0}</style></head><body>'
+                     || '<nav><ul><li><a href="/">Home</a></li><li><a href="/about">About</a></li></ul></nav>'
+                     || '<main><article><p>'
+                     || replace(replace(replace(replace(text, '&', '&amp;'),
+                                '<', '&lt;'), '>', '&gt;'),
+                                chr(10) || chr(10), '</p><p>')
+                     || '</p></article></main>'
+                     || '<footer>&copy; 2026 Example Corp. All rights reserved.</footer>'
+                     || '<script>var x=1;</script></body></html>')) AS n_html_bytes,
+                   lang
+            FROM pages ORDER BY url
+        """,
+        "kg_extract_text": PAGES_CTE + """
+            SELECT url, text FROM pages ORDER BY url
+        """,
+        "txt_token_counts": textstats.TOKEN_COUNTS_SQL,
+        "txt_lang_id": textstats.LANG_ID_SQL,
+        "txt_quality": textstats.QUALITY_SQL,
+        "txt_fingerprint": textstats.FINGERPRINT_SQL,
+        "dedup_exact": dedup.EXACT_DUP_SQL,
+        "dedup_ngram_jaccard": dedup.NGRAM_JACCARD_SQL,
+        "dedup_minhash_lsh": dedup.NGRAM_JACCARD_SQL,  # LSH+verify == exact set
+        "dedup_embedding_cosine": dedup.EMB_NEARDUP_SQL,
+        "sim_brute_force_topk": similarity.brute_force_topk_sql(0, 10),
+        "rel_filter_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(floor(sum(l_quantity)) AS BIGINT) AS sum_qty,
+                   CAST(floor(sum(l_extendedprice * (1 - l_discount))) AS BIGINT) AS revenue_fl,
+                   count(*) AS n
+            FROM lineitem
+            WHERE l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "rel_join_window_topk": """
+            WITH j AS (
+              SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+                     row_number() OVER (PARTITION BY c.c_mktsegment
+                                        ORDER BY o.o_totalprice DESC, o.o_orderkey ASC) AS rn
+              FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            )
+            SELECT c_mktsegment, rn, o_orderkey,
+                   CAST(floor(o_totalprice) AS BIGINT) AS price_fl
+            FROM j WHERE rn <= 3 ORDER BY c_mktsegment, rn
+        """,
+    }

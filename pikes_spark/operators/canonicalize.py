@@ -1,0 +1,140 @@
+"""J4 cross-document canonicalization: sameAs smushing as distributed
+connected components (replaces rdfpro's in-memory smush,
+RDFGenerator.java:1859-1964 / SURVEY.md D12).
+
+Edges between instance IRIs come from three sources:
+  1. within-document owl:sameAs triples (coref D6, copular D3);
+  2. entities linked to the same DBpedia URI (via the URI node);
+  3. named entities sharing a normalized surface form (via a
+     ``surface:`` hub node) — the power-law key ("united states" on
+     millions of pages). Because nodes connect to a HUB rather than
+     pairwise, the natural O(n^2) pair explosion becomes O(n) edges —
+     this is the salting: the groupBy on surface form is replaced by a
+     map-side edge emission, and the CC iteration handles hubs.
+
+Connected components: alternating large-star/small-star
+(Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC'14) — O(log n) rounds, skew-tolerant, expressed as DataFrame
+self-joins with localCheckpoint per frontier to cut lineage.
+
+The component representative (min IRI, with DBpedia URIs ordered
+first so they win as canonical — the reference prefers DBpedia
+canonical IRIs in smushing) rewrites triple subjects/objects; final
+dropDuplicates on (s,p,o,graph) dedupes merged statements.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+OWL_SAMEAS = "http://www.w3.org/2002/07/owl#sameAs"
+FOAF_NAME = "http://xmlns.com/foaf/0.1/name"
+
+# canonical-preference prefix: DBpedia URIs sort before doc-minted IRIs
+# ("\x01" < "h"), doc IRIs before entity:/surface: locals.
+
+
+def _rank_key(col):
+    return F.when(col.startswith("http://dbpedia.org/"), F.concat(F.lit("0"), col)) \
+            .when(col.startswith("http://"), F.concat(F.lit("1"), col)) \
+            .otherwise(F.concat(F.lit("2"), col))
+
+
+def build_sameas_edges(triples: DataFrame) -> DataFrame:
+    """-> edges(src, dst) between IRIs that must merge."""
+    sameas = (triples.filter(F.col("predicate") == OWL_SAMEAS)
+              .select(F.col("subject").alias("src"), F.col("object").alias("dst")))
+    # entities sharing a foaf:name -> connect via surface hub (skew-safe)
+    names = (triples.filter(F.col("predicate") == FOAF_NAME)
+             .select(F.col("subject").alias("src"),
+                     F.concat(F.lit("surface:"),
+                              F.regexp_replace(F.lower("object"), r"[^a-z0-9]+", "_"))
+                     .alias("dst")))
+    return sameas.unionByName(names)
+
+
+def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+    """-> (node, component) via alternating large-star/small-star.
+
+    Works directly on string node ids (min() = lexicographic; the
+    ranked key makes DBpedia URIs canonical). Deterministic, converges
+    in O(log n) rounds; each round localCheckpoints to truncate lineage.
+    """
+    # normalize to ranked ids once; strip rank at the end
+    e = (edges
+         .select(_rank_key(F.col("src")).alias("u"), _rank_key(F.col("dst")).alias("v"))
+         .filter(F.col("u") != F.col("v"))
+         .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+         .distinct())
+
+    def checksum(df: DataFrame) -> int:
+        row = df.agg(F.count("*").alias("n"),
+                     F.expr("bit_xor(xxhash64(u, v))").alias("h")).collect()[0]
+        return (row["n"], row["h"])
+
+    prev = None
+    for _ in range(max_iter):
+        # large-star: for each node, connect strictly-larger neighbors to
+        # the min of (neighborhood ∪ self)
+        nbrs = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (nbrs.groupBy("u").agg(F.min("v").alias("mv"))
+                .select("u", F.least("u", "mv").alias("m")))
+        large = (nbrs.join(mins, "u")
+                 .filter(F.col("v") > F.col("u"))
+                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                 .filter(F.col("u") != F.col("v"))
+                 .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+                 .distinct())
+        # small-star: connect smaller-or-equal neighbors (and self) to min
+        nbrs2 = large.unionByName(
+            large.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins2 = (nbrs2.groupBy("u").agg(F.min("v").alias("mv"))
+                 .select("u", F.least("u", "mv").alias("m")))
+        small = (nbrs2.filter(F.col("v") <= F.col("u"))
+                 .join(mins2, "u")
+                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                 .unionByName(mins2.select(F.col("u"), F.col("m").alias("v")))
+                 .filter(F.col("u") != F.col("v"))
+                 .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+                 .distinct())
+        e = small.localCheckpoint()  # truncate lineage per frontier
+        cs = checksum(e)
+        if prev is not None and cs == prev:
+            break
+        prev = cs
+
+    comp = (e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+            .groupBy("node").agg(F.min("component").alias("component")))
+    # strip the rank prefix
+    strip = lambda c: F.substring(c, 2, 1_000_000)
+    return comp.select(strip(F.col("node")).alias("node"),
+                       strip(F.col("component")).alias("component"))
+
+
+def canonicalize_triples(triples: DataFrame, max_iter: int = 50) -> DataFrame:
+    """Rewrite subjects/objects to canonical representatives and dedupe.
+
+    The canonical map is small relative to the triple table (only
+    merged instances appear) -> broadcast join both rewrites."""
+    edges = build_sameas_edges(triples)
+    comp = connected_components(edges, max_iter=max_iter)
+    # drop synthetic surface hubs from the mapping domain
+    comp = comp.filter(~F.col("node").startswith("surface:"))
+    comp = comp.withColumn(
+        "component",
+        F.when(F.col("component").startswith("surface:"), F.col("node"))
+        .otherwise(F.col("component")))
+
+    # no broadcast hint: the canonical map is small here but grows with
+    # corpus size — AQE picks broadcast vs shuffle join at runtime
+    mapping = comp
+    rewritten = (triples
+                 .join(mapping.withColumnRenamed("node", "subject")
+                       .withColumnRenamed("component", "_cs"), "subject", "left")
+                 .join(mapping.withColumnRenamed("node", "object")
+                       .withColumnRenamed("component", "_co"), "object", "left")
+                 .withColumn("subject", F.coalesce("_cs", "subject"))
+                 .withColumn("object", F.coalesce("_co", "object"))
+                 .drop("_cs", "_co")
+                 .filter(F.col("subject") != F.col("object")))
+    return rewritten.dropDuplicates(["subject", "predicate", "object", "graph", "url"])

@@ -1,0 +1,133 @@
+"""Similarity search over the ``embeddings`` table.
+
+- brute-force cosine top-k: exact baseline, pure Catalyst
+  (zip_with + aggregate dot products — JVM-side, codegen'd).
+- IVF (inverted-file) ANN: deterministic k-means-lite centroids,
+  cluster assignment via broadcast centroid table, probe nprobe
+  nearest clusters — the scale path: the query only scans
+  nprobe/nlist of the corpus.
+
+Fixed-point outputs (cos * 1e6 floored) so Spark and the DuckDB
+oracle (list_cosine_similarity) agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(c):
+    return F.sqrt(F.aggregate(F.transform(c, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+def brute_force_topk(spark: SparkSession, sf_dir: str, query_vec_id: int = 0,
+                     k: int = 10) -> DataFrame:
+    """Exact top-k by cosine to the query embedding (excluding itself).
+    One broadcast of the query row; ties broken by vec_id."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    q = e.filter(F.col("vec_id") == query_vec_id) \
+         .select(F.col("v").alias("qv"))
+    cos = _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv")))
+    scored = (e.crossJoin(F.broadcast(q))
+              .filter(F.col("vec_id") != query_vec_id)
+              .withColumn("cos_x1e6", F.floor(cos * 1e6).cast("bigint")))
+    return (scored.orderBy(F.desc("cos_x1e6"), F.asc("vec_id"))
+            .select("vec_id", "cos_x1e6")
+            .limit(k))
+
+
+def brute_force_topk_sql(query_vec_id: int = 0, k: int = 10) -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), q AS (
+  SELECT v AS qv FROM e WHERE vec_id = {query_vec_id}
+)
+SELECT e.vec_id,
+       CAST(floor(list_cosine_similarity(e.v, q.qv) * 1000000) AS BIGINT) AS cos_x1e6
+FROM e, q
+WHERE e.vec_id <> {query_vec_id}
+ORDER BY cos_x1e6 DESC, e.vec_id ASC
+LIMIT {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN
+# ---------------------------------------------------------------------------
+
+def train_centroids(emb_pdf: np.ndarray, nlist: int, iters: int = 5,
+                    seed: int = 42) -> np.ndarray:
+    """Deterministic k-means on a sample (driver-side numpy — the
+    centroid table is tiny and broadcast; at scale train on a
+    .sample() pulled to the driver, exactly as FAISS IVF trains on a
+    corpus sample)."""
+    rng = np.random.RandomState(seed)
+    n = emb_pdf.shape[0]
+    idx = rng.choice(n, size=min(nlist, n), replace=False)
+    cents = emb_pdf[np.sort(idx)].copy()
+    for _ in range(iters):
+        d = emb_pdf @ cents.T
+        norms = np.linalg.norm(emb_pdf, axis=1)[:, None] * np.linalg.norm(cents, axis=1)[None, :]
+        norms[norms == 0] = 1.0
+        assign = np.argmax(d / norms, axis=1)
+        for c in range(cents.shape[0]):
+            members = emb_pdf[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str, query_vec_id: int = 0,
+             k: int = 10, nlist: int = 16, nprobe: int = 4) -> DataFrame:
+    """IVF ANN: assign every vector to its nearest centroid (broadcast
+    centroid join), then scan only the nprobe clusters nearest to the
+    query. Returns (vec_id, cos_x1e6); recall vs brute force is
+    checked in tests."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sample = np.array(
+        [r["embedding"] for r in
+         emb.select("embedding").orderBy("vec_id").limit(2048).collect()],
+        dtype=np.float64)
+    cents = train_centroids(sample, nlist)
+    cent_rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)]
+    cdf = spark.createDataFrame(cent_rows, "cid int, cv array<double>")
+
+    e = emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    sim = _dot(F.col("v"), F.col("cv")) / (_norm(F.col("v")) * _norm(F.col("cv")))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
+    assigned = (e.crossJoin(F.broadcast(cdf))
+                .withColumn("sim", sim)
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("vec_id", "v", "cid"))
+
+    qv = assigned.filter(F.col("vec_id") == query_vec_id).collect()[0]["v"]
+    qnp = np.array(qv)
+    csim = cents @ qnp
+    cn = np.linalg.norm(cents, axis=1) * np.linalg.norm(qnp)
+    cn[cn == 0] = 1.0
+    probe = np.argsort(-(csim / cn))[:nprobe].tolist()
+
+    qdf = spark.createDataFrame([([float(x) for x in qv],)], "qv array<double>")
+    cos = _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv")))
+    return (assigned.filter(F.col("cid").isin(probe))
+            .filter(F.col("vec_id") != query_vec_id)
+            .crossJoin(F.broadcast(qdf))
+            .withColumn("cos_x1e6", F.floor(cos * 1e6).cast("bigint"))
+            .orderBy(F.desc("cos_x1e6"), F.asc("vec_id"))
+            .select("vec_id", "cos_x1e6")
+            .limit(k))

@@ -1,0 +1,162 @@
+"""Text-analysis operators over the ``documents`` table: token counts,
+language ID, quality scoring, document fingerprinting.
+
+Every operator here is pure Catalyst (built-in pyspark.sql.functions,
+JVM-side, whole-stage-codegen) — NO Python UDFs — and each has an
+exact DuckDB-SQL oracle (returned alongside) so the driver's
+correctness gate can verify values, not just row counts.
+
+Definitions are chosen to be expressible identically in Spark and
+ANSI/DuckDB SQL (integer arithmetic, regexp token splits, list
+reductions) so both engines compute bit-identical results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+# English/German/French/Spanish stopword markers for the n-gram-free
+# deterministic language-ID heuristic (rule: argmax stopword hits).
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with", "for", "was"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "une", "dans", "que", "pour", "des"],
+    "es": ["el", "la", "los", "y", "es", "una", "en", "que", "por", "con"],
+}
+
+FP_MOD = 1_000_000_007
+FP_BASE = 131
+
+
+def _tokens(col):
+    """Whitespace tokens of trimmed lowered text — same split in DuckDB:
+    regexp_split_to_array(trim(lower(text)), '\\s+')."""
+    return F.split(F.trim(F.lower(col)), r"\s+")
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count + char count per doc."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (docs.select(
+        "doc_id",
+        F.size(_tokens(F.col("text"))).alias("n_tokens"),
+        F.length("text").alias("n_chars"))
+        .orderBy("doc_id"))
+
+
+TOKEN_COUNTS_SQL = """
+SELECT doc_id,
+       len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS n_tokens,
+       length(text) AS n_chars
+FROM documents ORDER BY doc_id
+"""
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stopword-vote language ID; ties broken by language
+    code order (en < de handled by explicit ordering: greatest hit
+    count, then lexicographic lang)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = _tokens(F.col("text"))
+    scored = docs.select("doc_id", F.col("lang").alias("true_lang"), *[
+        F.size(F.filter(toks, lambda t: t.isin(*LANG_MARKERS[lang])))
+        .alias(f"hits_{lang}")
+        for lang in LANG_MARKERS
+    ])
+    # argmax with deterministic tie-break on language code
+    pred = F.greatest(*[
+        F.struct(F.col(f"hits_{lang}").alias("h"),
+                 # invert code ordering so greatest() prefers the earlier code on ties
+                 F.lit({"en": 4, "de": 3, "es": 2, "fr": 1}[lang]).alias("pri"),
+                 F.lit(lang).alias("lang"))
+        for lang in LANG_MARKERS
+    ])
+    return (scored.select("doc_id", "true_lang", pred["lang"].alias("pred_lang"),
+                          pred["h"].alias("marker_hits"))
+            .orderBy("doc_id"))
+
+
+LANG_ID_SQL = """
+WITH scored AS (
+  SELECT doc_id, lang AS true_lang,
+    len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+        t -> t IN ('the','and','of','to','in','is','that','with','for','was'))) AS hits_en,
+    len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+        t -> t IN ('der','die','das','und','ist','nicht','ein','mit','von','zu'))) AS hits_de,
+    len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+        t -> t IN ('le','la','les','et','est','une','dans','que','pour','des'))) AS hits_fr,
+    len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+        t -> t IN ('el','la','los','y','es','una','en','que','por','con'))) AS hits_es
+  FROM documents
+)
+SELECT doc_id, true_lang,
+  CASE greatest(hits_en*10+4, hits_de*10+3, hits_es*10+2, hits_fr*10+1)
+    WHEN hits_en*10+4 THEN 'en' WHEN hits_de*10+3 THEN 'de'
+    WHEN hits_es*10+2 THEN 'es' ELSE 'fr' END AS pred_lang,
+  greatest(hits_en, hits_de, hits_fr, hits_es) AS marker_hits
+FROM scored ORDER BY doc_id
+"""
+
+
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quality features: length, mean token length x1000
+    (integer), punctuation count, stopword hits — the
+    length/punct/stopword-ratio family of pretraining quality filters."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = _tokens(F.col("text"))
+    n_tok = F.size(toks)
+    punct = F.length("text") - F.length(F.regexp_replace("text", r"[.,;:!?]", ""))
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*LANG_MARKERS["en"])))
+    return (docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        (F.floor(F.length(F.regexp_replace(F.trim(F.lower("text")), r"\s+", ""))
+                 * F.lit(1000) / n_tok)).cast("bigint").alias("mean_tok_len_x1000"),
+        punct.alias("n_punct"),
+        stop_hits.alias("en_stop_hits"),
+        F.floor((stop_hits * 1000) / n_tok).cast("bigint").alias("stop_ratio_x1000"))
+        .orderBy("doc_id"))
+
+
+QUALITY_SQL = """
+WITH t AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+)
+SELECT doc_id,
+  length(text) AS n_chars,
+  len(toks) AS n_tokens,
+  CAST(floor(length(regexp_replace(trim(lower(text)), '\\s+', '', 'g')) * 1000.0
+       / len(toks)) AS BIGINT) AS mean_tok_len_x1000,
+  length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+  len(list_filter(toks, x -> x IN
+      ('the','and','of','to','in','is','that','with','for','was'))) AS en_stop_hits,
+  CAST(floor(len(list_filter(toks, x -> x IN
+      ('the','and','of','to','in','is','that','with','for','was'))) * 1000.0
+      / len(toks)) AS BIGINT) AS stop_ratio_x1000
+FROM t ORDER BY doc_id
+"""
+
+
+def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial hash over the UTF-8 code units of the text:
+    acc = (acc*131 + code) % 1e9+7. Spark: aggregate() over a char
+    split; DuckDB: list_reduce over the same split. JVM-side, no UDF."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    chars = F.split(F.col("text"), "")
+    fp = F.aggregate(
+        chars,
+        F.lit(0).cast("bigint"),
+        lambda acc, ch: (acc * FP_BASE + F.ascii(ch)) % FP_MOD)
+    return docs.select("doc_id", fp.alias("fp")).orderBy("doc_id")
+
+
+FINGERPRINT_SQL = f"""
+SELECT doc_id,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   [CAST(ascii(c) AS BIGINT) for c in regexp_split_to_array(text, '')]),
+                   (acc, ch) -> (acc * {FP_BASE} + ch) % {FP_MOD}) AS fp
+FROM documents ORDER BY doc_id
+"""

@@ -45,9 +45,13 @@ def html_col(text_col):
     return F.encode(F.concat(F.lit(_PRE_BODY), body, F.lit(_POST_BODY)), "UTF-8")
 
 
-def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pages_from_documents(spark: SparkSession, sf_dir: str,
+                         include_gold: bool = True) -> DataFrame:
+    """documents parquet -> pages, plus the deterministic gold
+    mini-corpus (sources.gold) so entity-bearing pages exist at every
+    SF. Both halves use the same SQL-expressible derivation."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return docs.select(
+    pages = docs.select(
         F.concat(F.lit("http://example.org/doc/"), F.col("doc_id").cast("string")).alias("url"),
         (F.to_timestamp(F.lit("2026-01-01 00:00:00"))
          + F.make_interval(secs=F.col("doc_id").cast("double"))).alias("warc_ts"),
@@ -55,13 +59,24 @@ def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text"),
         F.col("lang"),
     )
+    if include_gold:
+        from .gold import gold_pages_df
+        pages = pages.unionByName(gold_pages_df(spark))
+    return pages
 
 
-# DuckDB-side equivalent of the pages derivation, as a CTE body; oracles
-# embed this to compare against the Spark pipeline over the same rows.
-PAGES_ORACLE_CTE = """
+def _pages_oracle_cte() -> str:
+    from .gold import gold_union_sql
+    return f"""
   SELECT 'http://example.org/doc/' || CAST(doc_id AS VARCHAR) AS url,
          TIMESTAMP '2026-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND AS warc_ts,
          text, lang
   FROM documents
+  UNION ALL
+  {gold_union_sql()}
 """
+
+
+# DuckDB-side equivalent of the pages derivation, as a CTE body; oracles
+# embed this to compare against the Spark pipeline over the same rows.
+PAGES_ORACLE_CTE = _pages_oracle_cte()

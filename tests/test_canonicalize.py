@@ -1,0 +1,72 @@
+"""Connected-components stress tests (FIXTURES.md §5): chain, star/skew
+hub, disconnected pairs, cycle."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pikes_spark.operators.canonicalize import (
+    build_sameas_edges, canonicalize_triples, connected_components)
+
+
+def _cc(spark, pairs):
+    edges = spark.createDataFrame(pairs, "src string, dst string")
+    rows = connected_components(edges).collect()
+    return {r["node"]: r["component"] for r in rows}
+
+
+def comp_sets(mapping, nodes):
+    from collections import defaultdict
+    groups = defaultdict(set)
+    for n in nodes:
+        groups[mapping.get(n, n)].add(n)
+    return sorted(tuple(sorted(g)) for g in groups.values())
+
+
+def test_cc_chain(spark):
+    n = 200
+    pairs = [(f"n{i:04d}", f"n{i+1:04d}") for i in range(n - 1)]
+    m = _cc(spark, pairs)
+    nodes = {f"n{i:04d}" for i in range(n)}
+    comps = comp_sets(m, nodes)
+    assert len(comps) == 1 and len(comps[0]) == n
+
+
+def test_cc_star_hub_skew(spark):
+    pairs = [(f"leaf{i:05d}", "hub") for i in range(2000)]
+    m = _cc(spark, pairs)
+    vals = set(m.values()) | {m.get("hub", "hub")}
+    assert len({m[f"leaf{i:05d}"] for i in range(2000)}) == 1
+
+
+def test_cc_disconnected_pairs_and_cycle(spark):
+    pairs = [("a1", "a2"), ("b1", "b2"),
+             ("c1", "c2"), ("c2", "c3"), ("c3", "c1")]  # cycle
+    m = _cc(spark, pairs)
+    nodes = {"a1", "a2", "b1", "b2", "c1", "c2", "c3"}
+    comps = comp_sets(m, nodes)
+    assert comps == [("a1", "a2"), ("b1", "b2"), ("c1", "c2", "c3")]
+
+
+def test_cc_dbpedia_uri_wins_as_canonical(spark):
+    pairs = [("http://example.org/doc/1#Bush", "http://dbpedia.org/resource/George_W._Bush"),
+             ("http://example.org/doc/2#Bush", "http://dbpedia.org/resource/George_W._Bush")]
+    m = _cc(spark, pairs)
+    assert m["http://example.org/doc/1#Bush"] == "http://dbpedia.org/resource/George_W._Bush"
+    assert m["http://example.org/doc/2#Bush"] == "http://dbpedia.org/resource/George_W._Bush"
+
+
+def test_canonicalize_triples_merges_surface_forms(spark):
+    rows = [
+        # same surface name on two pages -> must merge
+        ("u1", "http://e/1#United_States", "http://xmlns.com/foaf/0.1/name",
+         "United States", "", "attribute"),
+        ("u2", "http://e/2#United_States", "http://xmlns.com/foaf/0.1/name",
+         "United States", "", "attribute"),
+        ("u1", "http://e/1#United_States", "rdf:type", "T", "fact:g1", "instance"),
+        ("u2", "http://e/2#United_States", "rdf:type", "T", "fact:g1", "instance"),
+    ]
+    triples = spark.createDataFrame(
+        rows, "url string, subject string, predicate string, object string, graph string, component string")
+    out = canonicalize_triples(triples)
+    subs = {r["subject"] for r in out.filter(F.col("predicate") == "rdf:type").collect()}
+    assert len(subs) == 1  # merged to a single canonical subject
