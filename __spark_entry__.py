@@ -56,6 +56,49 @@ def _q_extract(spark, sf_dir):
             .orderBy("url"))
 
 
+def _gold_ann(spark):
+    from pikes_spark.sources.gold import gold_pages_df
+    return annotate_pages(gold_pages_df(spark))
+
+
+def _gid(col):
+    return F.regexp_extract(col, r"gold/(g\d+)$", 1)
+
+
+def _q_gold_timexes(spark, sf_dir):
+    """N6/D1 golden fixture: TIMEX spans + TimeML values on the gold
+    corpus, value-checked against frozen expectations."""
+    ann = _gold_ann(spark)
+    return (ann.select(_gid(F.col("url")).alias("gold_id"),
+                       F.explode("timexes").alias("t"))
+            .select("gold_id", F.col("t.type").alias("timex_type"),
+                    F.col("t.value").alias("timeml_value"))
+            .orderBy("gold_id", "timeml_value"))
+
+
+def _q_gold_entities(spark, sf_dir):
+    """N5 golden fixture: named-entity spans + types on the gold corpus."""
+    ann = _gold_ann(spark)
+    ents = (ann.select(_gid(F.col("url")).alias("gold_id"), "tokens",
+                       F.explode("entities").alias("e"))
+            .filter(F.col("e.named")))
+    surface = F.concat_ws(" ", F.transform(
+        F.array_sort("e.term_ids"),
+        lambda i: F.element_at("tokens", i + 1)["form"]))
+    return (ents.select("gold_id", F.col("e.type").alias("entity_type"),
+                        surface.alias("surface"))
+            .orderBy("gold_id", "surface"))
+
+
+def _q_gold_links(spark, sf_dir):
+    """N11 golden fixture: winning DBpedia link per mention span."""
+    ann = _gold_ann(spark)
+    links = link_entities(ann, candidates_df(spark))
+    return (links.select(_gid(F.col("url")).alias("gold_id"),
+                         F.col("uri").alias("dbpedia_uri"))
+            .orderBy("gold_id", "dbpedia_uri"))
+
+
 def _q_annotations(spark, sf_dir):
     """N2/N3/N5/N7/N8 rule-NLP front-end: per-url layer counts."""
     ann = annotate_pages(pages_from_documents(spark, sf_dir))
@@ -153,6 +196,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples": _q_triples,
         "kg_triples_by_component": _q_triples_by_component,
         "kg_canonicalize": _q_canonical,
+        # golden fixtures (frozen expected values, SURVEY.md §5)
+        "kg_gold_timexes": _q_gold_timexes,
+        "kg_gold_entities": _q_gold_entities,
+        "kg_gold_links": _q_gold_links,
         # text analysis
         "txt_token_counts": textstats.token_counts,
         "txt_lang_id": textstats.lang_id,
@@ -181,6 +228,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 PAGES_CTE = "WITH pages AS (" + PAGES_ORACLE_CTE + ")"
 
+
+def _gold_values_sql(list_name: str, cols, order: str) -> str:
+    from pikes_spark.sources import gold_expected as ge
+    rows = getattr(ge, list_name)
+    return ge.values_sql(rows, cols) + " ORDER BY " + order
+
 def oracle_sql() -> dict[str, str]:
     return {
         "kg_pages_table": PAGES_CTE + """
@@ -201,6 +254,15 @@ def oracle_sql() -> dict[str, str]:
         "kg_extract_text": PAGES_CTE + """
             SELECT url, text FROM pages ORDER BY url
         """,
+        "kg_gold_timexes": _gold_values_sql(
+            "EXPECTED_TIMEXES", ["gold_id", "timex_type", "timeml_value"],
+            order="gold_id, timeml_value"),
+        "kg_gold_entities": _gold_values_sql(
+            "EXPECTED_ENTITIES", ["gold_id", "entity_type", "surface"],
+            order="gold_id, surface"),
+        "kg_gold_links": _gold_values_sql(
+            "EXPECTED_LINKS", ["gold_id", "dbpedia_uri"],
+            order="gold_id, dbpedia_uri"),
         "txt_token_counts": textstats.TOKEN_COUNTS_SQL,
         "txt_lang_id": textstats.LANG_ID_SQL,
         "txt_quality": textstats.QUALITY_SQL,

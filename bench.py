@@ -1,0 +1,113 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+metric: end-to-end KG pipeline throughput (triples emitted / second)
+plus per-query wall times for the other operator families. Set
+BENCH_SCALING=1 to also run the pipeline at two parallelism levels
+(local[N/4] vs local[N]) and report scaling efficiency (the
+sandbox stand-in for N->4N executors; see BENCH.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def _run_queries(spark, sf_dir: str) -> dict:
+    import __spark_entry__ as entry
+    from pikes_spark.pipeline import run_pipeline
+
+    timings: dict = {}
+    out_root = tempfile.mkdtemp(prefix="pikes_bench_")
+    try:
+        t0 = time.time()
+        result = run_pipeline(spark, sf_dir, out_root, resume=False)
+        timings["kg_pipeline"] = round(time.time() - t0, 3)
+        n_triples = result["added_triples"]
+    finally:
+        shutil.rmtree(out_root, ignore_errors=True)
+
+    qs = entry.queries()
+    bench_queries = [
+        "txt_token_counts", "txt_lang_id", "txt_quality", "txt_fingerprint",
+        "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+        "dedup_embedding_cosine", "sim_brute_force_topk", "sim_ivf_topk",
+        "rel_filter_agg", "rel_join_window_topk",
+    ]
+    for name in bench_queries:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+    return {"timings": timings, "n_triples": n_triples}
+
+
+def _pipeline_wall(master: str, sf_dir: str, shuffle: int) -> tuple:
+    """Run the KG pipeline on a fresh session with the given master;
+    return (wall_seconds, triples)."""
+    from pikes_spark.session import get_spark
+    from pikes_spark.pipeline import run_pipeline
+
+    spark = get_spark(app=f"bench_{master}", master=master,
+                      shuffle_partitions=shuffle)
+    out_root = tempfile.mkdtemp(prefix="pikes_scale_")
+    try:
+        t0 = time.time()
+        result = run_pipeline(spark, sf_dir, out_root, resume=False)
+        wall = time.time() - t0
+        return wall, result["added_triples"]
+    finally:
+        shutil.rmtree(out_root, ignore_errors=True)
+        spark.stop()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+
+    scaling = {}
+    if os.environ.get("BENCH_SCALING"):
+        # same job, two parallelism levels: N/4 then N cores
+        lo = max(cpus // 4, 1)
+        wall_lo, n_lo = _pipeline_wall(f"local[{lo}]", sf_dir, max(lo, 8))
+        wall_hi, n_hi = _pipeline_wall(f"local[{cpus}]", sf_dir, max(cpus, 8))
+        tput_lo, tput_hi = n_lo / wall_lo, n_hi / wall_hi
+        scaling = {
+            "cores_lo": lo, "cores_hi": cpus,
+            "wall_lo_s": round(wall_lo, 2), "wall_hi_s": round(wall_hi, 2),
+            "triples_per_s_lo": round(tput_lo, 1),
+            "triples_per_s_hi": round(tput_hi, 1),
+            "scaling_efficiency": round((tput_hi / tput_lo) / (cpus / lo), 3),
+        }
+
+    from pikes_spark.session import get_spark
+    spark = get_spark(app="bench", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus, 8))
+    t_all = time.time()
+    res = _run_queries(spark, sf_dir)
+    total = round(time.time() - t_all, 3)
+    spark.stop()
+
+    kg_wall = res["timings"]["kg_pipeline"]
+    out = {
+        "metric": "kg_pipeline_triples_per_sec",
+        "value": round(res["n_triples"] / kg_wall, 1),
+        "unit": "triples/sec",
+        "queries": res["timings"],
+        "sf": sf,
+        "n_triples": res["n_triples"],
+        "total_seconds": total,
+    }
+    if scaling:
+        out["scaling"] = scaling
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -561,13 +561,13 @@ def extract_predicates(tokens: List[Token], tags: List[Tagged],
             if obj is not None:
                 roles.append({"sem_role": "A2" if is_cop else "A1",
                               "term_ids": role_span(obj), "head_id": obj, "refs": []})
-            preds.append({
+            preds.append(_with_pm({
                 "id": f"pr{len(preds) + 1}", "source": "mate",
                 "term_ids": [i], "head_id": i,
                 "refs": [{"resource": "PropBank", "reference": roleset,
                           "confidence": 1.0, "source": "mate"}],
                 "roles": roles,
-            })
+            }, roleset))
         elif t.pos in ("N",) and t.lemma in NOMINAL_ROLESETS:
             roleset = NOMINAL_ROLESETS[t.lemma]
             roles = []
@@ -581,14 +581,37 @@ def extract_predicates(tokens: List[Token], tags: List[Tagged],
                     if pm:
                         roles.append({"sem_role": "A1", "term_ids": role_span(pm[0]),
                                       "head_id": pm[0], "refs": []})
-            preds.append({
+            preds.append(_with_pm({
                 "id": f"pr{len(preds) + 1}", "source": "mate",
                 "term_ids": [i], "head_id": i,
                 "refs": [{"resource": "NomBank", "reference": roleset,
                           "confidence": 1.0, "source": "mate"}],
                 "roles": roles,
-            })
+            }, roleset))
     return preds
+
+
+def _with_pm(pred: dict, roleset: str) -> dict:
+    """N10 PredicateMatrix application (AnnotationPipeline.java:564-725,
+    754-818): add VerbNet/FrameNet/ESO refs to the predicate and VN
+    theta-role / FN frame-element refs to numbered roles."""
+    from .predicate_matrix import map_role, map_roleset
+    vn, fn, eso = map_roleset(roleset)
+    for ref_list, resource in ((vn, "VerbNet"), (fn, "FrameNet"), (eso, "ESO")):
+        for value in ref_list:
+            pred["refs"].append({"resource": resource, "reference": value,
+                                 "confidence": 1.0, "source": "mate+pm"})
+    for role in pred["roles"]:
+        sem = role["sem_role"]
+        if sem.startswith("A") and sem[1:].isdigit():
+            vn_role, fn_fe = map_role(roleset, sem[1:])
+            if vn_role and vn:
+                role["refs"].append({"resource": "VerbNet",
+                                     "reference": f"{vn[0]}@{vn_role}"})
+            if fn_fe and fn:
+                role["refs"].append({"resource": "FrameNet",
+                                     "reference": f"{fn[0]}@{fn_fe}"})
+    return pred
 
 
 # ---------------------------------------------------------------------------

@@ -21,6 +21,8 @@ GAZETTEER: Dict[str, str] = {
     "fifa": "ORG", "united nations": "ORG", "google": "ORG",
     "microsoft": "ORG", "nasa": "ORG",
     "hiv": "MISC", "aids": "MISC",
+    "syria": "LOC", "iraq": "LOC",
+    "al qaeda": "ORG", "nusra front": "ORG", "the nusra front": "ORG",
 }
 
 # DBpedia-style entity-linking candidate dictionary:
@@ -48,6 +50,10 @@ EL_CANDIDATES: Dict[str, list] = {
     "microsoft": [("http://dbpedia.org/resource/Microsoft", 0.93)],
     "nasa": [("http://dbpedia.org/resource/NASA", 0.93)],
     "united nations": [("http://dbpedia.org/resource/United_Nations", 0.93)],
+    "syria": [("http://dbpedia.org/resource/Syria", 0.92)],
+    "iraq": [("http://dbpedia.org/resource/Iraq", 0.92)],
+    "al qaeda": [("http://dbpedia.org/resource/Al-Qaeda", 0.9)],
+    "nusra front": [("http://dbpedia.org/resource/Al-Nusra_Front", 0.88)],
 }
 
 # normalized surfaces never linkable (NAFFilter.java:752-781 stop list)

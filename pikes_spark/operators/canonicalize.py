@@ -53,13 +53,24 @@ def build_sameas_edges(triples: DataFrame) -> DataFrame:
     return sameas.unionByName(names)
 
 
-def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+def connected_components(edges: DataFrame, max_iter: int = 50,
+                         local_threshold: int = 2_000_000) -> DataFrame:
     """-> (node, component) via alternating large-star/small-star.
 
     Works directly on string node ids (min() = lexicographic; the
     ranked key makes DBpedia URIs canonical). Deterministic, converges
     in O(log n) rounds; each round localCheckpoints to truncate lineage.
+
+    Adaptive strategy (AQE-style runtime choice): when the deduped edge
+    set is below ``local_threshold`` rows, union-find on the driver is
+    orders of magnitude cheaper than 2 log(n) shuffle rounds — the same
+    result, picked at runtime from the observed edge count. The
+    distributed star path is what runs at corpus scale (and is what the
+    stress tests exercise with local_threshold=0).
     """
+    n_edges = edges.count()
+    if n_edges <= local_threshold:
+        return _local_union_find(edges)
     # normalize to ranked ids once; strip rank at the end
     e = (edges
          .select(_rank_key(F.col("src")).alias("u"), _rank_key(F.col("dst")).alias("v"))
@@ -109,6 +120,47 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     strip = lambda c: F.substring(c, 2, 1_000_000)
     return comp.select(strip(F.col("node")).alias("node"),
                        strip(F.col("component")).alias("component"))
+
+
+def _local_union_find(edges: DataFrame) -> DataFrame:
+    """Driver-side union-find with the same ranked canonical preference."""
+    spark = edges.sparkSession
+    rows = edges.select("src", "dst").collect()
+
+    def rank(x: str) -> str:
+        if x.startswith("http://dbpedia.org/"):
+            return "0" + x
+        if x.startswith("http://"):
+            return "1" + x
+        return "2" + x
+
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            return
+        # smaller ranked key becomes the root (canonical)
+        if rank(ra) <= rank(rb):
+            parent[rb] = ra
+        else:
+            parent[ra] = rb
+
+    for r in rows:
+        union(r["src"], r["dst"])
+    nodes = set(parent) | {r["src"] for r in rows} | {r["dst"] for r in rows}
+    out = [(n, c) for n, c in ((n, find(n)) for n in nodes) if n != c]
+    if not out:
+        return spark.createDataFrame([], "node string, component string")
+    return spark.createDataFrame(out, "node string, component string")
 
 
 def canonicalize_triples(triples: DataFrame, max_iter: int = 50) -> DataFrame:

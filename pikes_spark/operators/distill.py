@@ -52,6 +52,9 @@ NS = {
     "gr": "http://purl.org/goodrelations/v1#",
     "propbank": "http://www.newsreader-project.eu/ontologies/propbank/",
     "nombank": "http://www.newsreader-project.eu/ontologies/nombank/",
+    "verbnet": "http://www.newsreader-project.eu/ontologies/verbnet/",
+    "framenet": "http://www.newsreader-project.eu/ontologies/framenet/",
+    "eso": "http://www.newsreader-project.eu/domain-ontology#",
     "entity": "entity:",
     "attribute": "attr:",
     "owltime": "http://www.newsreader-project.eu/time/",
@@ -533,11 +536,12 @@ class Distiller:
             for ref in pred.get("refs") or []:
                 res = (ref.get("resource") or "").lower()
                 if res in NS and ref.get("reference"):
+                    comp = {"propbank": "type_pb", "nombank": "type_nb",
+                            "verbnet": "type_vn", "framenet": "type_fn",
+                            "eso": "type_eso"}.get(res, "type_" + res)
                     self.emit_fact(iri, RDF_TYPE,
                                    NS[res] + ref["reference"].replace("#", "."),
-                                   mention, "type_" + ("pb" if res == "propbank" else
-                                                       "nb" if res == "nombank" else res),
-                                   sent, mb, me)
+                                   mention, comp, sent, mb, me)
 
     def _emit_copula_sameas(self, pred: dict, a1_head: int, a2_head: int) -> bool:
         """Copular be/become: if both args are annotated instances, emit
@@ -663,6 +667,13 @@ class Distiller:
                                       "role_pb" if res == "propbank" else "role_nb"))
                     elif sem.startswith("AM-"):
                         props.append((NS[res] + sem.lower(), "role_pb" if res == "propbank" else "role_nb"))
+                # VN theta roles / FN frame elements from PM refs
+                # (mintRefIRI per resource, RDFGenerator.java:1323-1345)
+                for rref in role.get("refs") or []:
+                    rres = (rref.get("resource") or "").lower()
+                    if rres in ("verbnet", "framenet") and rref.get("reference"):
+                        props.append((NS[rres] + rref["reference"].replace("#", "."),
+                                      "role_vn" if rres == "verbnet" else "role_fn"))
                 sent = self.tokens[rhead]["sent"]
                 for ah in sorted(arg_heads):
                     arg_iri = self.ann_obj.get(ah) or self.ann_pred.get(ah)

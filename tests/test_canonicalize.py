@@ -8,10 +8,20 @@ from pikes_spark.operators.canonicalize import (
     build_sameas_edges, canonicalize_triples, connected_components)
 
 
-def _cc(spark, pairs):
+def _cc(spark, pairs, local_threshold=0):
+    # local_threshold=0 forces the DISTRIBUTED star algorithm
     edges = spark.createDataFrame(pairs, "src string, dst string")
-    rows = connected_components(edges).collect()
+    rows = connected_components(edges, local_threshold=local_threshold).collect()
     return {r["node"]: r["component"] for r in rows}
+
+
+def test_local_and_distributed_paths_agree(spark):
+    pairs = ([(f"n{i:03d}", f"n{i+1:03d}") for i in range(30)]
+             + [("x1", "x2"), ("x2", "x3"), ("http://e/1#A", "http://dbpedia.org/resource/A")])
+    dist = _cc(spark, pairs, local_threshold=0)
+    local = _cc(spark, pairs, local_threshold=10**9)
+    nodes = {p for pair in pairs for p in pair}
+    assert comp_sets(dist, nodes) == comp_sets(local, nodes)
 
 
 def comp_sets(mapping, nodes):

@@ -1,0 +1,89 @@
+"""Spark-level operator tests at sf0.001 (fast): linking argmax,
+minhash-vs-exact equivalence, IVF recall, dedup, multimodal plumbing,
+pipeline resume."""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_linking_picks_best_candidate(spark):
+    from pikes_spark.sources.pages import pages_from_documents
+    from pikes_spark.operators.annotate import annotate_pages
+    from pikes_spark.operators.linking import candidates_df, link_entities
+    ann = annotate_pages(pages_from_documents(spark, SF))
+    links = link_entities(ann, candidates_df(spark)).collect()
+    assert links, "gold pages must produce links"
+    by_uri = {r["uri"] for r in links}
+    assert "http://dbpedia.org/resource/George_W._Bush" in by_uri
+    # ambiguous "Paris": must pick the higher-scored candidate
+    paris = [r for r in links if "Paris" in r["uri"]]
+    assert paris and all(r["uri"] == "http://dbpedia.org/resource/Paris" for r in paris)
+
+
+def test_minhash_lsh_equals_exact_jaccard(spark):
+    from pikes_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+    lsh = {(r["a"], r["b"], r["jaccard_x1000"])
+           for r in minhash_lsh_pairs(spark, SF).collect()}
+    exact = {(r["a"], r["b"], r["jaccard_x1000"])
+             for r in ngram_jaccard_pairs(spark, SF).collect()}
+    assert lsh == exact
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    from pikes_spark.operators.similarity import brute_force_topk, ivf_topk
+    bf = [r["vec_id"] for r in brute_force_topk(spark, SF, 0, 10).collect()]
+    ivf = [r["vec_id"] for r in ivf_topk(spark, SF, 0, 10, nlist=8, nprobe=4).collect()]
+    recall = len(set(bf) & set(ivf)) / len(bf)
+    assert recall >= 0.6, (bf, ivf)
+
+
+def test_multimodal_features_deterministic(spark):
+    from pikes_spark.operators.multimodal import synthetic_media, extract_features
+    rows1 = extract_features(synthetic_media(spark, 16)).orderBy("media_id").collect()
+    rows2 = extract_features(synthetic_media(spark, 16)).orderBy("media_id").collect()
+    assert [r["sha256"] for r in rows1] == [r["sha256"] for r in rows2]
+    assert all(len(r["feat"]) == 8 for r in rows1)
+    video_frames = [r["frames"] for r in rows1 if r["kind"] == "video"]
+    assert video_frames and all(f >= 1 for f in video_frames)
+
+
+def test_pipeline_resume_no_duplicates(spark):
+    from pikes_spark.pipeline import run_pipeline
+    out = tempfile.mkdtemp(prefix="pikes_resume_")
+    try:
+        r1 = run_pipeline(spark, SF, out, resume=True, cc_max_iter=4)
+        assert r1["added_triples"] > 0
+        # second run: everything committed -> nothing new
+        r2 = run_pipeline(spark, SF, out, resume=True, cc_max_iter=4)
+        assert r2["triples_snapshot"]["lineage"]["skipped_done_urls"] > 0
+        assert r2["added_triples"] == 0
+        # total rows stable across snapshots
+        assert (r2["triples_snapshot"]["total_rows"]
+                == r1["triples_snapshot"]["total_rows"])
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_gold_triples_contain_expected_facts(spark):
+    from pikes_spark.sources.gold import gold_pages_df
+    from pikes_spark.operators.annotate import annotate_pages, distill_annotations
+    from pikes_spark.operators.linking import candidates_df, link_entities
+    ann = annotate_pages(gold_pages_df(spark))
+    links = link_entities(ann, candidates_df(spark))
+    triples = distill_annotations(ann, links).collect()
+    idx = {(t["url"], t["predicate"], t["object"]) for t in triples}
+    g9 = "http://example.org/gold/g9"
+    assert (g9, "http://xmlns.com/foaf/0.1/name", "G.W. Bush") in idx
+    sameas = [t for t in triples
+              if t["predicate"] == "http://www.w3.org/2002/07/owl#sameAs"
+              and t["object"] == "http://dbpedia.org/resource/George_W._Bush"]
+    assert sameas, "linked entity must emit owl:sameAs to DBpedia"
+    types = [t for t in triples if t["url"] == g9 and
+             t["object"] == "http://www.newsreader-project.eu/ontologies/PERSON"]
+    assert len(types) >= 2  # Bush + Bono typed PERSON
