@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pikes_spark.sources.pages import pages_from_documents, PAGES_ORACLE_CTE
 from pikes_spark.operators.annotate import (
     annotate_pages, distill_annotations, extract_pages_text, pages_to_triples)
-from pikes_spark.operators import textstats, dedup, similarity
+from pikes_spark.operators import textstats, dedup, similarity, events
 from pikes_spark.operators.linking import candidates_df, link_entities
 from pikes_spark.operators.canonicalize import canonicalize_triples
 
@@ -219,6 +219,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # relational layer
         "rel_filter_agg": _q_rel_agg,
         "rel_join_window_topk": _q_rel_join_window,
+        # event-stream operators (batch form; streaming uses same exprs)
+        "evt_sessionize": events.sessionize,
+        "evt_windowed_counts": events.windowed_counts,
     }
 
 
@@ -282,6 +285,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus
         """,
+        "evt_sessionize": events.SESSIONIZE_SQL,
+        "evt_windowed_counts": events.WINDOWED_COUNTS_SQL,
         "rel_join_window_topk": """
             WITH j AS (
               SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
