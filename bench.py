@@ -47,7 +47,8 @@ def _run_queries(spark, sf_dir: str) -> dict:
     return {"timings": timings, "n_triples": n_triples}
 
 
-def _pipeline_wall(master: str, sf_dir: str, shuffle: int) -> tuple:
+def _pipeline_wall(master: str, sf_dir: str, shuffle: int,
+                   replicate: int = 1) -> tuple:
     """Run the KG pipeline on a fresh session with the given master;
     return (wall_seconds, triples)."""
     from pikes_spark.session import get_spark
@@ -58,7 +59,8 @@ def _pipeline_wall(master: str, sf_dir: str, shuffle: int) -> tuple:
     out_root = tempfile.mkdtemp(prefix="pikes_scale_")
     try:
         t0 = time.time()
-        result = run_pipeline(spark, sf_dir, out_root, resume=False)
+        result = run_pipeline(spark, sf_dir, out_root, resume=False,
+                              replicate=replicate)
         wall = time.time() - t0
         return wall, result["added_triples"]
     finally:
@@ -73,13 +75,19 @@ def main() -> None:
 
     scaling = {}
     if os.environ.get("BENCH_SCALING"):
-        # same job, two parallelism levels: N/4 then N cores
+        # same job, two parallelism levels: N/4 then N cores. The input is
+        # deterministically replicated so compute dominates fixed overheads
+        # (Spark scheduling, snapshot commits) — the sandbox stand-in for a
+        # long-running N vs 4N-executor cluster job.
+        replicate = int(os.environ.get("BENCH_REPLICATE", "6"))
         lo = max(cpus // 4, 1)
-        wall_lo, n_lo = _pipeline_wall(f"local[{lo}]", sf_dir, max(lo, 8))
-        wall_hi, n_hi = _pipeline_wall(f"local[{cpus}]", sf_dir, max(cpus, 8))
+        wall_lo, n_lo = _pipeline_wall(f"local[{lo}]", sf_dir, max(lo, 8),
+                                       replicate)
+        wall_hi, n_hi = _pipeline_wall(f"local[{cpus}]", sf_dir, max(cpus, 8),
+                                       replicate)
         tput_lo, tput_hi = n_lo / wall_lo, n_hi / wall_hi
         scaling = {
-            "cores_lo": lo, "cores_hi": cpus,
+            "cores_lo": lo, "cores_hi": cpus, "replicate": replicate,
             "wall_lo_s": round(wall_lo, 2), "wall_hi_s": round(wall_hi, 2),
             "triples_per_s_lo": round(tput_lo, 1),
             "triples_per_s_hi": round(tput_hi, 1),

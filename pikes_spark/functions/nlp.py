@@ -671,6 +671,32 @@ def extract_corefs(tokens: List[Token], tags: List[Tagged],
 # Full per-document annotation
 # ---------------------------------------------------------------------------
 
+def _term_refs(tg: Tagged) -> List[dict]:
+    """N4 WSD + F2 termSenseCompletion + F1 termSenseFiltering:
+    MFS synset -> SUMO (hypernym climb) -> YAGO refs; proper nouns get
+    none (NAFFilter.java:375-386)."""
+    if tg.morphofeat.startswith("NNP"):
+        return []
+    from .wordnet_fixture import (
+        SUMO_NS, most_frequent_sense, synset_to_sumo, synset_to_yago)
+    synset = most_frequent_sense(tg.lemma, tg.pos)
+    if synset is None:
+        return []
+    refs = [{"resource": "wn30-ukb", "reference": synset,
+             "confidence": 1.0, "source": "mfs"}]
+    sumo = synset_to_sumo(synset)
+    if sumo is not None:
+        concept, is_process = sumo
+        refs.append({"resource": "SUMO", "reference": concept,
+                     "confidence": 1.0,
+                     "source": "process" if is_process else "object"})
+    yago = synset_to_yago(synset)
+    if yago is not None:
+        refs.append({"resource": "Yago", "reference": yago,
+                     "confidence": 1.0, "source": "yago"})
+    return refs
+
+
 def annotate_document(text: str) -> dict:
     """text -> NAF-equivalent nested layers (FIXTURES.md §2 schema)."""
     sents, tokens, tagged = annotate_text(text)
@@ -694,7 +720,7 @@ def annotate_document(text: str) -> dict:
                     "len": t.length, "form": t.form} for t in tokens],
         "terms": [{"id": i, "lemma": tg.lemma, "pos": tg.pos,
                    "morphofeat": tg.morphofeat, "upos": "", "wf_ids": [i],
-                   "refs": []} for i, tg in enumerate(tagged)],
+                   "refs": _term_refs(tg)} for i, tg in enumerate(tagged)],
         "deps": [{"from": f, "to": t, "rfunc": r} for f, t, r in deps],
         "entities": entities,
         "timexes": timexes,

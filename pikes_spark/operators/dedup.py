@@ -290,14 +290,18 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str,
     computed in float64, rounded to 6 dp for engine parity."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     v = F.transform("embedding", lambda x: x.cast("double"))
-    e = emb.select(F.col("vec_id"), v.alias("v"))
-    a = e.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
-    b = e.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
+    norm = F.sqrt(F.aggregate(F.transform(v, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+    # precompute the norm ONCE per row (identical doubles to computing it
+    # per pair, sqrt is deterministic) -> 3x less work inside the O(n^2) join
+    e = emb.select(F.col("vec_id"), v.alias("v"), norm.alias("nrm"))
+    a = e.select(F.col("vec_id").alias("a"), F.col("v").alias("va"),
+                 F.col("nrm").alias("na"))
+    b = e.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"),
+                 F.col("nrm").alias("nb"))
     dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
                       F.lit(0.0), lambda acc, x: acc + x)
-    norm = lambda c: F.sqrt(F.aggregate(
-        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
-    cos = dot / (norm(F.col("va")) * norm(F.col("vb")))
+    cos = dot / (F.col("na") * F.col("nb"))
     pairs = (a.crossJoin(b).filter(F.col("a") < F.col("b"))
              .withColumn("cos_x1e6", F.floor(cos * 1e6).cast("bigint"))
              .filter(F.col("cos_x1e6") >= int(threshold * 1e6)))

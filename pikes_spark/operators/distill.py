@@ -110,6 +110,8 @@ COORD_REGEX = "(COORD CONJ?)*"
 _PROPERTY_TYPES = {"money", "cardinal", "ordinal", "percent", "language",
                    "norp", "quantity"}
 
+_SUMO_NS = "http://www.ontologyportal.org/SUMO.owl#"
+
 _XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
 _XSD_DOUBLE = "http://www.w3.org/2001/XMLSchema#double"
 _XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
@@ -448,6 +450,17 @@ class Distiller:
             if etype:
                 self.emit_fact(iri, RDF_TYPE, "entity." + etype, mention,
                                "type_entity", sent, mb, me)
+            # F2/N4 sense-completion types: SUMO concept + YAGO class from
+            # the head term's synset refs (NAFFilter.java:388-496;
+            # proper names carry none per F1)
+            for tref in self.terms[head].get("refs") or []:
+                tres = (tref.get("resource") or "").lower()
+                if tres == "sumo":
+                    self.emit_fact(iri, RDF_TYPE, _SUMO_NS + tref["reference"],
+                                   mention, "type_sumo", sent, mb, me)
+                elif tres == "yago":
+                    self.emit_fact(iri, RDF_TYPE, tref["reference"],
+                                   mention, "type_yago", sent, mb, me)
             self.emit_meta(iri, GAF_DENOTED_BY, mention, "mention")
             if named:
                 self.emit_fact(iri, FOAF_NAME,
@@ -533,6 +546,13 @@ class Distiller:
             self.emit_fact(iri, RDF_TYPE, KS_ENTITY, mention, "instance", sent, mb, me)
             self.emit_fact(iri, RDF_TYPE, SEM_EVENT, mention, "instance", sent, mb, me)
             self.emit_meta(iri, GAF_DENOTED_BY, mention, "mention")
+            # SUMO Process subclass => sumo type on the event instance
+            # (RDFGenerator.java:1013-1024, 1071-1077)
+            for tref in self.terms[head].get("refs") or []:
+                if (tref.get("resource") or "").lower() == "sumo" \
+                        and tref.get("source") == "process":
+                    self.emit_fact(iri, RDF_TYPE, _SUMO_NS + tref["reference"],
+                                   mention, "type_sumo", sent, mb, me)
             for ref in pred.get("refs") or []:
                 res = (ref.get("resource") or "").lower()
                 if res in NS and ref.get("reference"):

@@ -31,8 +31,12 @@ from .sources.tables import SnapshotTable
 
 def run_pipeline(spark: SparkSession, sf_dir: str, out_root: str,
                  resume: bool = True, cc_max_iter: int = 8,
-                 include_gold: bool = True) -> dict:
-    """Run the full job; returns the lineage manifest of the commit."""
+                 include_gold: bool = True, replicate: int = 1) -> dict:
+    """Run the full job; returns the lineage manifest of the commit.
+
+    ``replicate`` deterministically fans the input out k-fold (urls
+    suffixed ?copy=i) — used by the scaling bench to make compute
+    dominate fixed overheads at sandbox scale."""
     t0 = time.time()
     spo = SnapshotTable(f"{out_root}/triples", ["subject", "predicate", "object"],
                         name="triples")
@@ -40,6 +44,12 @@ def run_pipeline(spark: SparkSession, sf_dir: str, out_root: str,
                         name="triples_pos")
 
     pages = pages_from_documents(spark, sf_dir, include_gold=include_gold)
+    if replicate > 1:
+        copies = spark.range(replicate).select(F.col("id").alias("_copy"))
+        pages = (pages.crossJoin(F.broadcast(copies))
+                 .withColumn("url", F.concat("url", F.lit("?copy="),
+                                             F.col("_copy").cast("string")))
+                 .drop("_copy"))
 
     skipped = 0
     if resume:
@@ -49,11 +59,14 @@ def run_pipeline(spark: SparkSession, sf_dir: str, out_root: str,
             pages = pages.join(done, "url", "left_anti")
             skipped = before - pages.count()
 
-    # per-document cost scales with text length -> range-bucket by length
-    # so Arrow batches are even (SURVEY.md §4 skew note)
-    pages = pages.repartitionByRange(
-        max(spark.sparkContext.defaultParallelism, 8),
-        F.length("text"), F.col("url"))
+    # even out per-task work: hash-repartition on url (2x parallelism for
+    # scheduler slack). NOTE: range-partitioning on length(text) was tried
+    # and is WORSE here — lengths cluster, so ranges skew; hash on the
+    # unique key distributes evenly. At true web scale with heavy-tailed
+    # documents, pair this with a length cap (valid_page guard) rather
+    # than range partitioning.
+    pages = pages.repartition(
+        2 * max(spark.sparkContext.defaultParallelism, 8), "url")
 
     # J1 materializes annotations (the inter-job IR — the reference's NAF
     # files, EP2): linking and distillation both read the materialized
@@ -65,9 +78,17 @@ def run_pipeline(spark: SparkSession, sf_dir: str, out_root: str,
     ann = spark.read.parquet(ann_manifest["data_dirs"][-1])
 
     links = link_entities(ann, candidates_df(spark))
-    triples_raw = distill_annotations(ann, links)
+
+    # J3 materializes raw triples before canonicalization — J4 scans the
+    # triple table several times (edge build, CC, rewrite); without this
+    # the distill UDF would re-run once per scan.
+    raw_table = SnapshotTable(f"{out_root}/triples_raw", name="triples_raw")
+    raw_manifest = raw_table.append(
+        distill_annotations(ann, links), spark,
+        lineage={"from_snapshot": ann_manifest["snapshot_id"], "stage": "J3 distill"})
+    triples_raw = spark.read.parquet(raw_manifest["data_dirs"][-1])
+
     triples = canonicalize_triples(triples_raw, max_iter=cc_max_iter)
-    triples = triples.observe("triples_obs", F.count(F.lit(1)).alias("n"))
 
     lineage = {
         "sf_dir": sf_dir,
