@@ -153,6 +153,17 @@ def _q_sim_ivf(spark, sf_dir):
     return similarity.ivf_topk(spark, sf_dir, query_vec_id=0, k=10)
 
 
+def _q_compaction(spark, sf_dir):
+    """D13 fact-graph compaction: identical statement-sets merge."""
+    from pikes_spark.operators.compaction import compact_fact_graphs
+    t = pages_to_triples(pages_from_documents(spark, sf_dir))
+    out = compact_fact_graphs(t)
+    return (out.groupBy("component")
+            .agg(F.count("*").alias("n"),
+                 F.countDistinct("graph").alias("n_graphs"))
+            .orderBy("component"))
+
+
 def _q_media(spark, sf_dir):
     from pikes_spark.operators.multimodal import synthetic_media, extract_features
     feats = extract_features(synthetic_media(spark, 64))
@@ -196,6 +207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples": _q_triples,
         "kg_triples_by_component": _q_triples_by_component,
         "kg_canonicalize": _q_canonical,
+        "kg_compaction": _q_compaction,
         # golden fixtures (frozen expected values, SURVEY.md §5)
         "kg_gold_timexes": _q_gold_timexes,
         "kg_gold_entities": _q_gold_entities,

@@ -56,7 +56,12 @@ def _pipeline_wall(master: str, sf_dir: str, shuffle: int,
 
     spark = get_spark(app=f"bench_{master}", master=master,
                       shuffle_partitions=shuffle)
-    out_root = tempfile.mkdtemp(prefix="pikes_scale_")
+    # snapshot tables on the ramdisk: on a real cluster every executor
+    # writes to its own local disk / object store in parallel; the
+    # sandbox's single shared disk would otherwise add noisy serial I/O
+    # to the scaling measurement
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    out_root = tempfile.mkdtemp(prefix="pikes_scale_", dir=base)
     try:
         t0 = time.time()
         result = run_pipeline(spark, sf_dir, out_root, resume=False,

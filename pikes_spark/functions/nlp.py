@@ -588,6 +588,26 @@ def extract_predicates(tokens: List[Token], tags: List[Tagged],
                           "confidence": 1.0, "source": "mate"}],
                 "roles": roles,
             }, roleset))
+    # F12 srlPredicateAddition (NAFFilter.java:1189-1244): add a 1-term
+    # predicate for N/G/A terms whose lemma has exactly one roleset in
+    # the inventory and which are not predicates yet
+    from .predicate_matrix import PM_PREDICATES
+    have = {p["head_id"] for p in preds}
+    for i in range(n):
+        t = tags[i]
+        if i in have or t.pos not in ("N", "G", "A"):
+            continue
+        roleset = t.lemma + ".01"
+        if roleset not in PM_PREDICATES or (t.lemma + ".02") in PM_PREDICATES:
+            continue
+        resource = "PropBank" if t.pos == "V" else "NomBank"
+        preds.append(_with_pm({
+            "id": f"pr{len(preds) + 1}", "source": "f12",
+            "term_ids": [i], "head_id": i,
+            "refs": [{"resource": resource, "reference": roleset,
+                      "confidence": 1.0, "source": "f12"}],
+            "roles": [],
+        }, roleset))
     return preds
 
 

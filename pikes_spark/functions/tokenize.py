@@ -355,7 +355,9 @@ def tag_tokens(tokens: List[Token]) -> List[Tagged]:
             t = Tagged("RB", "A", low[:-2] if low.endswith("ly") and len(low) > 4 and low not in _ADVERBS else low)
         elif low.endswith("ing") and len(low) > 4 and prev_tag in {"VBZ", "VBP", "VBD", "MD", "VB"}:
             t = Tagged("VBG", "V", _verb_lemma(low))
-        elif low.endswith("ed") and len(low) > 3 and prev_tag in {"VBZ", "VBP", "VBD", "MD", "VB", "RB"} | {""} and prev_tag != "DT":
+        elif low.endswith("ed") and len(low) > 3 and prev_tag in {
+                "VBZ", "VBP", "VBD", "MD", "VB", "RB", "",
+                "NN", "NNS", "NNP", "NNPS", "PRP"}:
             t = _verb_tagged(low)
         elif low.endswith(("ous", "ful", "ive", "able", "ible", "al", "ic", "ish")) and len(low) > 4:
             t = Tagged("JJ", "G", low)

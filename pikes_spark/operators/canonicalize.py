@@ -177,9 +177,16 @@ def canonicalize_triples(triples: DataFrame, max_iter: int = 50) -> DataFrame:
         F.when(F.col("component").startswith("surface:"), F.col("node"))
         .otherwise(F.col("component")))
 
-    # no broadcast hint: the canonical map is small here but grows with
-    # corpus size — AQE picks broadcast vs shuffle join at runtime
-    mapping = comp
+    # The canonical map is tiny relative to the triple table (merged
+    # instances only). Statistics on it are unknown to Catalyst (it comes
+    # out of the iterative CC), so AQE sometimes plans a sort-merge join
+    # that sorts the FULL triple table twice — measured 10x slower.
+    # Decide explicitly from the observed size (same adaptive pattern as
+    # the CC local/distributed choice): broadcast below the threshold,
+    # shuffle join above it (the 10^12-document path).
+    mapping = comp.cache()
+    if mapping.count() <= 20_000_000:
+        mapping = F.broadcast(mapping)
     rewritten = (triples
                  .join(mapping.withColumnRenamed("node", "subject")
                        .withColumnRenamed("component", "_cs"), "subject", "left")

@@ -112,6 +112,29 @@ _PROPERTY_TYPES = {"money", "cardinal", "ordinal", "percent", "language",
 
 _SUMO_NS = "http://www.ontologyportal.org/SUMO.owl#"
 
+# F20 srlPreMOnIRIs (on by default like the reference,
+# NAFFilter.java:1644-1720; prefixes NAFUtils.java:85-97)
+PREMON_NS = "http://premon.fbk.eu/resource/"
+_PREMON_PREFIX = {"propbank": "pb17", "nombank": "nb10",
+                  "verbnet": "vb32", "framenet": "fn15"}
+
+
+def premon_class_iri(resource: str, pred: str) -> str:
+    """NAFUtils.createPreMOnSemanticClassIRIfor (NAFUtils.java:995-1012)."""
+    return PREMON_NS + _PREMON_PREFIX[resource] + "-" + pred.lower()
+
+
+def premon_role_iri(resource: str, pred: str, role: str) -> str:
+    """NAFUtils.createPreMOnSemanticRoleIRIfor (NAFUtils.java:1015-1046):
+    PB/NB roles a1 -> arg1, am-loc -> argloc (reference quirk kept)."""
+    role = role.lower()
+    if resource in ("propbank", "nombank"):
+        if "am-" not in role:
+            role = role.replace("a", "arg")
+        else:
+            role = role.replace("am-", "arg")
+    return PREMON_NS + _PREMON_PREFIX[resource] + "-" + pred.lower() + "@" + role
+
 _XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
 _XSD_DOUBLE = "http://www.w3.org/2001/XMLSchema#double"
 _XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
@@ -122,9 +145,18 @@ class Triple(dict):
 
 
 class Distiller:
-    """One Extractor per document (RDFGenerator.java:477-719)."""
+    """One Extractor per document (RDFGenerator.java:477-719).
 
-    def __init__(self, url: str, text: str, doc: dict, lang: str = "en"):
+    ``strict_rolesets=True`` enables F11 srlRemoveUnknownPredicates
+    (NAFFilter.java:1163-1187): predicates whose roleset is absent from
+    the PredicateMatrix inventory are dropped. Off by default here —
+    the sandbox inventory is a fixture subset, so strict filtering
+    would drop most synthetic-corpus predicates; at deployment with
+    the full PropBank/NomBank framesets, turn it on."""
+
+    def __init__(self, url: str, text: str, doc: dict, lang: str = "en",
+                 strict_rolesets: bool = False):
+        self.strict_rolesets = strict_rolesets
         self.url = url
         self.base = url  # document IRI base for minted instance IRIs
         self.text = text
@@ -513,6 +545,14 @@ class Distiller:
             # skip if head is a timex or named/ordinal entity head (:983-990)
             if head in named_heads:
                 continue
+            # F11 srlRemoveUnknownPredicates (opt-in; see class docstring)
+            if self.strict_rolesets:
+                from ..functions.predicate_matrix import PM_PREDICATES
+                rs = next((r["reference"] for r in pred.get("refs") or []
+                           if (r.get("resource") or "").lower()
+                           in ("propbank", "nombank")), None)
+                if rs not in PM_PREDICATES:
+                    continue
             # noun-sharing: predicate over an existing non-named entity
             # reuses the entity IRI (selfArg logic :1005-1028)
             shared_iri = self.ann_obj.get(head)
@@ -559,9 +599,11 @@ class Distiller:
                     comp = {"propbank": "type_pb", "nombank": "type_nb",
                             "verbnet": "type_vn", "framenet": "type_fn",
                             "eso": "type_eso"}.get(res, "type_" + res)
-                    self.emit_fact(iri, RDF_TYPE,
-                                   NS[res] + ref["reference"].replace("#", "."),
-                                   mention, comp, sent, mb, me)
+                    if res in _PREMON_PREFIX:
+                        obj = premon_class_iri(res, ref["reference"])
+                    else:
+                        obj = NS[res] + ref["reference"].replace("#", ".")
+                    self.emit_fact(iri, RDF_TYPE, obj, mention, comp, sent, mb, me)
 
     def _emit_copula_sameas(self, pred: dict, a1_head: int, a2_head: int) -> bool:
         """Copular be/become: if both args are annotated instances, emit
@@ -680,19 +722,17 @@ class Distiller:
                     props.append((SEM_HAS_TIME, "role_sem"))
                 elif sem in ("AM-LOC",):
                     props.append((SEM_HAS_PLACE, "role_sem"))
-                if roleset:
-                    m = re.fullmatch(r"A(\d)", sem)
-                    if m:
-                        props.append((NS[res] + roleset + "_" + m.group(1),
-                                      "role_pb" if res == "propbank" else "role_nb"))
-                    elif sem.startswith("AM-"):
-                        props.append((NS[res] + sem.lower(), "role_pb" if res == "propbank" else "role_nb"))
+                if roleset and (re.fullmatch(r"A\d", sem) or sem.startswith("AM-")):
+                    props.append((premon_role_iri(res, roleset, sem),
+                                  "role_pb" if res == "propbank" else "role_nb"))
                 # VN theta roles / FN frame elements from PM refs
-                # (mintRefIRI per resource, RDFGenerator.java:1323-1345)
+                # (mintRefIRI per resource, RDFGenerator.java:1323-1345);
+                # PM refs come as "<class>@<role>" -> PreMOn role IRIs
                 for rref in role.get("refs") or []:
                     rres = (rref.get("resource") or "").lower()
                     if rres in ("verbnet", "framenet") and rref.get("reference"):
-                        props.append((NS[rres] + rref["reference"].replace("#", "."),
+                        cls, _, rl = rref["reference"].partition("@")
+                        props.append((premon_role_iri(rres, cls, rl or "role"),
                                       "role_vn" if rres == "verbnet" else "role_fn"))
                 sent = self.tokens[rhead]["sent"]
                 for ah in sorted(arg_heads):

@@ -38,6 +38,11 @@ def run_pipeline(spark: SparkSession, sf_dir: str, out_root: str,
     suffixed ?copy=i) — used by the scaling bench to make compute
     dominate fixed overheads at sandbox scale."""
     t0 = time.time()
+    timings: dict = {}
+
+    def mark(name: str) -> None:
+        timings[name] = round(time.time() - t0 - sum(timings.values()), 2)
+
     spo = SnapshotTable(f"{out_root}/triples", ["subject", "predicate", "object"],
                         name="triples")
     pos = SnapshotTable(f"{out_root}/triples_pos", ["predicate", "object", "subject"],
@@ -76,6 +81,7 @@ def run_pipeline(spark: SparkSession, sf_dir: str, out_root: str,
     ann_manifest = ann_table.append(annotate_pages(pages), spark,
                                     lineage={"sf_dir": sf_dir, "stage": "J1 annotate"})
     ann = spark.read.parquet(ann_manifest["data_dirs"][-1])
+    mark("j1_annotate")
 
     links = link_entities(ann, candidates_df(spark))
 
@@ -87,8 +93,10 @@ def run_pipeline(spark: SparkSession, sf_dir: str, out_root: str,
         distill_annotations(ann, links), spark,
         lineage={"from_snapshot": ann_manifest["snapshot_id"], "stage": "J3 distill"})
     triples_raw = spark.read.parquet(raw_manifest["data_dirs"][-1])
+    mark("j3_distill")
 
     triples = canonicalize_triples(triples_raw, max_iter=cc_max_iter)
+    mark("j4_cc_plan")
 
     lineage = {
         "sf_dir": sf_dir,
@@ -96,13 +104,16 @@ def run_pipeline(spark: SparkSession, sf_dir: str, out_root: str,
         "stage": "pages->annotate->link->distill->canonicalize",
     }
     m1 = spo.append(triples, spark, lineage=lineage)
+    mark("j5_spo_write")
     # pos layout: re-read the committed snapshot files (cheap columnar
     # scan) rather than recomputing the pipeline
     m2 = pos.append(spark.read.parquet(m1["data_dirs"][-1]), spark,
                     lineage={"from_snapshot": m1["snapshot_id"]})
+    mark("j5_pos_write")
     wall = time.time() - t0
     return {
         "triples_snapshot": m1, "pos_snapshot": m2,
+        "timings": timings,
         "wall_seconds": round(wall, 2),
         "added_triples": m1["added_rows"],
         "triples_per_second": round(m1["added_rows"] / wall, 1) if wall else 0.0,

@@ -28,7 +28,7 @@ def get_spark(app: str = "pikes_spark", master: str | None = None,
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "90g"))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -51,6 +51,10 @@ def pages_from_documents(spark: SparkSession, sf_dir: str,
     mini-corpus (sources.gold) so entity-bearing pages exist at every
     SF. Both halves use the same SQL-expressible derivation."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # the parquet is a single small file -> one scan task; without this
+    # repartition the html synthesis (and everything pipelined onto the
+    # scan) runs serially in that task
+    docs = docs.repartition(max(spark.sparkContext.defaultParallelism, 8))
     pages = docs.select(
         F.concat(F.lit("http://example.org/doc/"), F.col("doc_id").cast("string")).alias("url"),
         (F.to_timestamp(F.lit("2026-01-01 00:00:00"))
