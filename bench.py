@@ -44,6 +44,7 @@ def _run_queries(spark, sf_dir: str) -> dict:
         df = qs[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        spark.catalog.clearCache()  # per-query caches don't leak memory forward
     return {"timings": timings, "n_triples": n_triples}
 
 
@@ -54,13 +55,16 @@ def _pipeline_wall(master: str, sf_dir: str, shuffle: int,
     from pikes_spark.session import get_spark
     from pikes_spark.pipeline import run_pipeline
 
-    spark = get_spark(app=f"bench_{master}", master=master,
-                      shuffle_partitions=shuffle)
-    # snapshot tables on the ramdisk: on a real cluster every executor
-    # writes to its own local disk / object store in parallel; the
-    # sandbox's single shared disk would otherwise add noisy serial I/O
-    # to the scaling measurement
+    # Snapshot tables AND shuffle dirs on the ramdisk for the scaling
+    # measurement: on a real cluster both scale with the node count
+    # (per-executor local disks / object store); the sandbox's single
+    # shared 450 MB/s disk would otherwise bound every parallelism level
+    # to the same I/O ceiling (measured: 8 vs 32 cores within 5%).
     base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    shuffle_dir = tempfile.mkdtemp(prefix="pikes_shuffle_", dir=base)
+    spark = get_spark(app=f"bench_{master}", master=master,
+                      shuffle_partitions=shuffle,
+                      extra_conf={"spark.local.dir": shuffle_dir})
     out_root = tempfile.mkdtemp(prefix="pikes_scale_", dir=base)
     try:
         t0 = time.time()
@@ -69,8 +73,46 @@ def _pipeline_wall(master: str, sf_dir: str, shuffle: int,
         wall = time.time() - t0
         return wall, result["added_triples"]
     finally:
-        shutil.rmtree(out_root, ignore_errors=True)
         spark.stop()
+        shutil.rmtree(out_root, ignore_errors=True)
+        shutil.rmtree(shuffle_dir, ignore_errors=True)
+
+
+def _compute_wall(master: str, sf_dir: str, shuffle: int,
+                  replicate: int = 1) -> tuple:
+    """Compute-only variant: pages -> annotate -> distill -> noop sink,
+    no materialization. Isolates the distributed compute that dominates
+    at real corpus scale from single-node commit/write overheads."""
+    import tempfile as _tf
+    from pikes_spark.session import get_spark
+    from pikes_spark.sources.pages import pages_from_documents
+    from pikes_spark.operators.annotate import pages_to_triples
+    from pyspark.sql import functions as F
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    shuffle_dir = _tf.mkdtemp(prefix="pikes_shuffle_", dir=base)
+    spark = get_spark(app=f"bench_c_{master}", master=master,
+                      shuffle_partitions=shuffle,
+                      extra_conf={"spark.local.dir": shuffle_dir})
+    try:
+        pages = pages_from_documents(spark, sf_dir)
+        if replicate > 1:
+            copies = spark.range(replicate).select(F.col("id").alias("_copy"))
+            pages = (pages.crossJoin(F.broadcast(copies))
+                     .withColumn("url", F.concat("url", F.lit("?copy="),
+                                                 F.col("_copy").cast("string")))
+                     .drop("_copy"))
+        pages = pages.repartition(2 * max(spark.sparkContext.defaultParallelism, 8), "url")
+        # warm up JVM/codegen/python workers with a tiny prefix so the
+        # measured wall is steady-state compute
+        pages_to_triples(pages.limit(64)).count()
+        t0 = time.time()
+        df = pages_to_triples(pages)
+        n = df.count()
+        return time.time() - t0, n
+    finally:
+        spark.stop()
+        shutil.rmtree(shuffle_dir, ignore_errors=True)
 
 
 def main() -> None:

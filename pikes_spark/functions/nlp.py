@@ -561,9 +561,20 @@ def extract_predicates(tokens: List[Token], tags: List[Tagged],
             if obj is not None:
                 roles.append({"sem_role": "A2" if is_cop else "A1",
                               "term_ids": role_span(obj), "head_id": obj, "refs": []})
+            # factuality contract (D4): negated predicates marked CT-
+            # (certain-negative), else CT+ — detected from a 'not'/'n't'
+            # AMOD child on the verb or its aux chain
+            neg = any(tokens[c].form.lower() in ("not", "n't")
+                      for c, lab in children if lab == "AMOD")
+            p = graph.parent.get(i)
+            if not neg and p is not None and p[1] == "VC":
+                neg = any(tokens[c].form.lower() in ("not", "n't")
+                          for c, lab in graph.children.get(p[0], [])
+                          if lab == "AMOD")
             preds.append(_with_pm({
                 "id": f"pr{len(preds) + 1}", "source": "mate",
                 "term_ids": [i], "head_id": i,
+                "factuality": "CT-" if neg else "CT+",
                 "refs": [{"resource": "PropBank", "reference": roleset,
                           "confidence": 1.0, "source": "mate"}],
                 "roles": roles,

@@ -46,7 +46,7 @@ ANNOTATIONS_SCHEMA = """
                                             confidence:double>>>>,
     timexes array<struct<id:string, type:string, value:string, wf_ids:array<int>>>,
     predicates array<struct<id:string, source:string, term_ids:array<int>,
-                            head_id:int,
+                            head_id:int, factuality:string,
                             refs:array<struct<resource:string, reference:string,
                                               confidence:double, source:string>>,
                             roles:array<struct<sem_role:string, term_ids:array<int>,

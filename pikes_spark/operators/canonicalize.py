@@ -68,9 +68,13 @@ def connected_components(edges: DataFrame, max_iter: int = 50,
     distributed star path is what runs at corpus scale (and is what the
     stress tests exercise with local_threshold=0).
     """
-    n_edges = edges.count()
-    if n_edges <= local_threshold:
-        return _local_union_find(edges)
+    # single probe job: pull up to threshold+1 rows; if the probe is not
+    # truncated we already hold the full edge set -> driver union-find
+    # without a separate count() job
+    if local_threshold > 0:
+        probe = edges.select("src", "dst").limit(local_threshold + 1).collect()
+        if len(probe) <= local_threshold:
+            return _local_union_find_rows(edges.sparkSession, probe)
     # normalize to ranked ids once; strip rank at the end
     e = (edges
          .select(_rank_key(F.col("src")).alias("u"), _rank_key(F.col("dst")).alias("v"))
@@ -124,8 +128,11 @@ def connected_components(edges: DataFrame, max_iter: int = 50,
 
 def _local_union_find(edges: DataFrame) -> DataFrame:
     """Driver-side union-find with the same ranked canonical preference."""
-    spark = edges.sparkSession
-    rows = edges.select("src", "dst").collect()
+    return _local_union_find_rows(edges.sparkSession,
+                                  edges.select("src", "dst").collect())
+
+
+def _local_union_find_rows(spark, rows) -> DataFrame:
 
     def rank(x: str) -> str:
         if x.startswith("http://dbpedia.org/"):

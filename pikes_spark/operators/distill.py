@@ -593,6 +593,13 @@ class Distiller:
                         and tref.get("source") == "process":
                     self.emit_fact(iri, RDF_TYPE, _SUMO_NS + tref["reference"],
                                    mention, "type_sumo", sent, mb, me)
+            # D4 processFactuality: ks:factuality literal on the predicate
+            # instance (RDFGenerator.java:1080-1099)
+            fact_val = pred.get("factuality")
+            if fact_val:
+                self.emit_fact(iri, NS["ks"] + "factuality", fact_val,
+                               mention, "factuality", sent, mb, me,
+                               o_literal=True)
             for ref in pred.get("refs") or []:
                 res = (ref.get("resource") or "").lower()
                 if res in NS and ref.get("reference"):

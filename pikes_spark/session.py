@@ -8,7 +8,8 @@ from pyspark.sql import SparkSession
 
 
 def get_spark(app: str = "pikes_spark", master: str | None = None,
-              shuffle_partitions: int | None = None) -> SparkSession:
+              shuffle_partitions: int | None = None,
+              extra_conf: dict | None = None) -> SparkSession:
     """local[N] session with AQE, Arrow, UTC — the same knobs that
     matter on a real cluster (AQE skew join, shuffle sizing) are set
     here so plans tested locally carry over."""
@@ -30,6 +31,8 @@ def get_spark(app: str = "pikes_spark", master: str | None = None,
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "90g"))
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -58,15 +58,20 @@ class SnapshotTable:
         """Write df as a new snapshot (previous snapshot's files + the
         new data dir). Sort-within-partitions by the table sort order
         (spo/pos layout) before writing."""
+        from pyspark.sql import Observation
+
         snap_id = uuid.uuid4().hex[:12]
         data_dir = os.path.join(self.root, "data", snap_id)
         out = df
         if self.sort_cols:
             out = out.sortWithinPartitions(*self.sort_cols)
         t0 = time.time()
+        # row count via observe(): piggybacks on the write job, no
+        # read-back scan (the reference's Tracker -> observe() mapping)
+        obs = Observation(f"append_{snap_id}")
+        out = out.observe(obs, F.count(F.lit(1)).alias("rows"))
         out.write.mode("errorifexists").parquet(data_dir)
-        stats = spark.read.parquet(data_dir).agg(
-            F.count("*").alias("rows")).collect()[0]
+        stats = {"rows": obs.get["rows"]}
         prev = self.latest_snapshot()
         manifest = {
             "table": self.name,
