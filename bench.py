@@ -23,7 +23,8 @@ def _run_queries(spark, sf_dir: str) -> dict:
     from pikes_spark.pipeline import run_pipeline
 
     timings: dict = {}
-    out_root = tempfile.mkdtemp(prefix="pikes_bench_")
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    out_root = tempfile.mkdtemp(prefix="pikes_bench_", dir=base)
     try:
         t0 = time.time()
         result = run_pipeline(spark, sf_dir, out_root, resume=False)

@@ -743,6 +743,11 @@ def annotate_document(text: str) -> dict:
     graph = DepGraph(deps)
     entities, timexes = extract_entities_timexes(tokens, tagged)
     predicates = extract_predicates(tokens, tagged, graph)
+    # F9 srlPreprocess: merge SRL sources by head (a second, FrameNet
+    # model plugs in here as source="semafor"; with one source this
+    # still applies the head-validity drop)
+    from .srl_merge import merge_srl_sources
+    predicates = merge_srl_sources(predicates, graph)
     corefs = extract_corefs(tokens, tagged, entities)
     return {
         "sentences": [{"sent": i, "begin": b, "end": e}
