@@ -28,9 +28,9 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship: pages -> annotate -> link -> distill -> canonicalize."""
     sf_dir = "/root/testdata/sf0.001"
     pages = pages_from_documents(spark, sf_dir)
-    ann = annotate_pages(pages)
+    ann = annotate_pages(pages).localCheckpoint()
     links = link_entities(ann, candidates_df(spark))
-    triples = distill_annotations(ann, links)
+    triples = distill_annotations(ann, links).localCheckpoint()
     return canonicalize_triples(triples, max_iter=6)
 
 
@@ -139,9 +139,10 @@ def _q_triples_by_component(spark, sf_dir):
 def _q_canonical(spark, sf_dir):
     """J4 canonicalization: connected-components-merged triples."""
     pages = pages_from_documents(spark, sf_dir)
-    ann = annotate_pages(pages)
+    ann = annotate_pages(pages).localCheckpoint()  # reused by link + distill
     links = link_entities(ann, candidates_df(spark))
-    triples = distill_annotations(ann, links)
+    # canonicalize scans the triple set several times -> materialize once
+    triples = distill_annotations(ann, links).localCheckpoint()
     out = canonicalize_triples(triples, max_iter=8)
     return (out.groupBy("component").agg(
         F.count("*").alias("n"),
