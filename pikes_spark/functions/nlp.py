@@ -496,6 +496,15 @@ NOMINAL_ROLESETS = {
     "visit": "visit.01", "election": "elect.01", "president": "president.01",
 }
 
+# F13 srlSelfArgFixing (NAFFilter.java:1246-1308): agentive/role nouns
+# whose referent IS one of the roleset's arguments; the mandatory
+# self-argument is added if the SRL missed it (NomBank.java:436-470
+# mandatory-args contract, fixture scale).
+NOMINAL_SELF_ARGS = {
+    "supporter": "A0", "founder": "A0", "president": "A0", "donor": "A0",
+    "fighter": "A0", "official": "A0",
+}
+
 _COPULA_LEMMAS = {"be", "become"}
 
 
@@ -582,6 +591,10 @@ def extract_predicates(tokens: List[Token], tags: List[Tagged],
         elif t.pos in ("N",) and t.lemma in NOMINAL_ROLESETS:
             roleset = NOMINAL_ROLESETS[t.lemma]
             roles = []
+            self_arg = NOMINAL_SELF_ARGS.get(t.lemma)
+            if self_arg:
+                roles.append({"sem_role": self_arg, "term_ids": [i],
+                              "head_id": i, "refs": []})
             for child, lab in graph.children.get(i, []):
                 if lab == "NMOD" and tags[child].pos in ("Q", "R", "N"):
                     roles.append({"sem_role": "A0", "term_ids": role_span(child),

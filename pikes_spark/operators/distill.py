@@ -746,6 +746,8 @@ class Distiller:
                     arg_iri = self.ann_obj.get(ah) or self.ann_pred.get(ah)
                     if arg_iri is None and ah != rhead:
                         continue
+                    if arg_iri == pred_iri:
+                        continue  # self-arg on a noun-sharing IRI -> no self-loop
                     if arg_iri is None:
                         # unannotated N/G/A arg -> attribute node (:1374-1390)
                         if (self.terms[ah]["pos"] or "O")[0].upper() in ("N", "G", "A"):
