@@ -198,7 +198,20 @@ def _q_rel_join_window(spark, sf_dir):
             .orderBy("c_mktsegment", "rn"))
 
 
+def _utc(fn: Callable) -> Callable:
+    """Timestamp-bearing outputs are compared against DuckDB (UTC-naive);
+    pin the session TZ regardless of the driver session's default."""
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return fn(spark, sf_dir)
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {k: _utc(v) for k, v in _raw_queries().items()}
+
+
+def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG pipeline (SURVEY.md §2.1-2.4)
         "kg_pages_table": _q_pages,
