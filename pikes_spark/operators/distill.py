@@ -35,7 +35,6 @@ from typing import Dict, List, Optional, Sequence, Set, Tuple
 from ..functions.deptree import DepGraph
 from ..functions.numbers import parse_spelled_number, ordinal_rank
 from ..functions.hashing import fact_graph_iri, murmur3_id
-from ..functions.resources import LINKING_STOPWORDS
 
 # namespace table (RDFGenerator.java:128-144 DEFAULT_NAMESPACE_MAP)
 NS = {
@@ -103,7 +102,6 @@ TYPE_MAP = {
 
 MODIFIER_REGEX = "(NMOD|AMOD|TMP|LOC|TITLE) PMOD? (COORD CONJ?)* PMOD?"
 PARTICIPATION_REGEX = "SUB? (COORD CONJ?)* (PMOD (COORD CONJ?)*)? ((VC OPRD?)|(IM OPRD?))*"
-COORD_REGEX = "(COORD CONJ?)*"
 
 # property-entity types skipped as instances when used as modifiers
 # (RDFGenerator.java:890-901)
@@ -138,10 +136,6 @@ def premon_role_iri(resource: str, pred: str, role: str) -> str:
 _XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
 _XSD_DOUBLE = "http://www.w3.org/2001/XMLSchema#double"
 _XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
-
-
-class Triple(dict):
-    pass
 
 
 class Distiller:
