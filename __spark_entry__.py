@@ -298,7 +298,12 @@ def oracle_sql() -> dict[str, str]:
         "txt_fingerprint": textstats.FINGERPRINT_SQL,
         "dedup_exact": dedup.EXACT_DUP_SQL,
         "dedup_ngram_jaccard": dedup.NGRAM_JACCARD_SQL,
-        "dedup_minhash_lsh": dedup.NGRAM_JACCARD_SQL,  # LSH+verify == exact set
+        # LSH candidates are exact-Jaccard verified, so output ⊆ exact set
+        # always; equality additionally needs LSH recall 1.0 at t=0.8.
+        # With 32 bands x 4 rows, P[miss] per true pair = (1-0.8^4)^32
+        # ≈ 4.8e-8 — probabilistic, not guaranteed; an unlucky dataset can
+        # legitimately fail this oracle (documented bound, accepted risk).
+        "dedup_minhash_lsh": dedup.NGRAM_JACCARD_SQL,
         "dedup_embedding_cosine": dedup.EMB_NEARDUP_SQL,
         "sim_brute_force_topk": similarity.brute_force_topk_sql(0, 10),
         "rel_filter_agg": """

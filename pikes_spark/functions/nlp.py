@@ -339,9 +339,12 @@ _YEAR = re.compile(r"(1[5-9]\d\d|20\d\d)")
 _MONTH_NUM = {m: i + 1 for i, m in enumerate(sorted(_MONTHS, key=lambda m: [
     "january", "february", "march", "april", "may", "june", "july",
     "august", "september", "october", "november", "december"].index(m)))}
+# time-of-day units carry the ISO-8601/TimeML 'T' designator (PT5M = 5
+# minutes vs P5M = 5 months); encoded here with a leading 'T' that the
+# formatter moves before the number
 _DUR_UNITS = {"day": "D", "days": "D", "week": "W", "weeks": "W",
               "month": "M", "months": "M", "year": "Y", "years": "Y",
-              "hour": "H", "hours": "H", "minute": "M", "minutes": "M",
+              "hour": "TH", "hours": "TH", "minute": "TM", "minutes": "TM",
               "decade": "0Y", "decades": "0Y"}
 _UNIT_WORDS = set(_DUR_UNITS)
 
@@ -405,8 +408,12 @@ def extract_entities_timexes(tokens: List[Token], tags: List[Tagged]):
                 amount = parse_spelled_number([prev])
             if amount is not None:
                 unit = _DUR_UNITS[low]
+                if unit.startswith("T"):
+                    value = f"PT{int(amount)}{unit[1:]}"
+                else:
+                    value = f"P{int(amount)}{unit}"
                 timexes.append({"id": f"tmx{len(timexes) + 1}", "type": "DURATION",
-                                "value": f"P{int(amount)}{unit}",
+                                "value": value,
                                 "wf_ids": [i - 1, i]})
                 used.update((i - 1, i))
                 i += 1

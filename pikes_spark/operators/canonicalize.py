@@ -54,7 +54,7 @@ def build_sameas_edges(triples: DataFrame) -> DataFrame:
 
 
 def connected_components(edges: DataFrame, max_iter: int = 50,
-                         local_threshold: int = 2_000_000) -> DataFrame:
+                         local_threshold: int = 200_000) -> DataFrame:
     """-> (node, component) via alternating large-star/small-star.
 
     Works directly on string node ids (min() = lexicographic; the
@@ -68,13 +68,15 @@ def connected_components(edges: DataFrame, max_iter: int = 50,
     distributed star path is what runs at corpus scale (and is what the
     stress tests exercise with local_threshold=0).
     """
-    # single probe job: pull up to threshold+1 rows; if the probe is not
-    # truncated we already hold the full edge set -> driver union-find
-    # without a separate count() job
+    # size probe is a counted AGGREGATE (one cheap job that moves a single
+    # long to the driver), not a limit-collect of edge rows — we only pull
+    # actual IRI strings to the driver once the count proves the edge set
+    # is small enough for the union-find fast path
     if local_threshold > 0:
-        probe = edges.select("src", "dst").limit(local_threshold + 1).collect()
-        if len(probe) <= local_threshold:
-            return _local_union_find_rows(edges.sparkSession, probe)
+        n_edges = edges.select("src", "dst").count()
+        if n_edges <= local_threshold:
+            return _local_union_find_rows(edges.sparkSession,
+                                          edges.select("src", "dst").collect())
     # normalize to ranked ids once; strip rank at the end
     e = (edges
          .select(_rank_key(F.col("src")).alias("u"), _rank_key(F.col("dst")).alias("v"))
@@ -188,11 +190,17 @@ def canonicalize_triples(triples: DataFrame, max_iter: int = 50) -> DataFrame:
     # instances only). Statistics on it are unknown to Catalyst (it comes
     # out of the iterative CC), so AQE sometimes plans a sort-merge join
     # that sorts the FULL triple table twice — measured 10x slower.
-    # Decide explicitly from the observed size (same adaptive pattern as
-    # the CC local/distributed choice): broadcast below the threshold,
-    # shuffle join above it (the 10^12-document path).
-    mapping = comp.cache()
-    if mapping.count() <= 20_000_000:
+    # Decide explicitly from the observed BYTE size (row counts lie for
+    # IRI strings: 20M rows of 100-byte IRIs is ~2 GB and would OOM real
+    # executors as a broadcast): broadcast under 64 MB of string payload,
+    # shuffle join above it (the 10^12-document path). One cheap aggregate
+    # job; the mapping itself is a groupBy over the localCheckpointed CC
+    # frontier (or a driver-local DataFrame), so no cache is needed.
+    mapping = comp
+    stats = comp.agg(
+        F.coalesce(F.sum(F.length("node") + F.length("component")), F.lit(0))
+        .alias("bytes")).collect()[0]
+    if stats["bytes"] <= 64 * 1024 * 1024:
         mapping = F.broadcast(mapping)
     rewritten = (triples
                  .join(mapping.withColumnRenamed("node", "subject")

@@ -41,15 +41,24 @@ from pyspark.sql.types import ArrayType, LongType
 def exact_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Groups of byte-identical normalized texts: (rep_doc_id, doc_id)
     for every doc in a >1-sized group. Normalization: lower + trim +
-    whitespace collapse."""
+    whitespace collapse.
+
+    Shuffle key is a 128-bit content hash (two independent xxhash64
+    seeds), NOT the text itself — at 100 TB only 16 bytes + doc_id move
+    through the exchange. Collision probability for 128 bits is
+    ~n^2/2^129 (< 1e-15 even at 10^12 docs), so no text verify pass is
+    needed; the oracle groups on the full text and agrees whenever no
+    collision occurs."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     norm = F.regexp_replace(F.trim(F.lower("text")), r"\s+", " ")
-    normed = docs.select("doc_id", norm.alias("norm"))
-    groups = (normed.groupBy("norm")
+    normed = docs.select("doc_id",
+                         F.xxhash64(norm).alias("h1"),
+                         F.xxhash64(norm, F.lit(0x9E3779B9)).alias("h2"))
+    groups = (normed.groupBy("h1", "h2")
               .agg(F.min("doc_id").alias("rep_doc_id"),
                    F.count("*").alias("group_size"))
               .filter(F.col("group_size") > 1))
-    return (normed.join(groups, "norm")
+    return (normed.join(groups, ["h1", "h2"])
             .select("rep_doc_id", "doc_id", "group_size")
             .orderBy("rep_doc_id", "doc_id"))
 
@@ -189,8 +198,10 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str,
     """LSH candidates (band bucket join) verified with EXACT jaccard —
     output identical to ngram_jaccard_pairs when LSH recall is 1.0 at
     the threshold (banding tuned for that; verified in tests)."""
+    # no cache: shingle_df is a parquet scan + Catalyst transforms that
+    # pipeline into each consumer; caching it leaked storage across the
+    # multi-query driver session for no measured win
     sh = shingle_df(spark, sf_dir)
-    sh.cache()
     sigs = minhash_signatures(sh)
     bands = sigs.select(
         "doc_id",

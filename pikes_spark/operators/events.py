@@ -25,9 +25,12 @@ def sessionize(spark: SparkSession, sf_dir: str,
                           .otherwise(0))
             .withColumn("sess_no", F.sum("new_sess").over(
                 w.rowsBetween(Window.unboundedPreceding, 0))))
+    # decimal sum is exact/order-independent; a double sum's floor() can
+    # flip on boundary values depending on partition order vs the oracle
     return (sess.groupBy("user_id", "sess_no")
             .agg(F.count("*").alias("n_events"),
-                 F.floor(F.sum("value")).cast("bigint").alias("sum_value_fl"),
+                 F.floor(F.sum(F.col("value").cast("decimal(38,6)")))
+                 .cast("bigint").alias("sum_value_fl"),
                  F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("sess_start"))
             .orderBy("user_id", "sess_no"))
 
@@ -46,7 +49,7 @@ WITH g AS (
   FROM g
 )
 SELECT user_id, sess_no, count(*) AS n_events,
-       CAST(floor(sum(value)) AS BIGINT) AS sum_value_fl,
+       CAST(floor(sum(CAST(value AS DECIMAL(38,6)))) AS BIGINT) AS sum_value_fl,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start
 FROM s GROUP BY user_id, sess_no ORDER BY user_id, sess_no
 """
@@ -58,7 +61,8 @@ def windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
             .agg(F.count("*").alias("n"),
-                 F.floor(F.sum("value")).cast("bigint").alias("sum_value_fl"))
+                 F.floor(F.sum(F.col("value").cast("decimal(38,6)")))
+                 .cast("bigint").alias("sum_value_fl"))
             .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
                     "event_type", "n", "sum_value_fl")
             .orderBy("win_start", "event_type"))
@@ -67,7 +71,7 @@ def windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 WINDOWED_COUNTS_SQL = """
 SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS win_start,
        event_type, count(*) AS n,
-       CAST(floor(sum(value)) AS BIGINT) AS sum_value_fl
+       CAST(floor(sum(CAST(value AS DECIMAL(38,6)))) AS BIGINT) AS sum_value_fl
 FROM events
 GROUP BY 1, 2 ORDER BY 1, 2
 """
