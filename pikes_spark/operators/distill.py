@@ -118,20 +118,27 @@ _PREMON_PREFIX = {"propbank": "pb17", "nombank": "nb10",
 
 
 def premon_class_iri(resource: str, pred: str) -> str:
-    """NAFUtils.createPreMOnSemanticClassIRIfor (NAFUtils.java:995-1012)."""
-    return PREMON_NS + _PREMON_PREFIX[resource] + "-" + pred.lower()
+    """NAFUtils.createPreMOnSemanticClassIRIfor (NAFUtils.java:995-1012).
+    PB/NB rolesets are lowercased; FrameNet frame and VerbNet class
+    names keep their case (Grant_permission) so the downstream eval
+    rewrite recovers the exact reference name."""
+    if resource in ("propbank", "nombank"):
+        pred = pred.lower()
+    return PREMON_NS + _PREMON_PREFIX[resource] + "-" + pred
 
 
 def premon_role_iri(resource: str, pred: str, role: str) -> str:
     """NAFUtils.createPreMOnSemanticRoleIRIfor (NAFUtils.java:1015-1046):
-    PB/NB roles a1 -> arg1, am-loc -> argloc (reference quirk kept)."""
-    role = role.lower()
+    PB/NB roles a1 -> arg1, am-loc -> argloc (reference quirk kept);
+    VN theta roles / FN frame elements keep their case (Participant_1)."""
     if resource in ("propbank", "nombank"):
+        pred = pred.lower()
+        role = role.lower()
         if "am-" not in role:
             role = role.replace("a", "arg")
         else:
             role = role.replace("am-", "arg")
-    return PREMON_NS + _PREMON_PREFIX[resource] + "-" + pred.lower() + "@" + role
+    return PREMON_NS + _PREMON_PREFIX[resource] + "-" + pred + "@" + role
 
 _XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
 _XSD_DOUBLE = "http://www.w3.org/2001/XMLSchema#double"
@@ -585,16 +592,33 @@ class Distiller:
                             self._emit_copula_sameas(pred, a1, a2):
                         continue
             tids = sorted(pred["term_ids"])
-            mention = self.emit_mention(tids)
+            # selfArg (RDFGenerator.java:1005-1028): when a role's head IS
+            # the predicate head and an entity IRI already covers it, the
+            # predicate gets its OWN minted IRI (lemma + collision suffix,
+            # e.g. insurgent_2) so the self-arg becomes a real role edge;
+            # otherwise the entity IRI is reused (noun-sharing)
+            self_arg = False
+            if shared_iri is not None:
+                for role in pred.get("roles") or []:
+                    rh = role.get("head_id")
+                    if rh is None:
+                        rh = self.graph.head_of_span(role["term_ids"])
+                    if rh == head:
+                        self_arg = True
+                        break
+            sharing = shared_iri is not None and not self_arg
+            if sharing:
+                iri = shared_iri
+                # reuse the entity span's mention (RDFGenerator.java:1032-1037)
+                mention = self.emit_mention(self.ann_extent.get(head, tids))
+            else:
+                iri = self.mint_iri("pred:" + str(head),
+                                    self.terms[head]["lemma"])
+                mention = self.emit_mention(tids)
             if mention:
                 self.mention_heads[mention] = (self.t_begin(head), self.t_end(head))
             sent = self.tokens[tids[0]]["sent"]
             mb, me = self.t_begin(tids[0]), self.t_end(tids[-1])
-            if shared_iri is not None:
-                iri = shared_iri
-            else:
-                iri = self.mint_iri("pred:" + str(head),
-                                    self.terms[head]["lemma"] + "_" + str(head))
             self.ann_pred[head] = iri
             if head not in self.ann_extent:
                 self.ann_extent[head] = tids

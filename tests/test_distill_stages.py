@@ -51,8 +51,9 @@ def test_premon_iris():
         "http://premon.fbk.eu/resource/pb17-cost.01@arg1"
     assert premon_role_iri("nombank", "aid.01", "AM-LOC") == \
         "http://premon.fbk.eu/resource/nb10-aid.01@argloc"
+    # VN/FN role names keep their case (gold FEs like Participant_1)
     assert premon_role_iri("verbnet", "cost-54.2", "Value") == \
-        "http://premon.fbk.eu/resource/vb32-cost-54.2@value"
+        "http://premon.fbk.eu/resource/vb32-cost-54.2@Value"
 
 
 def test_f11_strict_rolesets():

@@ -83,7 +83,12 @@ def spark_scores(calibrated):
 
 # floors for THIS repo's pipeline — raise as components improve;
 # a drop below any floor = regression in the distillation core
-SPARK_GOLD_FLOORS = {"instances": 0.80, "linking": 0.80, "edges": 0.20}
+# (current: instances .92, linking .85, edges .50, triples .54,
+#  types_nb .92, types_fn .84, types_vn .83)
+SPARK_GOLD_FLOORS = {"instances": 0.88, "linking": 0.80, "edges": 0.45,
+                     "triples": 0.48, "types_nb": 0.85, "types_fn": 0.75,
+                     "types_vn": 0.75, "types_pb": 0.50, "roles_nb": 0.35,
+                     "roles_vn": 0.35}
 
 
 @pytest.mark.parametrize("comp", sorted(SPARK_GOLD_FLOORS))
