@@ -210,10 +210,37 @@ def parse_sentence_deps(tokens: List[Token], tags: List[Tagged], lo: int, hi: in
                 # appositive only if followed later by comma or sentence end
                 att(left, h, "APPO")
 
-    # 6. prepositions: PMOD for their object; attach prep to verb
-    #    (LOC/TMP/ADV) or preceding noun (NMOD)
+    # 6a. verb groups: one per unattached verb anchor (aux chains
+    # collapsed via vc_child); infinitives (IM children) are inside
+    # their governing group's object region
+    groups: List[Tuple[int, int]] = []
+    for v in verb_idxs:
+        if attached[v]:
+            continue
+        c = v
+        while c in vc_child:
+            c = vc_child[c]
+        groups.append((v, c))
+
+    # 6b. open complements: "V to V" -> OPRD(content, to) + IM(to, verb)
+    # (mate-style xcomp; the PARTICIPATION regex traverses IM/OPRD)
+    for (_a, c) in groups:
+        j = c + 1
+        while j < n and pos[j] == "A":
+            j += 1
+        if j + 1 < n and ptb[j] == "TO" and pos[j + 1] == "V" and not attached[j]:
+            att(c, j, "OPRD")
+
+    _CLAUSE_SUBORD = {"as", "while", "when", "because", "although",
+                      "though", "unless", "whereas"}
+
+    # 6c. prepositions: PMOD for their object; attach to the adjacent
+    # preceding noun (NMOD) when right after an NP, else to the nearest
+    # preceding verb group's content verb (LOC/TMP/ADV)
     for i_l in range(n):
-        if pos[i_l] == "P" and ptb[i_l] in ("IN", "TO"):
+        if pos[i_l] == "P" and ptb[i_l] in ("IN", "TO") and not attached[i_l]:
+            if lows[i_l] in _CLAUSE_SUBORD and (i_l == 0 or forms[i_l - 1] == ","):
+                continue  # clause subordinator, not a preposition
             obj = np_head_from(i_l + 1)
             if obj is None and i_l + 1 < n and ptb[i_l + 1] == "CD":
                 k = i_l + 1
@@ -222,49 +249,78 @@ def parse_sentence_deps(tokens: List[Token], tags: List[Tagged], lo: int, hi: in
                 obj = k
             if obj is not None and not attached[obj]:
                 att(i_l, obj, "PMOD")
-            # attachment site: nearest preceding noun if directly adjacent
-            # NP, else root verb
             site = None
             label = "NMOD"
-            if i_l > 0 and pos[i_l - 1] in ("N", "R") and lows[i_l] in ("of", "for", "between", "about"):
+            if i_l > 0 and pos[i_l - 1] in ("N", "R"):
                 site = nom_head(i_l - 1)
                 label = "NMOD"
-            elif root_verb is not None:
-                site = root_verb if root_verb not in vc_child else vc_child[root_verb]
-                if obj is not None and _looks_location(forms[obj], lows[obj]):
-                    label = "LOC"
-                elif obj is not None and (lows[obj] in _MONTHS or re.fullmatch(r"\d{4}", forms[obj])):
-                    label = "TMP"
-                else:
-                    label = "ADV"
-            elif i_l > 0 and pos[i_l - 1] in ("N", "R"):
-                site = nom_head(i_l - 1)
+            else:
+                pv = None
+                for j in range(i_l - 1, -1, -1):
+                    if pos[j] == "V":
+                        pv = j
+                        break
+                if pv is None and root_verb is not None:
+                    pv = root_verb
+                if pv is not None:
+                    site = pv
+                    while site in vc_child:
+                        site = vc_child[site]
+                    if obj is not None and _looks_location(forms[obj], lows[obj]):
+                        label = "LOC"
+                    elif obj is not None and (lows[obj] in _MONTHS
+                                              or re.fullmatch(r"\d{4}", forms[obj])):
+                        label = "TMP"
+                    else:
+                        label = "ADV"
             if site is not None and not attached[i_l]:
                 att(site, i_l, label)
 
-    # 7. subject/object around root verb
-    if root_verb is not None:
+    # 7. subject/object per verb group (clause-aware: each group looks
+    # for its own subject to the left of its anchor, bounded by the
+    # previous group, and its own object right of its content verb)
+    _REL_PRONOUNS = {"that", "who", "whom", "which"}
+    for gi, (anchor, content) in enumerate(groups):
+        lo_bound = groups[gi - 1][1] if gi > 0 else -1
         subj = None
-        for j in range(root_verb - 1, -1, -1):
+        for j in range(anchor - 1, lo_bound, -1):
+            if lows[j] in _REL_PRONOUNS and j == anchor - 1:
+                if lows[j] in ("who", "whom", "which") and pos[j] == "Q":
+                    subj = j  # relative pronoun kept as an instance
+                else:
+                    # "that"-relative: subject is the antecedent nominal
+                    for k2 in range(j - 1, -1, -1):
+                        if pos[k2] in ("N", "R"):
+                            subj = nom_head(k2)
+                            break
+                if subj is not None:
+                    att(nom_head(j - 1) if pos[j - 1] in ("N", "R") else subj,
+                        anchor, "NMOD")  # relative clause modifies the NP
+                break
             if pos[j] in ("N", "R", "Q") and not attached[nom_head(j)]:
                 subj = nom_head(j)
                 break
-            if pos[j] in ("N", "R") and name_head[j] is not None and not attached[name_head[j]]:
+            if pos[j] in ("N", "R") and name_head[j] is not None \
+                    and not attached[name_head[j]]:
                 subj = name_head[j]
                 break
-        if subj is not None:
-            att(root_verb, subj, "SUB")
-        content_verb = root_verb
-        while content_verb in vc_child:
-            content_verb = vc_child[content_verb]
-        is_copula = lows[content_verb] in ("is", "are", "was", "were", "be",
-                                           "been", "am", "became", "become",
-                                           "becomes", "'s", "'re")
+        if subj is not None and not attached[subj] and subj != anchor:
+            att(anchor, subj, "SUB")
+        is_copula = lows[content] in ("is", "are", "was", "were", "be",
+                                      "been", "am", "became", "become",
+                                      "becomes", "'s", "'re")
+        hi_bound = groups[gi + 1][0] if gi + 1 < len(groups) else n
         obj = None
-        for j in range(content_verb + 1, n):
+        for j in range(content + 1, hi_bound):
             if pos[j] in ("N", "R", "Q") and not attached[nom_head(j)] and name_head[j] is None or \
                pos[j] in ("N", "R") and not attached[nom_head(j)]:
-                obj = nom_head(j)
+                cand = nom_head(j)
+                # an NP immediately before the next verb group is that
+                # clause's subject, not this verb's object ("said he
+                # helped...": 'he' belongs to 'helped')
+                if gi + 1 < len(groups) and cand + 1 == groups[gi + 1][0]:
+                    break
+                obj = cand
                 break
             if ptb[j] == "CD":
                 # cardinal/money object: head of the CD run ("$5 billion")
@@ -277,12 +333,12 @@ def parse_sentence_deps(tokens: List[Token], tags: List[Tagged], lo: int, hi: in
             if pos[j] == "P" or pos[j] == "V":
                 break
         if obj is not None:
-            att(content_verb, obj, "PRD" if is_copula else "OBJ")
-        # objects of remaining verbs in chains
+            att(content, obj, "PRD" if is_copula else "OBJ")
+        # object of an IM infinitive inside this group's region
         for v in verb_idxs:
-            if v in (root_verb, content_verb):
+            if v <= content or v >= hi_bound or not attached[v]:
                 continue
-            for j in range(v + 1, n):
+            for j in range(v + 1, hi_bound):
                 if pos[j] in ("N", "R", "Q") and not attached[nom_head(j)]:
                     att(v, nom_head(j), "OBJ")
                     break
@@ -525,6 +581,21 @@ VERB_ROLESETS = {
     "prompt": "prompt.02", "mount": "mount.02", "have": "have.03",
 }
 
+# NomBank nominalization -> source-verb PropBank roleset (the
+# PredicateMatrix carries both columns; the reference emits types and
+# role properties for BOTH resources — cf. gold graphs' dual typing
+# like donors_v a nb:donor.01, pb:donate.01)
+NOMINAL_VERB_ROLESETS = {
+    "donor": "donate.01", "fighter": "fight.01", "insurgent": "rebel.01",
+    "offshoot": "spin.02", "favor": "give.01", "sanction": "impose.01",
+    "opposition": "oppose.01", "government": "govern.01",
+    "effort": "try.01", "success": "succeed.01", "dealing": "deal.01",
+    "challenge": "challenge.01", "weapon": "defend.01",
+    "approval": "approve.01", "supporter": "support.01",
+    "meeting": "meet.01", "agreement": "agree.01",
+    "announcement": "announce.01", "founder": "found.01",
+}
+
 # F13 srlSelfArgFixing (NAFFilter.java:1246-1308): agentive/role nouns
 # whose referent IS one of the roleset's arguments; the mandatory
 # self-argument is added if the SRL missed it (NomBank.java:436-470
@@ -563,23 +634,48 @@ def extract_predicates(tokens: List[Token], tags: List[Tagged],
             roleset = VERB_ROLESETS.get(t.lemma, t.lemma + ".01")
             roles: List[dict] = []
             subj = obj = None
-            # subject may hang off the aux above this verb (VC chain)
+            # subject may hang off the aux above this verb (VC chain), or
+            # — for participial/infinitive adjuncts — be inherited from
+            # the governing clause (walk up until a SUB is found)
             scan = i
             seen_sub = False
+            hops = 0
             while True:
                 for child, lab in graph.children.get(scan, []):
                     if lab == "SUB" and not seen_sub:
                         subj = child
                         seen_sub = True
+                if seen_sub:
+                    break
                 p = graph.parent.get(scan)
-                if p is not None and p[1] in ("VC", "IM"):
+                hops += 1
+                if p is not None and hops < 8 and p[1] in (
+                        "VC", "IM", "DEP", "ADV", "OPRD", "COORD", "CONJ"):
                     scan = p[0]
                 else:
                     break
             is_cop = t.lemma in _COPULA_LEMMAS
+            # subject argnum: A0 when the roleset has an arg0, else A1
+            # (unaccusatives like flow.01 take their subject as theme)
+            from .predicate_matrix import PM_ROLES
+            if is_cop:
+                subj_arg = "A1"
+            elif (roleset, "0") in PM_ROLES or roleset not in {
+                    rs for (rs, _a) in PM_ROLES}:
+                subj_arg = "A0"
+            else:
+                subj_arg = "A1"
             for child, lab in children:
                 if lab in ("OBJ", "PRD"):
                     obj = child
+                elif lab == "OPRD":
+                    # open complement "want to support X": the A1/A2 is
+                    # the infinitive predicate under the TO's IM child
+                    im = [c for c, l2 in graph.children.get(child, [])
+                          if l2 == "IM"]
+                    tgt = im[0] if im else child
+                    roles.append({"sem_role": "A1", "term_ids": role_span(tgt),
+                                  "head_id": tgt, "refs": []})
                 elif lab in ("TMP",):
                     roles.append({"sem_role": "AM-TMP", "term_ids": role_span(child),
                                   "head_id": child, "refs": []})
@@ -597,7 +693,7 @@ def extract_predicates(tokens: List[Token], tags: List[Tagged],
                         roles.append({"sem_role": "AM-TMP", "term_ids": role_span(child),
                                       "head_id": child, "refs": []})
             if subj is not None:
-                roles.insert(0, {"sem_role": "A1" if is_cop else "A0",
+                roles.insert(0, {"sem_role": subj_arg,
                                  "term_ids": role_span(subj), "head_id": subj, "refs": []})
             if obj is not None:
                 roles.append({"sem_role": "A2" if is_cop else "A1",
@@ -631,17 +727,34 @@ def extract_predicates(tokens: List[Token], tags: List[Tagged],
                 if lab == "NMOD" and tags[child].pos in ("Q", "R", "N"):
                     roles.append({"sem_role": "A0", "term_ids": role_span(child),
                                   "head_id": child, "refs": []})
-                elif lab == "NMOD" and tags[child].pos == "P" and \
-                        tokens[child].form.lower() == "of":
+                elif lab == "NMOD" and tags[child].pos == "P":
+                    pl = tokens[child].form.lower()
                     pm = [c for c, l2 in graph.children.get(child, []) if l2 == "PMOD"]
-                    if pm:
+                    if not pm:
+                        continue
+                    # nominal argument prepositions: of/to -> A1,
+                    # from -> A0, in+location -> AM-LOC
+                    if pl in ("of", "to"):
                         roles.append({"sem_role": "A1", "term_ids": role_span(pm[0]),
                                       "head_id": pm[0], "refs": []})
+                    elif pl == "from":
+                        roles.append({"sem_role": "A0", "term_ids": role_span(pm[0]),
+                                      "head_id": pm[0], "refs": []})
+                    elif pl == "in" and GAZETTEER.get(
+                            tokens[pm[0]].form.lower()) == "LOC":
+                        roles.append({"sem_role": "AM-LOC",
+                                      "term_ids": role_span(pm[0]),
+                                      "head_id": pm[0], "refs": []})
+            refs = [{"resource": "NomBank", "reference": roleset,
+                     "confidence": 1.0, "source": "mate"}]
+            verb_rs = NOMINAL_VERB_ROLESETS.get(t.lemma)
+            if verb_rs:
+                refs.append({"resource": "PropBank", "reference": verb_rs,
+                             "confidence": 1.0, "source": "mate+pm"})
             preds.append(_with_pm({
                 "id": f"pr{len(preds) + 1}", "source": "mate",
                 "term_ids": [i], "head_id": i,
-                "refs": [{"resource": "NomBank", "reference": roleset,
-                          "confidence": 1.0, "source": "mate"}],
+                "refs": refs,
                 "roles": roles,
             }, roleset))
     # F12 srlPredicateAddition (NAFFilter.java:1189-1244): add a 1-term
@@ -701,7 +814,7 @@ def _with_pm(pred: dict, roleset: str) -> dict:
 
 _PRON_TYPE = {"he": "PER", "she": "PER", "him": "PER", "her": "PER",
               "his": "PER", "it": None, "its": None, "they": None,
-              "them": None, "their": None}
+              "them": None, "their": None, "who": "PER", "which": None}
 
 
 def extract_corefs(tokens: List[Token], tags: List[Tagged],

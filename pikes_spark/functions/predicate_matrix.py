@@ -219,6 +219,8 @@ PM_ROLES: Dict[Tuple[str, str], Tuple[Optional[str], Optional[str]]] = {
     ("rebel.01", "0"): ("agent", None),
     ("return.02", "1"): ("theme", None),
     ("return.02", "2"): ("recipient", None),
+    ("run.05", "1"): (None, None),
+    ("run.05", "2"): (None, None),
     ("sanction.01", "0"): ("agent", "avenger"),
     ("sanction.01", "1"): ("theme", "punishment"),
     ("say.01", "0"): ("agent", "speaker"),

@@ -295,6 +295,9 @@ def _verb_lemma(w: str) -> str:
         stem = w[:-3]
         if len(stem) > 2 and stem[-1] == stem[-2] and stem[-1] not in "aeiou":
             return stem[:-1]
+        if stem.endswith(("at", "iv", "os", "us", "ir", "ur", "iz", "bl",
+                          "v", "c", "uad", "ut", "ens", "olat", "ak", "om")):
+            return stem + "e"
         return stem
     if len(w) > 3 and w.endswith("ies"):
         return w[:-3] + "y"
@@ -361,7 +364,11 @@ def tag_tokens(tokens: List[Token]) -> List[Tagged]:
         elif form[0].isupper() and (not sent_initial or "." in form or idx + 1 < len(tokens)
                                     and tokens[idx + 1].form[0].isupper()):
             t = Tagged("NNPS" if low.endswith("s") and low[:-1] in () else "NNP", "R", form)
-        elif low in _COMMON_VERBS and prev_tag not in {"DT", "JJ", "PRP$", "POS"}:
+        elif low in _COMMON_VERBS and (
+                prev_tag not in {"DT", "JJ", "PRP$", "POS"}
+                or (idx > 0 and tokens[idx - 1].form.lower() == "that")):
+            # "that" before a known verb form is a relative pronoun /
+            # complementizer, not a determiner blocking the verb reading
             t = _verb_tagged(low)
         elif low in _ADVERBS or (low.endswith("ly") and len(low) > 3):
             t = Tagged("RB", "A", low[:-2] if low.endswith("ly") and len(low) > 4 and low not in _ADVERBS else low)

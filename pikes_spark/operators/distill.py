@@ -579,7 +579,10 @@ class Distiller:
             roleset = next((r["reference"] for r in pred.get("refs") or []
                             if (r.get("resource") or "").lower() in ("propbank", "nombank")),
                            None)
-            # copular 'be' predicate with coreferring A1/A2 -> skip (:533-567)
+            # copular 'be' predicate skipped ONLY when its A1/A2 heads
+            # coref together (RDFGenerator.java:533-567) — then an
+            # owl:sameAs replaces the event; a non-coreferring copula
+            # stays a normal frame instance (gold keeps ':is a pb:be.01')
             if roleset and roleset.split(".")[0] in ("be", "become"):
                 heads = {}
                 for role in pred.get("roles") or []:
@@ -588,8 +591,8 @@ class Distiller:
                         heads[role["sem_role"]] = h
                 if len(heads) == 2:
                     a1, a2 = heads["A1"], heads["A2"]
-                    if (a1, a2) in coref_pairs or (a2, a1) in coref_pairs or \
-                            self._emit_copula_sameas(pred, a1, a2):
+                    if (a1, a2) in coref_pairs or (a2, a1) in coref_pairs:
+                        self._emit_copula_sameas(pred, a1, a2)
                         continue
             tids = sorted(pred["term_ids"])
             # selfArg (RDFGenerator.java:1005-1028): when a role's head IS
@@ -745,12 +748,14 @@ class Distiller:
             pred_iri = self.ann_pred.get(phead)
             if pred_iri is None:
                 continue
-            roleset = next((r["reference"] for r in pred.get("refs") or []
-                            if (r.get("resource") or "").lower() in ("propbank", "nombank")),
-                           None)
-            res = next(((r.get("resource") or "").lower() for r in pred.get("refs") or []
-                        if (r.get("resource") or "").lower() in ("propbank", "nombank")),
-                       "propbank")
+            # ALL pb/nb rolesets of the predicate contribute role
+            # properties (RDFGenerator.java:1349-1361 iterates every
+            # predicate ref) — nominalizations carry both nb + pb
+            rolesets = [((r.get("resource") or "").lower(), r["reference"])
+                        for r in pred.get("refs") or []
+                        if (r.get("resource") or "").lower()
+                        in ("propbank", "nombank")]
+            roleset = rolesets[0][1] if rolesets else None
             for role in pred.get("roles") or []:
                 sem = role["sem_role"]
                 if sem.startswith("R-"):
@@ -770,9 +775,10 @@ class Distiller:
                     props.append((SEM_HAS_TIME, "role_sem"))
                 elif sem in ("AM-LOC",):
                     props.append((SEM_HAS_PLACE, "role_sem"))
-                if roleset and (re.fullmatch(r"A\d", sem) or sem.startswith("AM-")):
-                    props.append((premon_role_iri(res, roleset, sem),
-                                  "role_pb" if res == "propbank" else "role_nb"))
+                if re.fullmatch(r"A\d", sem) or sem.startswith("AM-"):
+                    for res, rs in rolesets:
+                        props.append((premon_role_iri(res, rs, sem),
+                                      "role_pb" if res == "propbank" else "role_nb"))
                 # VN theta roles / FN frame elements from PM refs
                 # (mintRefIRI per resource, RDFGenerator.java:1323-1345);
                 # PM refs come as "<class>@<role>" -> PreMOn role IRIs

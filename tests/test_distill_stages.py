@@ -10,17 +10,19 @@ def _triples(text, url="http://e/t", **kw):
     return Distiller(url, text, annotate_document(text), **kw).run()
 
 
-def test_copular_be_skipped_as_event():
+def test_copular_be_kept_without_coref():
+    # RDFGenerator.java:533-567: the copular skip fires ONLY when the
+    # A1/A2 heads corefer; otherwise the copula stays a normal frame
+    # (cf. gold.5 ':is a pb:be.01 ; pb:a1 :group ; pb:a2 :offshoot')
     trips = _triples("Blatter became president of FIFA in 1998.")
-    # no sem:Event instance for 'became' — copular equates instead
     events = [t for t in trips if t["object"].endswith("sem/Event")]
-    assert not any("become" in t["subject"] for t in events)
-    # 'president' is non-named -> doc-scoped minted IRI
-    # (RDFGenerator.java:911-915), not a global entity: IRI
-    sameas = [t for t in trips
-              if t["predicate"].endswith("owl#sameAs")
-              and t["object"].endswith("#president")]
-    assert sameas
+    become = [t["subject"] for t in events if "become" in t["subject"]]
+    assert become
+    # A1/A2 role edges connect the copula's arguments
+    roles = [t for t in trips if "become.01@arg" in t["predicate"]]
+    assert any(t["predicate"].endswith("arg1") for t in roles)
+    assert any(t["predicate"].endswith("arg2")
+               and t["object"].endswith("#president") for t in roles)
 
 
 def test_mention_iri_scheme():
