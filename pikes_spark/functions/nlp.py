@@ -814,50 +814,180 @@ def _with_pm(pred: dict, roleset: str) -> dict:
 
 _PRON_TYPE = {"he": "PER", "she": "PER", "him": "PER", "her": "PER",
               "his": "PER", "it": None, "its": None, "they": None,
-              "them": None, "their": None, "who": "PER", "which": None}
+              "them": None, "their": None, "who": "PER", "which": "ORG"}
+
+# common nouns whose referent is a person — lets person pronouns (he,
+# who) resolve to non-named antecedents like "a veteran of Al Qaeda"
+PERSON_NOUNS = {"veteran", "president", "official", "fighter", "donor",
+                "brother", "leader", "member", "insurgent", "supporter",
+                "founder", "minister", "chief", "officer", "spokesman",
+                "director", "senator", "man", "woman", "person"}
 
 
 def extract_corefs(tokens: List[Token], tags: List[Tagged],
                    entities: List[dict]) -> List[dict]:
-    """Exact-surface-match clusters + pronoun -> nearest preceding
-    compatible named entity (contract of AnnotationPipeline.java:946-1020)."""
-    clusters: List[List[List[int]]] = []
-    by_surface: Dict[str, int] = {}
-    ent_at: List[Tuple[int, List[int], str]] = []  # (first term, ids, type)
+    """Deterministic within-document coreference sieves (the contract of
+    AnnotationPipeline.java:946-1020, whose dcoref sieves include exact
+    match, appositive, role/title apposition, and pronoun agreement):
+
+      1. exact-surface match between named entities
+      2. appositive: "NP , NP ," (the group, the Nusra Front,)
+      3. title: person-noun immediately preceding a named PER
+      4. pronouns -> nearest preceding compatible antecedent
+         (person pronouns accept person-noun antecedents; it/its any
+         nominal; which prefers named ORG/LOC)
+      5. antecedent-less compatible pronouns cluster together
+         (our~us, their~they)
+    """
+    n = len(tokens)
+
+    # union-find over mention keys; a mention is a token-id tuple
+    parent: Dict[tuple, tuple] = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        a, b = tuple(a), tuple(b)
+        ra, rb = find(a), find(b)
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        if ra != rb:
+            parent[rb] = ra
+
+    named: List[Tuple[int, List[int], str]] = []  # (first, ids, type)
     for ent in entities:
-        if not ent["named"]:
-            continue
-        ids = ent["term_ids"]
+        if ent["named"]:
+            named.append((ent["term_ids"][0], list(ent["term_ids"]),
+                          ent["type"]))
+    named.sort()
+
+    # 1. exact-surface match
+    by_surface: Dict[str, List[int]] = {}
+    for first, ids, etype in named:
         surface = " ".join(tokens[k].form for k in ids).lower()
-        ent_at.append((ids[0], ids, ent["type"]))
         if surface in by_surface:
-            clusters[by_surface[surface]].append(list(ids))
+            union(by_surface[surface], ids)
         else:
-            by_surface[surface] = len(clusters)
-            clusters.append([list(ids)])
-    # pronouns
+            by_surface[surface] = ids
+            parent.setdefault(tuple(ids), tuple(ids))
+
+    in_named = {t for _f, ids, _t in named for t in ids}
+
+    def np_right_of(i: int):
+        """Skip DT/JJ/PRP$/CD, return the trailing N/R run's ids."""
+        j = i
+        while j < n and (tags[j].pos in ("D", "G")
+                         or tags[j].morphofeat in ("PRP$", "CD", "JJ")):
+            j += 1
+        if j >= n or tags[j].pos not in ("N", "R"):
+            return None
+        k = j
+        while k + 1 < n and tags[k + 1].pos in ("N", "R") \
+                and tokens[k + 1].sent == tokens[k].sent:
+            k += 1
+        return list(range(j, k + 1))
+
+    # 2. appositive "X , Y ," — left nominal head, right NP, right
+    # terminated by comma/period (not a clause: right may not start
+    # with a pronoun or verb)
+    for i in range(1, n - 1):
+        if tokens[i].form != ",":
+            continue
+        if tags[i - 1].pos not in ("N", "R"):
+            continue
+        right = np_right_of(i + 1)
+        if right is None or right[0] == i + 1 and tags[i + 1].pos == "Q":
+            continue
+        # find the left mention: the named entity ending at i-1, else
+        # the single head token
+        left = None
+        for first, ids, _t in named:
+            if ids[-1] == i - 1:
+                left = ids
+                break
+        if left is None:
+            left = [i - 1]
+        # right must be followed by ',' '.' or a preposition phrase then ','
+        tail = right[-1] + 1
+        if tail < n and tokens[tail].form in (",", "."):
+            union(left, right)
+
+    # 3. title: person-noun immediately before a named PER entity
+    for first, ids, etype in named:
+        if etype == "PER" and first > 0 and tags[first - 1].pos == "N" \
+                and tags[first - 1].lemma in PERSON_NOUNS:
+            union([first - 1], ids)
+
+    # 4. pronouns
+    unresolved: List[Tuple[int, str]] = []
     for i, tok in enumerate(tokens):
         low = tok.form.lower()
-        if tags[i].pos == "Q" and low in _PRON_TYPE:
-            want = _PRON_TYPE[low]
-            plural = low in ("they", "them", "their")
-            best = None
-            best_per = None
-            for first, ids, etype in ent_at:
-                if first >= i:
+        if tags[i].pos not in ("Q",) and tags[i].morphofeat != "PRP$":
+            continue
+        if low not in _PRON_TYPE:
+            continue
+        want = _PRON_TYPE[low]
+        plural = low in ("they", "them", "their")
+        best = None
+        if want == "PER":
+            for j in range(i - 1, -1, -1):
+                if j in in_named:
+                    ent = next(ids for f, ids, t in named
+                               if j in ids and t == "PER")  \
+                        if any(j in ids and t == "PER"
+                               for f, ids, t in named) else None
+                    if ent:
+                        best = ent
+                        break
+                elif tags[j].pos == "N" and tags[j].lemma in PERSON_NOUNS:
+                    best = [j]
                     break
-                if want is not None and etype != want:
-                    continue
-                if etype == "PER":
-                    best_per = (first, ids)
-                best = (first, ids)
-            if plural and best_per is not None:
-                best = best_per
-            if best is not None:
-                surface = " ".join(tokens[k].form for k in best[1]).lower()
-                clusters[by_surface[surface]].append([i])
-    out = [{"id": f"co{ci + 1}", "spans": spans}
-           for ci, spans in enumerate(clusters) if len(spans) >= 2]
+        elif low in ("it", "its"):
+            for j in range(i - 1, -1, -1):
+                if tags[j].pos == "N" and tags[j].lemma not in PERSON_NOUNS \
+                        and j not in in_named:
+                    best = [j]
+                    break
+        elif low == "which":
+            for first, ids, etype in reversed(named):
+                if first < i and etype in ("ORG", "LOC"):
+                    best = ids
+                    break
+        else:  # plural they/them/their
+            for first, ids, etype in reversed(named):
+                if first < i and etype == "PER":
+                    best = ids
+                    break
+            if best is None:
+                for first, ids, etype in reversed(named):
+                    if first < i:
+                        best = ids
+                        break
+        if best is not None:
+            union(best, [i])
+        else:
+            unresolved.append((i, low))
+
+    # 5. antecedent-less compatible pronouns cluster together
+    groups = {"pl": ("they", "them", "their"), "p1": ("we", "us", "our")}
+    for key, members in groups.items():
+        idxs = [i for (i, low) in unresolved if low in members]
+        for a, b in zip(idxs, idxs[1:]):
+            union([a], [b])
+
+    # materialize clusters
+    byroot: Dict[tuple, List[List[int]]] = {}
+    for key in parent:
+        byroot.setdefault(find(key), []).append(sorted(key))
+    out = []
+    for spans in byroot.values():
+        if len(spans) >= 2:
+            spans.sort()
+            out.append({"id": f"co{len(out) + 1}", "spans": spans})
     return out
 
 
