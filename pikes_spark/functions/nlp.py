@@ -610,6 +610,82 @@ NOMINAL_SELF_ARGS = {
 
 _COPULA_LEMMAS = {"be", "become"}
 
+# Semafor-contract second SRL source (N9, AnnotationPipeline.java:826-899):
+# an independent FrameNet frame lexicon (deterministic stand-in for the
+# Semafor model); its predicates carry source="semafor" and merge into
+# same-head mate predicates via F9 (srl_merge)
+SEMAFOR_FRAMES = {
+    "position": "Locale_by_collocation",
+    "storm": "Attack",
+    "say": "Statement",
+}
+
+
+def extract_semafor_predicates(tokens: List[Token], tags: List[Tagged],
+                               graph: DepGraph) -> List[dict]:
+    """FrameNet-only predicates from the semafor-contract lexicon."""
+    preds: List[dict] = []
+    for i, t in enumerate(tags):
+        if t.pos in ("V", "N") and t.lemma in SEMAFOR_FRAMES:
+            preds.append({
+                "id": f"sf{len(preds) + 1}", "source": "semafor",
+                "term_ids": [i], "head_id": i,
+                "refs": [{"resource": "FrameNet",
+                          "reference": SEMAFOR_FRAMES[t.lemma],
+                          "confidence": 0.9, "source": "semafor"}],
+                "roles": [],
+            })
+    return preds
+
+
+def _extract_lemma(roleset: str) -> str:
+    """NAFUtils.extractLemma: 'donate.01' -> 'donate'."""
+    return roleset.rsplit(".", 1)[0]
+
+
+def _extract_sense(roleset: str) -> Optional[int]:
+    tail = roleset.rsplit(".", 1)[-1]
+    return int(tail) if tail.isdigit() else None
+
+
+def srl_remove_wrong_refs(preds: List[dict], tags: List[Tagged]) -> List[dict]:
+    """F10 srlRemoveWrongRefs (NAFFilter.java:1109-1161): for each
+    predicate, check the refs of the resource matching the head's POS
+    (PropBank for verbs, NomBank otherwise): the roleset lemma must
+    equal the head lemma and the sense must match the first SOURCED
+    ref's sense; mismatching refs are removed. The other resource's
+    refs (e.g. the nominalization's source-verb PropBank roleset) are
+    deliberately NOT checked — same as the reference."""
+    out: List[dict] = []
+    for pred in preds:
+        head = pred.get("head_id")
+        if head is None:
+            out.append(pred)
+            continue
+        t = tags[head]
+        resource = "propbank" if t.pos == "V" else "nombank"
+        refs = pred.get("refs") or []
+        checked = [r for r in refs
+                   if (r.get("resource") or "").lower() == resource]
+        expected_sense = next(
+            (_extract_sense(r["reference"]) for r in checked if r.get("source")),
+            None)
+        kept = []
+        for r in refs:
+            if (r.get("resource") or "").lower() != resource:
+                kept.append(r)
+                continue
+            lemma = _extract_lemma(r["reference"])
+            sense = _extract_sense(r["reference"])
+            if lemma.lower() != t.lemma.lower() or (
+                    expected_sense is not None and sense != expected_sense):
+                continue  # wrong roleset removed
+            kept.append(r)
+        pred = dict(pred)
+        pred["refs"] = kept
+        out.append(pred)
+    return out
+
 
 def extract_predicates(tokens: List[Token], tags: List[Tagged],
                        graph: DepGraph) -> List[dict]:
@@ -1035,12 +1111,14 @@ def annotate_document(text: str) -> dict:
         s_start = s_end
     graph = DepGraph(deps)
     entities, timexes = extract_entities_timexes(tokens, tagged)
-    predicates = extract_predicates(tokens, tagged, graph)
-    # F9 srlPreprocess: merge SRL sources by head (a second, FrameNet
-    # model plugs in here as source="semafor"; with one source this
-    # still applies the head-validity drop)
+    predicates = (extract_predicates(tokens, tagged, graph)
+                  + extract_semafor_predicates(tokens, tagged, graph))
+    # F9 srlPreprocess: merge the mate + semafor SRL sources by head
+    # (NAFFilter.java:985-1107), then F10 drops rolesets whose
+    # lemma/sense contradict the head term (NAFFilter.java:1109-1161)
     from .srl_merge import merge_srl_sources
     predicates = merge_srl_sources(predicates, graph)
+    predicates = srl_remove_wrong_refs(predicates, tagged)
     corefs = extract_corefs(tokens, tagged, entities)
     return {
         "sentences": [{"sent": i, "begin": b, "end": e}

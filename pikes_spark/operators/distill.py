@@ -156,8 +156,17 @@ class Distiller:
     the full PropBank/NomBank framesets, turn it on."""
 
     def __init__(self, url: str, text: str, doc: dict, lang: str = "en",
-                 strict_rolesets: bool = False):
+                 strict_rolesets: bool = False, emit_conn: bool = False,
+                 created: Optional[str] = None):
         self.strict_rolesets = strict_rolesets
+        # conn:<lemma-path> edges (RDFGenerator.java:1127,1370): in the
+        # reference the "conn" namespace is COMMENTED OUT of
+        # DEFAULT_NAMESPACE_MAP (:143 "TODO .put(conn, ...)"), so
+        # mintRefIRI returns null and NO conn edges are emitted by
+        # default — we keep the same default and the machinery behind
+        # this flag (extract_path is implemented + tested either way)
+        self.emit_conn = emit_conn
+        self.created = created
         self.url = url
         self.base = url  # document IRI base for minted instance IRIs
         self.text = text
@@ -418,13 +427,30 @@ class Distiller:
     def process_metadata(self) -> None:
         self.emit_meta(self.url, RDF_TYPE, NS["ks"] + "Resource", "meta")
         self.emit_meta(self.url, RDF_TYPE, NS["ks"] + "Text", "meta")
+        # dct:title/creator/created from the file descriptor
+        # (RDFGenerator.java:733-739); a web page has no NAF fileDesc,
+        # so title/creator are empty literals like the reference's
+        # output on plain text (cf. pikes.1.ttl dct:title "")
+        self.emit_meta(self.url, NS["dct"] + "title", "", "meta", True)
+        self.emit_meta(self.url, NS["dct"] + "creator", "", "meta", True)
+        if self.created:
+            self.emit_meta(self.url, NS["dct"] + "created", self.created,
+                           "meta", True)
+        self.emit_meta(self.url, NS["ks"] + "annotatedWith",
+                       self.url + ".naf", "meta")
         self.emit_meta(self.url, NS["dct"] + "language",
                        "http://lexvo.org/id/iso639-1/" + (self.lang or "en"), "meta")
         self.emit_meta(self.url, NS["ks"] + "textHash",
                        murmur3_id([self.text]), "meta", True)
 
-    # D1 (RDFGenerator.java:800-873)
+    # D1 (RDFGenerator.java:800-873): TimeML values become structured
+    # OWL-Time interval/duration IRIs via util/OWLTime.java semantics
+    # (Interval.parseTimex :82, Duration.parseTimex :562); the interval/
+    # duration description triples go to the default graph (the
+    # reference writes them through the raw handler with null context),
+    # the hasDurationDescription link and type triples are facts
     def process_timexes(self) -> None:
+        from ..functions.owltime import Duration, Interval
         for tmx in self.doc["timexes"]:
             tids = sorted(tmx["wf_ids"])
             head = self.graph.head_of_span(tids) or tids[-1]
@@ -433,22 +459,38 @@ class Distiller:
                 self.mention_heads[mention] = (self.t_begin(head), self.t_end(head))
             value = tmx.get("value") or ""
             ttype = (tmx.get("type") or "DATE").lower()
-            if value:
-                iri = NS["owltime"] + re.sub(r"[^A-Za-z0-9_\-]", "_", value.lower())
-            else:
-                iri = self.mint_iri("tmx:" + tmx["id"], self.span_text(tids))
-            self.ann_obj[head] = iri
-            self.ann_extent[head] = tids
             sent = self.tokens[tids[0]]["sent"]
             mb, me = self.t_begin(tids[0]), self.t_end(tids[-1])
+            iri = None
+            if value:
+                if ttype in ("date", "time"):
+                    interval = Interval.parse_timex(value)
+                    if interval is not None:
+                        iri, rows = interval.to_rows(NS["owltime"])
+                        for (s, p, o, lit, dt) in rows:
+                            self.emit_meta(s, p, o, "owltime",
+                                           o_literal=lit, o_datatype=dt)
+                elif ttype == "duration":
+                    duration = Duration.parse_timex(value)
+                    if duration is not None:
+                        iri = NS["owltime"] + duration.label()
+                        desc_iri, rows = duration.to_rows(NS["owltime"])
+                        for (s, p, o, lit, dt) in rows:
+                            self.emit_meta(s, p, o, "owltime",
+                                           o_literal=lit, o_datatype=dt)
+                        self.emit_fact(iri, "http://www.w3.org/TR/owl-time#"
+                                       "hasDurationDescription", desc_iri,
+                                       mention, "owltime", sent, mb, me)
+            if iri is None:
+                iri = self.mint_iri("tmx:" + tmx["id"],
+                                    value or self.span_text(tids))
+            self.ann_obj[head] = iri
+            self.ann_extent[head] = tids
             self.emit_fact(iri, RDF_TYPE, KS_ENTITY, mention, "instance", sent, mb, me)
             self.emit_fact(iri, RDF_TYPE, KS_TIME, mention, "instance", sent, mb, me)
             self.emit_fact(iri, RDF_TYPE, "timex." + ttype, mention, "type_timex",
                            sent, mb, me)
             self.emit_meta(iri, GAF_DENOTED_BY, mention, "mention")
-            if value:
-                self.emit_fact(iri, NS["owltime"] + "timexValue", value, mention,
-                               "attribute", sent, mb, me, o_literal=True)
             self.emit_fact(iri, RDFS_LABEL, self.span_text(tids), mention,
                            "attribute", sent, mb, me, o_literal=True)
 
@@ -683,7 +725,10 @@ class Distiller:
                     pairs.add((heads[i], heads[j]))
         return pairs
 
-    # D6 (RDFGenerator.java:1151-1259)
+    # D6 (RDFGenerator.java:1151-1259): cluster members resolve via the
+    # (COORD CONJ?)* head expansion; coordinated members become a minted
+    # compound instance with ks:include edges to each coordinate
+    # (:1195-1240); then all-pairs owl:sameAs with joint mentions
     def process_corefs(self) -> None:
         for coref in self.doc.get("corefs", []):
             members: List[Tuple[int, str, List[int]]] = []
@@ -691,10 +736,32 @@ class Distiller:
                 h = self.graph.head_of_span(span)
                 if h is None:
                     continue
-                iri = self.ann_obj.get(h)
-                if iri is None:
+                span_set = set(span)
+                coords: List[Tuple[int, str]] = []
+                for t in sorted(self.graph.descendants_matching(
+                        [h], "(COORD CONJ?)*")):
+                    if t not in span_set:
+                        continue
+                    iri = self.ann_obj.get(t) or self.ann_pred.get(t)
+                    if iri is not None:
+                        coords.append((t, iri))
+                if not coords:
                     continue
-                members.append((h, iri, sorted(span)))
+                if len(coords) == 1:
+                    members.append((coords[0][0], coords[0][1], sorted(span)))
+                else:
+                    local = "_".join(i.rsplit("#", 1)[-1].rsplit("/", 1)[-1]
+                                     .rsplit(":", 1)[-1] for _t, i in coords)
+                    comp = self.mint_iri("comp:" + local, local)
+                    extent = sorted({t for t, _i in coords})
+                    mention = self.emit_mention(extent)
+                    sent = self.tokens[extent[0]]["sent"]
+                    self.emit_fact(comp, RDF_TYPE, KS_ENTITY, mention,
+                                   "instance", sent)
+                    for _t, iri in coords:
+                        self.emit_fact(comp, KS_INCLUDE, iri, mention,
+                                       "include", sent)
+                    members.append((coords[0][0], comp, sorted(span)))
             # all-pairs owl:sameAs with joint mention (:1243-1258)
             for i in range(len(members)):
                 for j in range(i + 1, len(members)):
@@ -720,6 +787,9 @@ class Distiller:
                 sent = self.tokens[head]["sent"]
                 if target:
                     self.emit_fact(iri, KS_MOD, target, None, "edge", sent)
+                    conn = self.conn_iri(head, mod)
+                    if conn:
+                        self.emit_fact(iri, conn, target, None, "edge", sent)
                 else:
                     term = self.terms[mod]
                     if (term["pos"] or "O")[0].upper() in ("G", "A"):
@@ -727,18 +797,93 @@ class Distiller:
                         if attr:
                             self.emit_fact(iri, KS_MOD, attr, None, "edge", sent)
 
-    # D10 emitTerm (RDFGenerator.java:1672-1730)
+    # extractPath (RDFGenerator.java:1732-1773): lemma path between two
+    # heads along the undirected dep-tree route, skipping edges inside
+    # either head's (-VC|-IM|-OPRD)* chain and COORD/CONJ links
+    def extract_path(self, frm: int, to: int) -> Optional[str]:
+        def up_chain(t: int) -> Set[int]:
+            out = {t}
+            cur = t
+            while True:
+                p = self.graph.parent.get(cur)
+                if p is None or p[1].split("-")[0].upper() not in (
+                        "VC", "IM", "OPRD"):
+                    break
+                cur = p[0]
+                out.add(cur)
+            return out
+
+        from_terms = up_chain(frm)
+        to_terms = up_chain(to)
+        if from_terms & to_terms:
+            return None
+        path = self.graph.path(frm, to)
+        if path is None:
+            return None
+        path = [d for d in path
+                if not (d[0] in from_terms and d[1] in from_terms
+                        or d[0] in to_terms and d[1] in to_terms)]
+        if not path or path[0][1] in from_terms:
+            return None  # moving towards the tree root
+        parts: List[str] = []
+        for (h, _dep, func) in path[1:]:
+            if func.upper() not in ("COORD", "CONJ"):
+                parts.append(self.terms[h]["lemma"].lower().replace(" ", "_"))
+        return "_".join(parts)
+
+    def conn_iri(self, frm: int, to: int) -> Optional[str]:
+        """mintRefIRI('conn', path) — None unless emit_conn (the
+        reference's default namespace map lacks 'conn', :143)."""
+        if not self.emit_conn:
+            return None
+        path = self.extract_path(frm, to)
+        if not path:
+            return None
+        return _clean_iri("http://www.newsreader-project.eu/conn/" + path)
+
+    # D10 emitTerm (RDFGenerator.java:1672-1730): attribute node in the
+    # GLOBAL attr: namespace named by the sorted recursive modifier ids
+    # + the head's synset (or lemma); emits ks:headSynset and recursive
+    # ks:mod edges to modifier attribute nodes
     def emit_term(self, head: int) -> Optional[str]:
-        mods = sorted(self.graph.descendants_matching([head], "(AMOD|NMOD)*"))
-        key = "attr:" + "_".join(str(m) for m in mods if m != head) + "_" + str(head)
-        label = self.naf_text(mods)
-        iri = self.mint_iri(key, "attr_" + re.sub(r"[^a-z0-9]+", "_", label.lower()).strip("_"))
-        mention = self.emit_mention(mods)
+        syn = next((r["reference"] for r in self.terms[head].get("refs") or []
+                    if (r.get("resource") or "").startswith("wn")), None)
+        head_id = (syn or self.terms[head]["lemma"].lower())
+        modifier_iris: List[str] = []
+        modifier_ids: List[str] = []
+        for mod in sorted(self.graph.descendants_matching([head], "AMOD|NMOD")):
+            if mod != head and (self.terms[mod]["pos"] or "O")[0].upper() in "AGV":
+                mod_iri = self.emit_term(mod)
+                if mod_iri:
+                    modifier_iris.append(mod_iri)
+                    modifier_ids.append(mod_iri.rsplit(":", 1)[-1])
+        closure = [t for t in sorted(self.graph.descendants_matching(
+            [head], "(AMOD|NMOD)*"))
+            if (self.terms[t]["pos"] or "O")[0].upper() in "AGV"]
+        label = self.naf_text(self.filter_terms(closure) or closure or [head])
+        level = 0
+        for mid in modifier_ids:
+            i = 1
+            while "_" * i in mid:
+                level = max(level, i)
+                i += 1
+        sep = "_" * (level + 1)
+        attr_id = sep.join(sorted(modifier_ids) + [head_id]) \
+            if modifier_ids else head_id
+        iri = _clean_iri("attr:" + attr_id.replace(" ", "_"))
+        mention = self.emit_mention(closure or [head])
         if mention:
             self.mention_heads[mention] = (self.t_begin(head), self.t_end(head))
         sent = self.tokens[head]["sent"]
-        self.emit_fact(iri, RDF_TYPE, KS_ATTRIBUTE, mention, "instance", sent)
-        self.emit_fact(iri, RDFS_LABEL, label, mention, "attribute", sent, o_literal=True)
+        self.emit_fact(iri, RDF_TYPE, KS_ATTRIBUTE, None, "instance", sent)
+        self.emit_fact(iri, RDFS_LABEL, label, None, "attribute", sent, o_literal=True)
+        if syn:
+            self.emit_fact(iri, NS["ks"] + "headSynset",
+                           "http://wordnet-rdf.princeton.edu/wn30/" + syn,
+                           None, "attribute", sent)
+        for mod_iri in modifier_iris:
+            self.emit_fact(iri, KS_MOD, mod_iri, None, "edge", sent)
+        self.emit_meta(iri, GAF_DENOTED_BY, mention, "mention")
         return iri
 
     # D7 (RDFGenerator.java:1261-1391)
@@ -779,6 +924,10 @@ class Distiller:
                     for res, rs in rolesets:
                         props.append((premon_role_iri(res, rs, sem),
                                       "role_pb" if res == "propbank" else "role_nb"))
+                # conn:<lemma-path> property (RDFGenerator.java:1363-1371)
+                conn = self.conn_iri(phead, rhead)
+                if conn:
+                    props.append((conn, "edge"))
                 # VN theta roles / FN frame elements from PM refs
                 # (mintRefIRI per resource, RDFGenerator.java:1323-1345);
                 # PM refs come as "<class>@<role>" -> PreMOn role IRIs

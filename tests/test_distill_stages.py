@@ -102,3 +102,100 @@ def test_d13_compaction(spark):
     assert len([r for r in fact_rows if r["subject"] == "s1"]) == 1
     # default-graph rows untouched
     assert any(r["graph"] == "" for r in out)
+
+
+def test_owltime_interval_parsing():
+    from pikes_spark.functions.owltime import Interval, Duration
+    # full date: DateTimeInterval with description fields incl. week/dow
+    iv = Interval.parse_timex("1998-03-05")
+    assert iv.is_datetime_interval()
+    assert iv.label() == "1998-03-05"
+    d = iv.begin
+    assert (d.year, d.month, d.day) == (1998, 3, 5)
+    assert d.day_of_week == 3  # Thursday
+    iri, rows = iv.to_rows()
+    assert iri.endswith("/1998-03-05")
+    assert any(p.endswith("hasDateTimeDescription") for (_s, p, *_r) in rows)
+    # year-month
+    assert Interval.parse_timex("2002-03").label() == "2002-03"
+    # decade 199X -> 1990..1999 range (start/finish instants)
+    dec = Interval.parse_timex("199X")
+    assert not dec.is_datetime_interval()
+    assert dec.begin.year == 1990 and dec.end.year == 1999
+    # century
+    cen = Interval.parse_timex("19XX")
+    assert cen.begin.year == 1900 and cen.end.year == 1999
+    # season
+    su = Interval.parse_timex("2003-SU")
+    assert su.begin.label() == "2003-03-20"
+    # time of day
+    t = Interval.parse_timex("2001-01-02T13:45")
+    assert t.begin.hour == 13 and t.begin.minute == 45
+    assert t.label() == "2001-01-02T13:45"
+    assert t.iri().endswith("2001-01-02T13.45")
+    # garbage
+    assert Interval.parse_timex("banana") is None
+
+
+def test_owltime_duration_parsing():
+    from pikes_spark.functions.owltime import Duration
+    d = Duration.parse_timex("P3W")
+    assert d.weeks == 3 and d.label() == "P3W"
+    d2 = Duration.parse_timex("PT5M")
+    assert d2.minutes == 5 and d2.label() == "PT5M"
+    d3 = Duration.parse_timex("P1Y2M3DT4H")
+    assert (d3.years, d3.months, d3.days, d3.hours) == (1, 2, 3, 4)
+    assert Duration.parse_timex("PXD") is None  # underspecified
+
+
+def test_timex_triples_structured():
+    trips = _triples("Blatter became president of FIFA in 1998.")
+    # a bare year -> owltime interval IRI + DateTimeDescription triples
+    tyrs = [t for t in trips if t["subject"].endswith("/1998")
+            and t["predicate"].endswith("#type")]
+    assert any(t["object"].endswith("DateTimeInterval") for t in tyrs)
+    descs = [t for t in trips if t["subject"].endswith("/1998_desc")]
+    assert any(t["predicate"].endswith("time#year") and t["object"] == "1998"
+               for t in descs)
+
+
+def test_extract_path_and_conn_flag():
+    text = "Bono visited the museum of London."
+    doc = annotate_document(text)
+    d_off = Distiller("http://e/c", text, doc)
+    d_on = Distiller("http://e/c", text, doc, emit_conn=True)
+    # default matches the reference's DEFAULT_NAMESPACE_MAP (no "conn"
+    # entry, RDFGenerator.java:143) -> no conn edges
+    assert not [t for t in d_off.run() if "/conn/" in t["predicate"]]
+    conn = [t for t in d_on.run() if "/conn/" in t["predicate"]]
+    # museum -NMOD-> of -PMOD-> London: path lemma 'of'
+    assert any(t["predicate"].endswith("/conn/of") for t in conn), conn
+
+
+def test_coordination_compound_include():
+    # coref cluster with a coordinated antecedent -> compound + include
+    text = "John and Mary met in London. They signed a new agreement."
+    trips = _triples(text)
+    inc = [t for t in trips if t["predicate"].endswith("ks#include")
+           or t["predicate"].endswith("knowledgestore#include")]
+    if inc:  # compound fires when the coref span covers the coordination
+        comp = inc[0]["subject"]
+        assert len([t for t in inc if t["subject"] == comp]) == 2
+
+
+def test_d0_metadata():
+    trips = Distiller("http://e/d0", "Bono visited Paris.",
+                      annotate_document("Bono visited Paris."),
+                      created="2026-01-01T00:00:00Z").run()
+    preds = {t["predicate"].rsplit("/", 1)[-1] for t in trips
+             if t["component"] == "meta"}
+    assert {"title", "creator", "created"} <= preds
+    assert any(t["predicate"].endswith("annotatedWith") for t in trips)
+
+
+def test_d10_attribute_nodes_global_ns():
+    trips = _triples("The group uses very effective fighting methods.")
+    attrs = [t for t in trips if t["subject"].startswith("attr:")]
+    # attribute nodes live in the global attr: namespace
+    for t in attrs:
+        assert t["subject"].startswith("attr:")

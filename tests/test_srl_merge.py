@@ -64,3 +64,56 @@ def test_tool_disable_and_headless_drop():
 def test_semafor_only_survives():
     out = merge_srl_sources([_semafor()], _g())
     assert len(out) == 1 and out[0]["source"] == "semafor"
+
+
+def test_f10_removes_wrong_rolesets():
+    from pikes_spark.functions.nlp import srl_remove_wrong_refs
+    from pikes_spark.functions.tokenize import Tagged
+    tags = [Tagged("VBD", "V", "give"), Tagged("NN", "N", "donor")]
+    preds = [
+        {"head_id": 0, "term_ids": [0], "roles": [], "refs": [
+            {"resource": "PropBank", "reference": "give.01", "source": "mate"},
+            {"resource": "PropBank", "reference": "take.01", "source": "mate"},
+        ]},
+        {"head_id": 1, "term_ids": [1], "roles": [], "refs": [
+            {"resource": "NomBank", "reference": "donor.01", "source": "mate"},
+            # source-verb PropBank ref is NOT checked for a nominal head
+            {"resource": "PropBank", "reference": "donate.01", "source": "pm"},
+        ]},
+    ]
+    out = srl_remove_wrong_refs(preds, tags)
+    refs0 = [r["reference"] for r in out[0]["refs"]]
+    assert refs0 == ["give.01"]  # take.01 lemma-mismatch removed
+    refs1 = [r["reference"] for r in out[1]["refs"]]
+    assert "donate.01" in refs1 and "donor.01" in refs1
+
+
+def test_f10_sense_check():
+    from pikes_spark.functions.nlp import srl_remove_wrong_refs
+    from pikes_spark.functions.tokenize import Tagged
+    tags = [Tagged("VBD", "V", "run")]
+    preds = [{"head_id": 0, "term_ids": [0], "roles": [], "refs": [
+        {"resource": "PropBank", "reference": "run.05", "source": "mate"},
+        {"resource": "PropBank", "reference": "run.01", "source": None},
+    ]}]
+    out = srl_remove_wrong_refs(preds, tags)
+    # first SOURCED sense (05) wins; run.01 dropped
+    assert [r["reference"] for r in out[0]["refs"]] == ["run.05"]
+
+
+def test_semafor_source_merges_end_to_end():
+    from pikes_spark.functions.nlp import annotate_document
+    doc = annotate_document("The fighters storm fortified positions.")
+    storm = [p for p in doc["predicates"]
+             if any(r["reference"] == "storm.02" for r in p["refs"] or [])]
+    assert storm
+    # the semafor FrameNet frame merged into the mate predicate
+    fns = [r["reference"] for r in storm[0]["refs"]
+           if (r["resource"] or "").lower() == "framenet"]
+    assert "Attack" in fns
+    # semafor-only predicate survives on 'positions'
+    pos = [p for p in doc["predicates"]
+           if (p.get("source") or "") == "semafor"
+           and any(r["reference"] == "Locale_by_collocation"
+                   for r in p["refs"] or [])]
+    assert pos
