@@ -99,6 +99,49 @@ def _q_gold_links(spark, sf_dir):
             .orderBy("gold_id", "dbpedia_uri"))
 
 
+def _gold_triples(spark):
+    """Gold-corpus triples via the full annotate -> link -> distill path."""
+    ann = _gold_ann(spark).localCheckpoint()
+    links = link_entities(ann, candidates_df(spark))
+    return distill_annotations(ann, links)
+
+
+def _q_gold_triples(spark, sf_dir):
+    """D* distillation VALUE check: per-(page, component) triple count +
+    order-insensitive xxhash64 checksum, compared against the frozen
+    fixture (sources/gold_expected_triples.py) — any change to the rule
+    engine's OUTPUT flips a checksum (VERDICT round-1 item #2)."""
+    t = _gold_triples(spark)
+    return (t.select(_gid(F.col("url")).alias("gold_id"), "component",
+                     F.xxhash64("subject", "predicate", "object", "graph")
+                     .alias("h"))
+            .groupBy("gold_id", "component")
+            .agg(F.count("*").alias("n"),
+                 F.expr("bit_xor(h)").alias("checksum"))
+            .orderBy("gold_id", "component"))
+
+
+def _q_gold_canonicalize(spark, sf_dir):
+    """J4 canonicalization VALUE check on the gold corpus (cross-page
+    entity merges included): per-component counts vs frozen fixture."""
+    t = _gold_triples(spark).localCheckpoint()
+    out = canonicalize_triples(t, max_iter=8)
+    return (out.groupBy("component")
+            .agg(F.count("*").alias("n"),
+                 F.countDistinct("subject").alias("n_subjects"))
+            .orderBy("component"))
+
+
+def _q_gold_compaction(spark, sf_dir):
+    """D13 compaction VALUE check on the gold corpus."""
+    from pikes_spark.operators.compaction import compact_fact_graphs
+    out = compact_fact_graphs(_gold_triples(spark))
+    return (out.groupBy("component")
+            .agg(F.count("*").alias("n"),
+                 F.countDistinct("graph").alias("n_graphs"))
+            .orderBy("component"))
+
+
 def _q_annotations(spark, sf_dir):
     """N2/N3/N5/N7/N8 rule-NLP front-end: per-url layer counts."""
     ann = annotate_pages(pages_from_documents(spark, sf_dir))
@@ -226,6 +269,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_gold_timexes": _q_gold_timexes,
         "kg_gold_entities": _q_gold_entities,
         "kg_gold_links": _q_gold_links,
+        "kg_gold_triples": _q_gold_triples,
+        "kg_gold_canonicalize": _q_gold_canonicalize,
+        "kg_gold_compaction": _q_gold_compaction,
         # text analysis
         "txt_token_counts": textstats.token_counts,
         "txt_lang_id": textstats.lang_id,
@@ -263,6 +309,13 @@ def _gold_values_sql(list_name: str, cols, order: str) -> str:
     rows = getattr(ge, list_name)
     return ge.values_sql(rows, cols) + " ORDER BY " + order
 
+
+def _gold_triples_values_sql(list_name: str, cols, order: str) -> str:
+    from pikes_spark.sources import gold_expected as ge
+    from pikes_spark.sources import gold_expected_triples as gt
+    rows = getattr(gt, list_name)
+    return ge.values_sql(rows, cols) + " ORDER BY " + order
+
 def oracle_sql() -> dict[str, str]:
     return {
         "kg_pages_table": PAGES_CTE + """
@@ -292,6 +345,15 @@ def oracle_sql() -> dict[str, str]:
         "kg_gold_links": _gold_values_sql(
             "EXPECTED_LINKS", ["gold_id", "dbpedia_uri"],
             order="gold_id, dbpedia_uri"),
+        "kg_gold_triples": _gold_triples_values_sql(
+            "EXPECTED_TRIPLE_STATS", ["gold_id", "component", "n", "checksum"],
+            order="gold_id, component"),
+        "kg_gold_canonicalize": _gold_triples_values_sql(
+            "EXPECTED_CANONICAL_STATS", ["component", "n", "n_subjects"],
+            order="component"),
+        "kg_gold_compaction": _gold_triples_values_sql(
+            "EXPECTED_COMPACTION_STATS", ["component", "n", "n_graphs"],
+            order="component"),
         "txt_token_counts": textstats.TOKEN_COUNTS_SQL,
         "txt_lang_id": textstats.LANG_ID_SQL,
         "txt_quality": textstats.QUALITY_SQL,

@@ -87,3 +87,19 @@ def test_gold_triples_contain_expected_facts(spark):
     types = [t for t in triples if t["url"] == g9 and
              t["object"] == "http://www.newsreader-project.eu/ontologies/PERSON"]
     assert len(types) >= 2  # Bush + Bono typed PERSON
+
+
+def test_gold_triples_match_frozen_fixture(spark):
+    """The distillation core's VALUE gate: per-(page, component)
+    counts + checksums vs the reviewed frozen fixture. A failure means
+    the rule engine's output drifted — re-review and refreeze with
+    scripts/refreeze_gold_triples.py."""
+    import __spark_entry__ as e
+    from pikes_spark.sources.gold_expected_triples import (
+        EXPECTED_TRIPLE_STATS, EXPECTED_CANONICAL_STATS)
+    rows = [(r["gold_id"], r["component"], r["n"], r["checksum"])
+            for r in e.queries()["kg_gold_triples"](spark, "").collect()]
+    assert rows == EXPECTED_TRIPLE_STATS
+    canon = [(r["component"], r["n"], r["n_subjects"])
+             for r in e.queries()["kg_gold_canonicalize"](spark, "").collect()]
+    assert canon == EXPECTED_CANONICAL_STATS
