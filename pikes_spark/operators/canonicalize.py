@@ -172,11 +172,44 @@ def _local_union_find_rows(spark, rows) -> DataFrame:
     return spark.createDataFrame(out, "node string, component string")
 
 
-def canonicalize_triples(triples: DataFrame, max_iter: int = 50) -> DataFrame:
+def dissolve_composites(triples: DataFrame) -> DataFrame:
+    """D12 ks:include dissolution (RDFGenerator.java:1859-1964): minted
+    coordination composites dissolve — every statement in which the
+    composite takes part is propagated to each ks:include member, and
+    the composite's own rows disappear. The include map is tiny
+    (one row per coordinated coref member) -> broadcast joins."""
+    ks_include = "http://dkm.fbk.eu/ontologies/knowledgestore#include"
+    inc = (triples.filter(F.col("predicate") == ks_include)
+           .select(F.col("subject").alias("_comp"),
+                   F.col("object").alias("_member")).distinct())
+    if not inc.take(1):
+        return triples
+    inc = F.broadcast(inc)
+    others = triples.filter(F.col("predicate") != ks_include)
+    # subject-side: composite statements copy to each member
+    smap = inc.withColumnRenamed("_comp", "subject")
+    s_exp = (others.join(smap, "subject")
+             .withColumn("subject", F.col("_member")).drop("_member"))
+    s_keep = others.join(smap.select("subject"), "subject", "left_anti")
+    merged = s_keep.unionByName(s_exp)
+    # object-side
+    omap = inc.withColumnRenamed("_comp", "object")
+    o_exp = (merged.join(omap, "object")
+             .withColumn("object", F.col("_member")).drop("_member"))
+    o_keep = merged.join(omap.select("object"), "object", "left_anti")
+    return (o_keep.unionByName(o_exp)
+            .filter(F.col("subject") != F.col("object"))
+            .dropDuplicates(["subject", "predicate", "object", "graph", "url"]))
+
+
+def canonicalize_triples(triples: DataFrame, max_iter: int = 50,
+                         dissolve_includes: bool = True) -> DataFrame:
     """Rewrite subjects/objects to canonical representatives and dedupe.
 
     The canonical map is small relative to the triple table (only
     merged instances appear) -> broadcast join both rewrites."""
+    if dissolve_includes:
+        triples = dissolve_composites(triples)
     edges = build_sameas_edges(triples)
     comp = connected_components(edges, max_iter=max_iter)
     # drop synthetic surface hubs from the mapping domain

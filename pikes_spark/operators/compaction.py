@@ -37,4 +37,17 @@ def compact_fact_graphs(triples: DataFrame) -> DataFrame:
            .withColumn("graph", F.col("_new_graph"))
            .drop("_new_graph")
            .dropDuplicates(["url", "subject", "predicate", "object", "graph"]))
+    # Rewrite old graph IRIs inside default-graph metadata statements too
+    # (ks:expressedBy mention links have the fact IRI as SUBJECT; the
+    # reference rewrites ids in all metadata statements,
+    # ProcessorASNorm.java:155-162), then merge now-duplicate links.
+    submap = (sig.withColumnRenamed("graph", "subject")
+              .withColumnRenamed("_new_graph", "_ns"))
+    objmap = (sig.withColumnRenamed("graph", "object")
+              .withColumnRenamed("_new_graph", "_no"))
+    rest = (rest.join(submap, "subject", "left")
+            .withColumn("subject", F.coalesce("_ns", "subject")).drop("_ns")
+            .join(objmap, "object", "left")
+            .withColumn("object", F.coalesce("_no", "object")).drop("_no")
+            .dropDuplicates(["url", "subject", "predicate", "object", "graph"]))
     return out.unionByName(rest)

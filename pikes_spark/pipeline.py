@@ -29,6 +29,10 @@ from .sources.pages import pages_from_documents
 from .sources.tables import SnapshotTable
 
 
+def raw_table_for(out_root: str) -> SnapshotTable:
+    return SnapshotTable(f"{out_root}/triples_raw", name="triples_raw")
+
+
 def run_pipeline(spark: SparkSession, sf_dir: str, out_root: str,
                  resume: bool = True, cc_max_iter: int = 8,
                  include_gold: bool = True, replicate: int = 1) -> dict:
@@ -58,7 +62,9 @@ def run_pipeline(spark: SparkSession, sf_dir: str, out_root: str,
 
     skipped = 0
     if resume:
-        done = spo.committed_urls(spark)
+        # skip-done is keyed on the ACCUMULATING raw-triples table (the
+        # source of truth); spo/pos are derived global views (below)
+        done = raw_table_for(out_root).committed_urls(spark)
         if done is not None:
             before = pages.count()
             pages = pages.join(done, "url", "left_anti")
@@ -88,27 +94,37 @@ def run_pipeline(spark: SparkSession, sf_dir: str, out_root: str,
     # J3 materializes raw triples before canonicalization — J4 scans the
     # triple table several times (edge build, CC, rewrite); without this
     # the distill UDF would re-run once per scan.
-    raw_table = SnapshotTable(f"{out_root}/triples_raw", name="triples_raw")
+    raw_table = raw_table_for(out_root)
     raw_manifest = raw_table.append(
         distill_annotations(ann, links), spark,
         lineage={"from_snapshot": ann_manifest["snapshot_id"], "stage": "J3 distill"})
-    triples_raw = spark.read.parquet(raw_manifest["data_dirs"][-1])
     mark("j3_distill")
 
+    # J4 canonicalization is CORPUS-GLOBAL (the reference's smushing runs
+    # over the whole graph): the component map is computed over the union
+    # of all committed raw snapshots + this run's, and spo/pos are
+    # REBUILT (overwrite snapshots) — a resume can therefore merge
+    # sameAs components spanning old and new documents, and a crash
+    # between the spo and pos writes cannot leave them divergent (both
+    # are derived from triples_raw on the next run). Cost: the rewrite
+    # scans all raw triples per run — the same cost profile as the
+    # reference's global smushing pass.
+    triples_raw = spark.read.parquet(*raw_manifest["data_dirs"])
     triples = canonicalize_triples(triples_raw, max_iter=cc_max_iter)
     mark("j4_cc_plan")
 
     lineage = {
         "sf_dir": sf_dir,
         "skipped_done_urls": skipped,
+        "from_raw_snapshot": raw_manifest["snapshot_id"],
         "stage": "pages->annotate->link->distill->canonicalize",
     }
-    m1 = spo.append(triples, spark, lineage=lineage)
+    m1 = spo.overwrite(triples, spark, lineage=lineage)
     mark("j5_spo_write")
     # pos layout: re-read the committed snapshot files (cheap columnar
     # scan) rather than recomputing the pipeline
-    m2 = pos.append(spark.read.parquet(m1["data_dirs"][-1]), spark,
-                    lineage={"from_snapshot": m1["snapshot_id"]})
+    m2 = pos.overwrite(spark.read.parquet(m1["data_dirs"][-1]), spark,
+                       lineage={"from_snapshot": m1["snapshot_id"]})
     mark("j5_pos_write")
     wall = time.time() - t0
     return {

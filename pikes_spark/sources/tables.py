@@ -93,6 +93,33 @@ class SnapshotTable:
         os.rename(tmp, final)  # atomic commit point
         return manifest
 
+    def overwrite(self, df: DataFrame, spark: SparkSession,
+                  lineage: Optional[dict] = None) -> dict:
+        """Commit a snapshot that REPLACES the table contents (manifest
+        points only at the new data dir; older snapshots stay readable
+        by their own manifests — Iceberg overwrite semantics)."""
+        manifest = self.append(df, spark, lineage=lineage)
+        manifest["data_dirs"] = manifest["data_dirs"][-1:]
+        manifest["total_rows"] = manifest["added_rows"]
+        final = os.path.join(
+            self.root, "meta",
+            f"snapshot-{manifest['sequence']:06d}-{manifest['snapshot_id']}.json")
+        tmp = final + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh, indent=1)
+        os.rename(tmp, final)
+        return manifest
+
+    def has_lineage(self, key: str, value) -> bool:
+        """True if ANY committed snapshot's lineage carries key == value
+        (the idempotency probe for at-least-once foreachBatch replays)."""
+        meta = os.path.join(self.root, "meta")
+        for name in self._manifests():
+            with open(os.path.join(meta, name)) as fh:
+                if json.load(fh).get("lineage", {}).get(key) == value:
+                    return True
+        return False
+
     def read(self, spark: SparkSession) -> Optional[DataFrame]:
         snap = self.latest_snapshot()
         if snap is None or not snap["data_dirs"]:

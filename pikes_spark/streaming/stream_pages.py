@@ -38,6 +38,12 @@ def stream_pages_to_triples(spark: SparkSession, landing_dir: str,
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # foreachBatch is at-least-once: a micro-batch replayed after a
+        # crash between append and checkpoint commit would double-append.
+        # The epoch id is stable across replays, so an epoch already in
+        # a committed manifest is skipped -> exactly-once appends.
+        if table.has_lineage("epoch", epoch_id):
+            return
         ann = annotate_pages(batch_df)
         links = link_entities(ann, cands)
         triples = distill_annotations(ann, links)

@@ -80,3 +80,25 @@ def test_canonicalize_triples_merges_surface_forms(spark):
     out = canonicalize_triples(triples)
     subs = {r["subject"] for r in out.filter(F.col("predicate") == "rdf:type").collect()}
     assert len(subs) == 1  # merged to a single canonical subject
+
+
+def test_include_composite_dissolution(spark):
+    from pikes_spark.operators.canonicalize import dissolve_composites
+    ks = "http://dkm.fbk.eu/ontologies/knowledgestore#"
+    rows = [
+        ("u", "comp:jm", ks + "include", "e:john", "", ""),
+        ("u", "comp:jm", ks + "include", "e:mary", "", ""),
+        ("u", "comp:jm", "rdf:type", "ks:Entity", "g1", ""),
+        ("u", "p:met", "sem:hasActor", "comp:jm", "g2", ""),
+        ("u", "e:john", "rdf:type", "ks:Entity", "g3", ""),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, subject string, predicate string, object string, "
+              "graph string, component string")
+    out = dissolve_composites(df).collect()
+    subs = {(r["subject"], r["predicate"], r["object"]) for r in out}
+    # composite gone; its statements propagated to both members
+    assert not any("comp:jm" in (r["subject"], r["object"]) for r in out)
+    assert ("p:met", "sem:hasActor", "e:john") in subs
+    assert ("p:met", "sem:hasActor", "e:mary") in subs
+    assert ("e:mary", "rdf:type", "ks:Entity") in subs
