@@ -175,21 +175,32 @@ def parse_sentence_deps(tokens: List[Token], tags: List[Tagged], lo: int, hi: in
             root_verb = i_l
             break
 
-    # 4. coordination: X and Y -> COORD(X->and), CONJ(and->Y)
+    # 4. coordination: X and Y -> COORD(X->and), CONJ(and->Y);
+    # the conjuncts must be of the same category (nominal with nominal,
+    # verb with verb) — "gather more weapons and attract more fighters"
+    # coordinates the verbs, not weapons with attract
     for i_l in range(1, n - 1):
         if ptb[i_l] == "CC":
             left = None
+            left_is_verb = False
             for j in range(i_l - 1, -1, -1):
                 if pos[j] in ("N", "R", "Q"):
                     left = nom_head(j)
                     break
                 if pos[j] == "V":
                     left = j
+                    left_is_verb = True
                     break
             right = None
             for j in range(i_l + 1, n):
-                if pos[j] in ("N", "R", "Q", "V") and not attached[j]:
-                    right = nom_head(j) if pos[j] != "V" else j
+                if pos[j] == "V":
+                    if left_is_verb and not attached[j]:
+                        right = j
+                    break  # a verb ends the nominal-conjunct window
+                if left_is_verb:
+                    continue  # skip nominals while seeking a verb conjunct
+                if pos[j] in ("N", "R", "Q") and not attached[j]:
+                    right = nom_head(j)
                     break
                 if pos[j] in ("N", "R") and attached[j]:
                     h = nom_head(j)
@@ -280,9 +291,23 @@ def parse_sentence_deps(tokens: List[Token], tags: List[Tagged], lo: int, hi: in
     # for its own subject to the left of its anchor, bounded by the
     # previous group, and its own object right of its content verb)
     _REL_PRONOUNS = {"that", "who", "whom", "which"}
+    _SPEECH_VERBS = {"said", "says", "say"}
     for gi, (anchor, content) in enumerate(groups):
         lo_bound = groups[gi - 1][1] if gi > 0 else -1
         subj = None
+        # ", posing ..." — a comma-introduced participial adjunct has no
+        # local subject; the SRL inherits the governing clause's SUB
+        if (lows[anchor].endswith("ing") and anchor > 0
+                and forms[anchor - 1] == ","):
+            continue
+        # inverted quotation: '..., said a veteran of ...' — the NP
+        # FOLLOWING the speech verb is its subject
+        if (lows[anchor] in _SPEECH_VERBS and anchor > 0
+                and forms[anchor - 1] == ","):
+            inv = np_head_from(anchor + 1)
+            if inv is not None and not attached[inv]:
+                att(anchor, inv, "SUB")
+                continue
         for j in range(anchor - 1, lo_bound, -1):
             if lows[j] in _REL_PRONOUNS and j == anchor - 1:
                 if lows[j] in ("who", "whom", "which") and pos[j] == "Q":
@@ -799,19 +824,34 @@ def extract_predicates(tokens: List[Token], tags: List[Tagged],
             if self_arg:
                 roles.append({"sem_role": self_arg, "term_ids": [i],
                               "head_id": i, "refs": []})
+            # the argnum a nominal gives its modifier/complement is
+            # roleset-specific: the lowest non-self argnum >= 1 in the
+            # PredicateMatrix row (group.01 -> a1, official.01 -> a2,
+            # favor.02 -> a2 since a1 is the self-arg); no such arg ->
+            # the modifier carries no role (fighter.01 has only a0)
+            from .predicate_matrix import PM_ROLES
+            self_num = self_arg[1:] if self_arg and self_arg[1:].isdigit() else None
+            mod_arg = next(
+                (f"A{n}" for n in range(1, 6)
+                 if (roleset, str(n)) in PM_ROLES and str(n) != self_num),
+                None)
             for child, lab in graph.children.get(i, []):
-                if lab == "NMOD" and tags[child].pos in ("Q", "R", "N"):
-                    roles.append({"sem_role": "A0", "term_ids": role_span(child),
-                                  "head_id": child, "refs": []})
+                if lab == "NMOD" and (tags[child].pos in ("Q", "R", "N")
+                                      or tags[child].morphofeat == "PRP$"):
+                    if mod_arg:
+                        roles.append({"sem_role": mod_arg,
+                                      "term_ids": role_span(child),
+                                      "head_id": child, "refs": []})
                 elif lab == "NMOD" and tags[child].pos == "P":
                     pl = tokens[child].form.lower()
                     pm = [c for c, l2 in graph.children.get(child, []) if l2 == "PMOD"]
                     if not pm:
                         continue
-                    # nominal argument prepositions: of/to -> A1,
-                    # from -> A0, in+location -> AM-LOC
-                    if pl in ("of", "to"):
-                        roles.append({"sem_role": "A1", "term_ids": role_span(pm[0]),
+                    # nominal argument prepositions: of/to -> the
+                    # roleset's modifier argnum, from -> A0,
+                    # in+location -> AM-LOC
+                    if pl in ("of", "to") and mod_arg:
+                        roles.append({"sem_role": mod_arg, "term_ids": role_span(pm[0]),
                                       "head_id": pm[0], "refs": []})
                     elif pl == "from":
                         roles.append({"sem_role": "A0", "term_ids": role_span(pm[0]),

@@ -182,6 +182,12 @@ PM_ROLES: Dict[Tuple[str, str], Tuple[Optional[str], Optional[str]]] = {
     ("inherit.01", "0"): ("agent", None),
     ("inherit.01", "1"): ("theme", None),
     ("insurgent.01", "0"): ("agent", None),
+    ("insurgent.01", "1"): (None, None),
+    ("minority.01", "1"): (None, None),
+    ("veteran.02", "0"): (None, None),
+    ("veteran.02", "2"): (None, None),
+    ("offshoot.01", "1"): (None, None),
+    ("battalion.01", "1"): (None, None),
     ("isolate.01", "0"): ("agent", None),
     ("isolate.01", "1"): ("patient", None),
     ("land.02", "1"): (None, "container_possessor"),

@@ -386,7 +386,17 @@ def tag_tokens(tokens: List[Token]) -> List[Tagged]:
         elif low.endswith("ed") and len(low) > 3 and prev_tag in {
                 "VBZ", "VBP", "VBD", "MD", "VB", "RB", "",
                 "NN", "NNS", "NNP", "NNPS", "PRP"}:
-            t = _verb_tagged(low)
+            # "-ed" right after a base/present verb and followed by a
+            # bare nominal is a participial modifier ("storm fortified
+            # positions"), not a finite verb
+            if (prev_tag in {"VB", "VBP", "VBZ"} and idx + 1 < len(tokens)
+                    and tokens[idx + 1].sent == tok.sent
+                    and tokens[idx + 1].form[0].isalpha()
+                    and tokens[idx + 1].form.lower() not in _PREPS
+                    and tokens[idx + 1].form.lower() not in _DETS):
+                t = Tagged("JJ", "G", _verb_lemma(low))
+            else:
+                t = _verb_tagged(low)
         elif low.endswith(("ous", "ful", "ive", "able", "ible", "al", "ic", "ish")) and len(low) > 4:
             t = Tagged("JJ", "G", low)
         elif form[0].isupper() and sent_initial and idx + 1 < len(tokens) and tokens[idx + 1].form[0].islower() and low not in _COMMON_VERBS:
