@@ -295,20 +295,24 @@ def parse_sentence_deps(tokens: List[Token], tags: List[Tagged], lo: int, hi: in
     for gi, (anchor, content) in enumerate(groups):
         lo_bound = groups[gi - 1][1] if gi > 0 else -1
         subj = None
+        skip_subject = False
         # ", posing ..." — a comma-introduced participial adjunct has no
         # local subject; the SRL inherits the governing clause's SUB
+        # (the object scan below still runs)
         if (lows[anchor].endswith("ing") and anchor > 0
                 and forms[anchor - 1] == ","):
-            continue
+            skip_subject = True
         # inverted quotation: '..., said a veteran of ...' — the NP
         # FOLLOWING the speech verb is its subject
+        skip_object = False
         if (lows[anchor] in _SPEECH_VERBS and anchor > 0
                 and forms[anchor - 1] == ","):
             inv = np_head_from(anchor + 1)
             if inv is not None and not attached[inv]:
                 att(anchor, inv, "SUB")
-                continue
-        for j in range(anchor - 1, lo_bound, -1):
+                skip_subject = True
+                skip_object = True  # the quotation precedes the verb
+        for j in [] if skip_subject else range(anchor - 1, lo_bound, -1):
             if lows[j] in _REL_PRONOUNS and j == anchor - 1:
                 if lows[j] in ("who", "whom", "which") and pos[j] == "Q":
                     subj = j  # relative pronoun kept as an instance
@@ -336,7 +340,7 @@ def parse_sentence_deps(tokens: List[Token], tags: List[Tagged], lo: int, hi: in
                                       "becomes", "'s", "'re")
         hi_bound = groups[gi + 1][0] if gi + 1 < len(groups) else n
         obj = None
-        for j in range(content + 1, hi_bound):
+        for j in [] if skip_object else range(content + 1, hi_bound):
             if pos[j] in ("N", "R", "Q") and not attached[nom_head(j)] and name_head[j] is None or \
                pos[j] in ("N", "R") and not attached[nom_head(j)]:
                 cand = nom_head(j)
