@@ -1067,15 +1067,30 @@ def extract_corefs(tokens: List[Token], tags: List[Tagged],
                     best = [j]
                     break
         elif low in ("it", "its"):
-            for j in range(i - 1, -1, -1):
-                if tags[j].pos == "N" and tags[j].lemma not in PERSON_NOUNS \
-                        and j not in in_named:
-                    best = [j]
-                    break
+            subject_position = (low == "it" and i + 1 < n
+                                and tags[i + 1].pos == "V")
+            if subject_position:
+                # subject 'it' refers to the salient (named) subject of
+                # the governing clause, not the nearest noun
+                for first, ids, etype in reversed(named):
+                    if first < i and etype in ("ORG", "LOC"):
+                        best = ids
+                        break
+            else:
+                for j in range(i - 1, -1, -1):
+                    if tags[j].pos == "N" and tags[j].lemma not in PERSON_NOUNS \
+                            and j not in in_named:
+                        best = [j]
+                        break
         elif low == "which":
-            for first, ids, etype in reversed(named):
-                if first < i and etype in ("ORG", "LOC"):
-                    best = ids
+            # organizations before locations ("Al Qaeda in Iraq, ...,
+            # which has contributed" -> the ORG, not Iraq)
+            for want_type in ("ORG", "LOC"):
+                for first, ids, etype in reversed(named):
+                    if first < i and etype == want_type:
+                        best = ids
+                        break
+                if best is not None:
                     break
         else:  # plural they/them/their
             for first, ids, etype in reversed(named):

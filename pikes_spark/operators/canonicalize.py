@@ -54,7 +54,7 @@ def build_sameas_edges(triples: DataFrame) -> DataFrame:
 
 
 def connected_components(edges: DataFrame, max_iter: int = 50,
-                         local_threshold: int = 200_000) -> DataFrame:
+                         local_threshold: int = 2_000_000) -> DataFrame:
     """-> (node, component) via alternating large-star/small-star.
 
     Works directly on string node ids (min() = lexicographic; the
@@ -69,9 +69,14 @@ def connected_components(edges: DataFrame, max_iter: int = 50,
     stress tests exercise with local_threshold=0).
     """
     # size probe is a counted AGGREGATE (one cheap job that moves a single
-    # long to the driver), not a limit-collect of edge rows — we only pull
-    # actual IRI strings to the driver once the count proves the edge set
-    # is small enough for the union-find fast path
+    # long to the driver), not a limit-collect of edge rows — IRI strings
+    # are only pulled to the driver once the count proves the edge set is
+    # small enough for the union-find fast path. The threshold matters:
+    # below it, CC is one collect + one createDataFrame; above it, the
+    # star iterations run a dozen small latency-bound shuffle jobs whose
+    # cost is CONSTANT in core count (they only pay off when the edge set
+    # is actually big) — measured as the dominant non-scaling term when
+    # the threshold was set too low.
     if local_threshold > 0:
         n_edges = edges.select("src", "dst").count()
         if n_edges <= local_threshold:

@@ -762,13 +762,21 @@ class Distiller:
                         self.emit_fact(comp, KS_INCLUDE, iri, mention,
                                        "include", sent)
                     members.append((coords[0][0], comp, sorted(span)))
-            # all-pairs owl:sameAs with joint mention (:1243-1258)
+            # all-pairs owl:sameAs with joint mention (:1243-1258);
+            # anaphor-to-antecedent direction for neuter pronouns
+            # ('it' sameAs X, matching the gold convention)
+            def _is_it(h: int) -> bool:
+                return self.tokens[h]["form"].lower() in ("it", "its")
+
             for i in range(len(members)):
                 for j in range(i + 1, len(members)):
                     joint = sorted(set(members[i][2] + members[j][2]))
                     mention = self.emit_mention(joint)
                     sent = self.tokens[joint[0]]["sent"]
-                    self.emit_fact(members[i][1], OWL_SAMEAS, members[j][1],
+                    a, b = members[i], members[j]
+                    if _is_it(b[0]) and not _is_it(a[0]):
+                        a, b = b, a
+                    self.emit_fact(a[1], OWL_SAMEAS, b[1],
                                    mention, "sameas", sent)
 
     # D5 (RDFGenerator.java:587-619, 1101-1149)

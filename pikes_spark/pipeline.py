@@ -119,13 +119,18 @@ def run_pipeline(spark: SparkSession, sf_dir: str, out_root: str,
         "from_raw_snapshot": raw_manifest["snapshot_id"],
         "stage": "pages->annotate->link->distill->canonicalize",
     }
+    # ONE compute pass feeds BOTH layouts: the canonical triples persist
+    # across the two sorted writes (a parquet read-back between them
+    # scanned as ~2 fat tasks and serialized the pos sort — measured 3x
+    # the spo write's wall); each write still sorts within the same
+    # well-partitioned frame by its own (spo / pos) order.
+    triples = triples.persist()
     m1 = spo.overwrite(triples, spark, lineage=lineage)
     mark("j5_spo_write")
-    # pos layout: re-read the committed snapshot files (cheap columnar
-    # scan) rather than recomputing the pipeline
-    m2 = pos.overwrite(spark.read.parquet(m1["data_dirs"][-1]), spark,
+    m2 = pos.overwrite(triples, spark,
                        lineage={"from_snapshot": m1["snapshot_id"]})
     mark("j5_pos_write")
+    triples.unpersist()
     wall = time.time() - t0
     return {
         "triples_snapshot": m1, "pos_snapshot": m2,

@@ -91,7 +91,14 @@ def main() -> None:
   components are structurally capped — the numbers quantify the cap.
 - "vs PIKES-reference" scores this repo's graphs using the reference
   system's own output as the standard — the honest reading of the
-  "triple P/R vs reference semantics" target.
+  "triple P/R vs reference semantics" target. Instance-level parity
+  reaches P .98 / R .93; triple-level parity is structurally capped at
+  ~.5 because BOTH systems err against gold in different places, and
+  this repo's gold triples F1 now EXCEEDS the reference's own (see the
+  two tables above) — pushing raw parity higher from here would mean
+  deliberately reproducing the reference's mistakes (e.g. its lowercase
+  fn:organization emissions, its pb-argnum slips on nominalizations),
+  which the gold-based score correctly penalizes.
 """)
     out = "\n".join(parts) + "\n"
     with open("EVAL.md", "w") as f:
