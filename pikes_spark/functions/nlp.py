@@ -1031,8 +1031,12 @@ def extract_corefs(tokens: List[Token], tags: List[Tagged],
                 break
         if left is None:
             left = [i - 1]
-        # right must be followed by ',' '.' or a preposition phrase then ','
+        # right must be followed by ',' '.' or an of-PP then ','
         tail = right[-1] + 1
+        if tail < n and tokens[tail].form.lower() == "of":
+            pp = np_right_of(tail + 1)
+            if pp is not None:
+                tail = pp[-1] + 1
         if tail < n and tokens[tail].form in (",", "."):
             union(left, right)
 
@@ -1042,11 +1046,29 @@ def extract_corefs(tokens: List[Token], tags: List[Tagged],
                 and tags[first - 1].lemma in PERSON_NOUNS:
             union([first - 1], ids)
 
+    # 3b. definite organization anaphora: "the group"/"the organization"
+    # with a PRECEDING named ORG entity resolves to the nearest one
+    _ORG_ANAPHORS = {"group", "organization", "company", "agency", "front"}
+    for i in range(1, n):
+        if tags[i].pos == "N" and tags[i].lemma in _ORG_ANAPHORS \
+                and tokens[i - 1].form.lower() == "the" and i not in in_named:
+            best_org = None
+            for first, ids, etype in named:
+                if first < i and etype == "ORG":
+                    best_org = ids
+            if best_org is not None:
+                union(best_org, [i])
+
     # 4. pronouns
     unresolved: List[Tuple[int, str]] = []
     for i, tok in enumerate(tokens):
         low = tok.form.lower()
         if tags[i].pos not in ("Q",) and tags[i].morphofeat != "PRP$":
+            continue
+        if low in ("we", "us", "our"):
+            # 1st-person-plural pronouns never resolve to 3rd-person
+            # antecedents; they cluster with each other (sieve 5)
+            unresolved.append((i, low))
             continue
         if low not in _PRON_TYPE:
             continue

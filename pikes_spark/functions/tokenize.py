@@ -204,7 +204,10 @@ _HAVE = {"have", "has", "had", "having", "'ve"}
 _DO = {"do", "does", "did", "doing", "done"}
 _ADVERBS = {"very", "not", "n't", "also", "too", "then", "now", "here",
             "there", "never", "always", "often", "again", "still", "just",
-            "even", "only", "later", "soon", "strongly", "recently"}
+            "even", "only", "later", "soon", "strongly", "recently",
+            "abroad", "overseas", "ago"}
+# verb particles (RP after a verb: "running out", "fight on")
+_PARTICLES = {"out", "up", "down", "off", "away", "back"}
 _COMMON_VERBS = {
     "said", "says", "say", "met", "meet", "meets", "became", "become",
     "becomes", "resulted", "result", "results", "cost", "costs", "won",
@@ -324,6 +327,12 @@ def tag_tokens(tokens: List[Token]) -> List[Tagged]:
             t = Tagged("CD", "O", form)
         elif not any(c.isalnum() for c in form):
             t = Tagged(form if form in {",", ".", ":", ";", "``", "''", "(", ")"} else "SYM", "O", form)
+        elif low in {"this", "that", "these", "those"} \
+                and idx + 1 < len(tokens) and tokens[idx + 1].sent == tok.sent \
+                and (tokens[idx + 1].form.lower() in _BE | _MODALS | _HAVE
+                     or tokens[idx + 1].form.lower() in _COMMON_VERBS):
+            # demonstrative pronoun in subject position: "This is ..."
+            t = Tagged("PRP", "Q", low)
         elif low in _DETS:
             t = Tagged("DT", "D", low)
         elif low in _POSS_PRON:
@@ -342,6 +351,8 @@ def tag_tokens(tokens: List[Token]) -> List[Tagged]:
             t = Tagged("MD", "V", _IRREGULAR_LEMMA.get(low, low))
         elif low in {"n't", "not"}:
             t = Tagged("RB", "A", "not")
+        elif low in _PARTICLES and prev_tag.startswith("VB"):
+            t = Tagged("RP", "P", low)
         elif low in _CONJ:
             t = Tagged("CC", "C", low)
         elif low in _PREPS:
@@ -364,6 +375,9 @@ def tag_tokens(tokens: List[Token]) -> List[Tagged]:
         elif form[0].isupper() and (not sent_initial or "." in form or idx + 1 < len(tokens)
                                     and tokens[idx + 1].form[0].isupper()):
             t = Tagged("NNPS" if low.endswith("s") and low[:-1] in () else "NNP", "R", form)
+        elif form[0].isalpha() and any(c.isupper() for c in form[1:]):
+            # internal capitalization: "al-Assad", "McCain", "iPhone"
+            t = Tagged("NNP", "R", form)
         elif low in _COMMON_VERBS and (
                 prev_tag not in {"DT", "JJ", "PRP$", "POS"}
                 or (idx > 0 and tokens[idx - 1].form.lower() == "that")):
@@ -377,12 +391,23 @@ def tag_tokens(tokens: List[Token]) -> List[Tagged]:
                 or (idx + 1 < len(tokens) and tokens[idx + 1].sent == tok.sent
                     and tokens[idx + 1].form.lower()
                     in _DETS | _PRONOUNS | _POSS_PRON | _ADJECTIVES
-                    | {"that", "out", "to"})):
+                    | {"that", "out", "to"})
+                or (prev_tag in {"IN", "TO"}
+                    and idx + 1 < len(tokens)
+                    and tokens[idx + 1].sent == tok.sent
+                    and tokens[idx + 1].form[0].isupper())):
             # participle/gerund: after a verb, OR followed by a
             # determiner/pronoun/adjective complement ("posing a stark
             # challenge", "returning the favor") — a following plain noun
             # keeps it nominal ("fighting forces")
             t = Tagged("VBG", "V", _verb_lemma(low))
+        elif low.endswith("ed") and len(low) > 3 and "-" in low \
+                and prev_tag in {"IN", "TO", "DT", "JJ"} \
+                and idx + 1 < len(tokens) and tokens[idx + 1].sent == tok.sent \
+                and tokens[idx + 1].form[0].isalpha() \
+                and tokens[idx + 1].form.lower() not in _PREPS | _DETS:
+            # hyphenated participial premodifier: "like-minded donors"
+            t = Tagged("JJ", "G", low)
         elif low.endswith("ed") and len(low) > 3 and prev_tag in {
                 "VBZ", "VBP", "VBD", "MD", "VB", "RB", "",
                 "NN", "NNS", "NNP", "NNPS", "PRP"}:

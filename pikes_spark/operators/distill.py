@@ -186,6 +186,7 @@ class Distiller:
         # gold-eval converter (eval/convert.py) the way pikes.patch.trig's
         # eval:head statements disambiguate multi-term mentions
         self.mention_heads: Dict[str, Tuple[int, int]] = {}
+        self._copula_pairs: List[Tuple[dict, int, int]] = []
         # IRIs that already carry a gaf:denotedBy (a reused global
         # entity:<surface> IRI keeps only its FIRST mention link, like the
         # reference output: pikes.5.ttl <entity:iraqi> has one denotedBy
@@ -418,6 +419,8 @@ class Distiller:
         self.process_timexes()    # D1
         self.process_entities()   # D2
         self.process_predicates() # D3 (+D7 roles, D5 modifiers)
+        for pred, a1, a2 in self._copula_pairs:
+            self._emit_copula_sameas(pred, a1, a2)
         self.process_corefs()     # D6
         self.process_modifiers()  # D5
         self.process_roles()      # D7
@@ -636,6 +639,11 @@ class Distiller:
                     if (a1, a2) in coref_pairs or (a2, a1) in coref_pairs:
                         self._emit_copula_sameas(pred, a1, a2)
                         continue
+                    if roleset.split(".")[0] == "be":
+                        # identity copula "X is a Y": the frame instance
+                        # stays AND the args are equated — deferred until
+                        # both arg IRIs exist (RDFGenerator.java:533-567)
+                        self._copula_pairs.append((pred, a1, a2))
             tids = sorted(pred["term_ids"])
             # selfArg (RDFGenerator.java:1005-1028): when a role's head IS
             # the predicate head and an entity IRI already covers it, the
@@ -702,7 +710,8 @@ class Distiller:
         emits nothing for the predicate; the coreference between the arg
         instances is handled by coref — we additionally link them when the
         copula explicitly equates two instances)."""
-        o1, o2 = self.ann_obj.get(a1_head), self.ann_obj.get(a2_head)
+        o1 = self.ann_obj.get(a1_head) or self.ann_pred.get(a1_head)
+        o2 = self.ann_obj.get(a2_head) or self.ann_pred.get(a2_head)
         if o1 and o2 and o1 != o2:
             tids = sorted(pred["term_ids"])
             mention = self.emit_mention(sorted(set(
@@ -768,13 +777,39 @@ class Distiller:
             def _is_it(h: int) -> bool:
                 return self.tokens[h]["form"].lower() in ("it", "its")
 
+            def _is_rel(h: int) -> bool:
+                return self.tokens[h]["form"].lower() in ("who", "whom",
+                                                          "which", "that")
+
+            def _is_pron(h: int) -> bool:
+                return self.terms[h]["pos"] == "Q"
+
+            named_hs = {t for e in self.doc.get("entities", [])
+                        if e.get("named") for t in e["term_ids"]}
+
             for i in range(len(members)):
                 for j in range(i + 1, len(members)):
+                    a, b = members[i], members[j]
+                    # a relative pronoun corefers with its personal-pronoun
+                    # co-arguments only implicitly — no explicit sameAs in
+                    # the reference output (RDFGenerator.java:1243-1258
+                    # emits links for markable mentions only)
+                    if (_is_rel(a[0]) and _is_pron(b[0])) or \
+                            (_is_rel(b[0]) and _is_pron(a[0])):
+                        continue
                     joint = sorted(set(members[i][2] + members[j][2]))
                     mention = self.emit_mention(joint)
                     sent = self.tokens[joint[0]]["sent"]
-                    a, b = members[i], members[j]
                     if _is_it(b[0]) and not _is_it(a[0]):
+                        a, b = b, a
+                    elif b[2] and b[2][0] == a[0] + 1:
+                        # title apposition "president Bashar al-Assad":
+                        # the name is the subject of the sameAs link
+                        a, b = b, a
+                    elif a[0] in named_hs and b[0] not in named_hs \
+                            and self.terms[b[0]]["pos"] == "N":
+                        # distant definite-NP anaphor ("the group" after
+                        # "the Nusra Front"): anaphor is the subject
                         a, b = b, a
                     self.emit_fact(a[1], OWL_SAMEAS, b[1],
                                    mention, "sameas", sent)
