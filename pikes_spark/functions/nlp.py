@@ -44,6 +44,11 @@ _LOC_SUFFIX = {"city", "county", "river", "mountain", "island", "republic"}
 
 _NOMINAL = {"N", "R", "Q", "O"}  # O covers CD tokens
 
+# prepositions a verb lemma selects for even across an intervening
+# object NP (lexicalized PP attachment preference)
+_VERB_PREPS = {"prompt": {"from"}, "fight": {"with", "on"},
+               "flow": {"to", "from"}, "pose": {"to"}, "return": {"to"}}
+
 
 def _is_verb_tag(t: str) -> bool:
     return t.startswith("VB") or t == "MD"
@@ -95,18 +100,23 @@ def parse_sentence_deps(tokens: List[Token], tags: List[Tagged], lo: int, hi: in
     #    possessives, compounds -> NMOD to the NP head (next nominal head
     #    before a non-NP token).
     def np_head_from(i_l: int) -> Optional[int]:
+        """Head of the NP starting at i_l: the LAST nominal of the
+        premodifier chain (Det (Adj|Adv|Noun)* Head), or a pronoun."""
         j = i_l
         last_nom = None
         while j < n:
-            if pos[j] in ("D", "G") or ptb[j] in ("CD", "PRP$", "POS", "JJ"):
+            if pos[j] in ("D", "G", "A") or ptb[j] in ("CD", "PRP$", "POS", "JJ"):
                 j += 1
                 continue
             if pos[j] in ("N", "R"):
-                # continue through compound nouns / names
                 k = j
                 while k + 1 < n and pos[k + 1] in ("N", "R"):
                     k += 1
-                return nom_head(k) if pos[k] == "R" else k
+                last_nom = nom_head(k) if pos[k] == "R" else k
+                j = k + 1
+                continue
+            if pos[j] == "Q" and last_nom is None:
+                return j  # pronoun object: "with us", "prevent it"
             break
         return last_nom
 
@@ -126,7 +136,9 @@ def parse_sentence_deps(tokens: List[Token], tags: List[Tagged], lo: int, hi: in
                 if owner is not None:
                     att(h, owner, "NMOD")
 
-    # noun compounds: N/R followed by N (e.g. "aid package") -> NMOD
+    # noun compounds: N/R followed by N (e.g. "aid package") -> NMOD;
+    # a premodifier noun separated by adjectives/adverbs also attaches
+    # to the NP head ("the uprising most effective fighting forces")
     for i_l in range(n - 1):
         if attached[i_l]:
             continue
@@ -135,6 +147,11 @@ def parse_sentence_deps(tokens: List[Token], tags: List[Tagged], lo: int, hi: in
             while k + 1 < n and pos[k + 1] == "N":
                 k += 1
             att(k, nom_head(i_l), "NMOD")
+        elif pos[i_l] in ("N", "R") and i_l + 1 < n \
+                and (pos[i_l + 1] in ("G", "A") or ptb[i_l + 1] == "JJ"):
+            h = np_head_from(i_l + 1)
+            if h is not None and h != i_l and not attached[nom_head(i_l)]:
+                att(h, nom_head(i_l), "NMOD")
 
     # cardinal runs before a noun: "5 billion dollar aid" -> NMOD to NP head;
     # bare runs ("$5 billion") head at the last CD
@@ -181,10 +198,27 @@ def parse_sentence_deps(tokens: List[Token], tags: List[Tagged], lo: int, hi: in
     # coordinates the verbs, not weapons with attract
     for i_l in range(1, n - 1):
         if ptb[i_l] == "CC":
+            # peek right: a verb right of the CC (skipping adverbs)
+            # means VERB coordination — search left for a verb, not the
+            # nearest nominal ("gather more weapons and attract ...")
+            k = i_l + 1
+            while k < n and pos[k] == "A":
+                k += 1
+            right_is_verb = k < n and pos[k] == "V" and not attached[k]
             left = None
             left_is_verb = False
+            if right_is_verb and ptb[k] == "VBG":
+                # a participial conjunct pairs with the nearest
+                # participial, not any verb ("making ... and prompting")
+                for j in range(i_l - 1, -1, -1):
+                    if pos[j] == "V" and ptb[j] == "VBG":
+                        left = j
+                        left_is_verb = True
+                        break
             for j in range(i_l - 1, -1, -1):
-                if pos[j] in ("N", "R", "Q"):
+                if left is not None:
+                    break
+                if not right_is_verb and pos[j] in ("N", "R", "Q"):
                     left = nom_head(j)
                     break
                 if pos[j] == "V":
@@ -212,14 +246,24 @@ def parse_sentence_deps(tokens: List[Token], tags: List[Tagged], lo: int, hi: in
                 if not attached[right]:
                     att(i_l, right, "CONJ")
 
-    # 5. appositive: NP , NP , -> APPO
+    # 5. appositive: NP , NP , -> APPO (a pronoun after the comma is the
+    # next clause's subject, never an appositive; the right NP must be
+    # CLOSED by a comma/period — optionally after an of-PP — otherwise
+    # it is the next clause's subject: "in Iraq, Iraqi officials say")
     for i_l in range(n):
         if forms[i_l] == "," and 0 < i_l < n - 1:
             left = nom_head(i_l - 1) if pos[i_l - 1] in ("N", "R") else None
             h = np_head_from(i_l + 1)
+            if h is not None and pos[h] == "Q":
+                continue
             if left is not None and h is not None and not attached[h]:
-                # appositive only if followed later by comma or sentence end
-                att(left, h, "APPO")
+                tail = h + 1
+                if tail < n and lows[tail] == "of":
+                    pp = np_head_from(tail + 1)
+                    if pp is not None:
+                        tail = pp + 1
+                if tail >= n or forms[tail] in (",", "."):
+                    att(left, h, "APPO")
 
     # 6a. verb groups: one per unattached verb anchor (aux chains
     # collapsed via vc_child); infinitives (IM children) are inside
@@ -242,6 +286,30 @@ def parse_sentence_deps(tokens: List[Token], tags: List[Tagged], lo: int, hi: in
         if j + 1 < n and ptb[j] == "TO" and pos[j + 1] == "V" and not attached[j]:
             att(c, j, "OPRD")
 
+    # capacity nouns keep their to-infinitive as an NP modifier ("the
+    # skill to storm"); after any other object the infinitive is a
+    # purpose/controlled complement of the verb (PRP)
+    _CAPACITY_NOUNS = {"boldness", "skill", "ability", "capacity", "right",
+                       "power", "chance", "opportunity", "plan", "attempt",
+                       "decision", "willingness", "courage", "freedom"}
+    for i_l in range(n - 1):
+        if ptb[i_l] == "TO" and pos[i_l + 1] == "V" and not attached[i_l]:
+            if i_l > 0 and pos[i_l - 1] in ("N", "R") \
+                    and (tags[lo + i_l - 1].lemma in _CAPACITY_NOUNS
+                         or tags[lo + nom_head(i_l - 1)].lemma
+                         in _CAPACITY_NOUNS):
+                att(nom_head(i_l - 1), i_l, "NMOD")
+                continue
+            gov = None
+            for j in range(i_l - 1, -1, -1):
+                if pos[j] == "V":
+                    gov = j
+                    while gov in vc_child:
+                        gov = vc_child[gov]
+                    break
+            if gov is not None and gov != i_l:
+                att(gov, i_l, "PRP")
+
     _CLAUSE_SUBORD = {"as", "while", "when", "because", "although",
                       "though", "unless", "whereas"}
 
@@ -258,11 +326,26 @@ def parse_sentence_deps(tokens: List[Token], tags: List[Tagged], lo: int, hi: in
                 while k + 1 < n and ptb[k + 1] == "CD":
                     k += 1
                 obj = k
+            if obj is None and i_l + 1 < n and ptb[i_l + 1] == "VBG":
+                obj = i_l + 1  # gerund object: "from inheriting Syria"
             if obj is not None and not attached[obj]:
                 att(i_l, obj, "PMOD")
             site = None
             label = "NMOD"
-            if i_l > 0 and pos[i_l - 1] in ("N", "R"):
+            # lexical verb attachment: some verbs select this preposition
+            # even across an intervening object NP ("prompting similar
+            # sanctions FROM Europe" attaches to the verb, not the noun)
+            verb_site = None
+            for j in range(i_l - 1, -1, -1):
+                if pos[j] == "V":
+                    verb_site = j
+                    while verb_site in vc_child:
+                        verb_site = vc_child[verb_site]
+                    break
+            prefers_verb = (verb_site is not None
+                            and lows[i_l] in _VERB_PREPS.get(
+                                tags[lo + verb_site].lemma, ()))
+            if i_l > 0 and pos[i_l - 1] in ("N", "R") and not prefers_verb:
                 site = nom_head(i_l - 1)
                 label = "NMOD"
             else:
@@ -292,16 +375,22 @@ def parse_sentence_deps(tokens: List[Token], tags: List[Tagged], lo: int, hi: in
     # previous group, and its own object right of its content verb)
     _REL_PRONOUNS = {"that", "who", "whom", "which"}
     _SPEECH_VERBS = {"said", "says", "say"}
+    group_sub: Dict[int, int] = {}       # anchor -> subject head
+    participials: List[int] = []         # comma/CC participial anchors
+    inverted_speech: List[int] = []      # postposed speech-verb anchors
     for gi, (anchor, content) in enumerate(groups):
         lo_bound = groups[gi - 1][1] if gi > 0 else -1
         subj = None
         skip_subject = False
         # ", posing ..." — a comma-introduced participial adjunct has no
         # local subject; the SRL inherits the governing clause's SUB
-        # (the object scan below still runs)
+        # (the object scan below still runs).  "and prompting" after an
+        # earlier participial coordinates with it.
         if (lows[anchor].endswith("ing") and anchor > 0
-                and forms[anchor - 1] == ","):
+                and (forms[anchor - 1] == ","
+                     or (ptb[anchor - 1] == "CC" and participials))):
             skip_subject = True
+            participials.append(anchor)
         # inverted quotation: '..., said a veteran of ...' — the NP
         # FOLLOWING the speech verb is its subject
         skip_object = False
@@ -310,9 +399,20 @@ def parse_sentence_deps(tokens: List[Token], tags: List[Tagged], lo: int, hi: in
             inv = np_head_from(anchor + 1)
             if inv is not None and not attached[inv]:
                 att(anchor, inv, "SUB")
+                group_sub[anchor] = inv
                 skip_subject = True
                 skip_object = True  # the quotation precedes the verb
-        for j in [] if skip_subject else range(anchor - 1, lo_bound, -1):
+                inverted_speech.append(anchor)
+        # parenthetical: "The NP, <participial clause>, V ..." — the
+        # subject of V sits BEFORE the parenthetical commas, past
+        # lo_bound ("The United States, sensing ..., hopes to ...")
+        subj_range = range(anchor - 1, lo_bound, -1)
+        if not skip_subject and anchor > 0 and forms[anchor - 1] == ",":
+            c2 = next((j for j in range(anchor - 2, -1, -1)
+                       if forms[j] == ","), None)
+            if c2 is not None and any(c2 < a < anchor for a, _c in groups):
+                subj_range = range(c2 - 1, -1, -1)
+        for j in [] if skip_subject else subj_range:
             if lows[j] in _REL_PRONOUNS and j == anchor - 1:
                 if lows[j] in ("who", "whom", "which") and pos[j] == "Q":
                     subj = j  # relative pronoun kept as an instance
@@ -322,9 +422,11 @@ def parse_sentence_deps(tokens: List[Token], tags: List[Tagged], lo: int, hi: in
                         if pos[k2] in ("N", "R"):
                             subj = nom_head(k2)
                             break
-                if subj is not None:
-                    att(nom_head(j - 1) if pos[j - 1] in ("N", "R") else subj,
-                        anchor, "NMOD")  # relative clause modifies the NP
+                if subj is not None and pos[j - 1] in ("N", "R"):
+                    # restrictive relative clause modifies the NP; a
+                    # non-restrictive ", which ..." clause stays free
+                    # for the clause-attachment post-pass
+                    att(nom_head(j - 1), anchor, "NMOD")
                 break
             if pos[j] in ("N", "R", "Q") and not attached[nom_head(j)]:
                 subj = nom_head(j)
@@ -335,6 +437,7 @@ def parse_sentence_deps(tokens: List[Token], tags: List[Tagged], lo: int, hi: in
                 break
         if subj is not None and not attached[subj] and subj != anchor:
             att(anchor, subj, "SUB")
+            group_sub[anchor] = subj
         is_copula = lows[content] in ("is", "are", "was", "were", "be",
                                       "been", "am", "became", "become",
                                       "becomes", "'s", "'re")
@@ -374,6 +477,80 @@ def parse_sentence_deps(tokens: List[Token], tags: List[Tagged], lo: int, hi: in
                 if pos[j] in ("P", "V") or ptb[j] == "CC":
                     break
 
+    # 7b. clause-attachment post-pass -----------------------------------
+    _SPEECH_LEMMAS = {"say", "report", "announce", "state", "add", "note",
+                      "argue", "claim", "insist", "warn", "suggest"}
+    _CTV_BARE = {"say", "help", "make", "let", "see", "watch", "hear"}
+    obj_heads = {h - lo for (h, _d, l) in deps
+                 if l in ("OBJ", "PRD") and lo <= h < hi}
+
+    # (i) that-complements: a group whose subject NP is introduced by
+    #     "that" is the OBJ clause of the nearest preceding verb group
+    #     ("sensing that time may be running out")
+    embedded: Set[int] = set()
+    for gi, (anchor, content) in enumerate(groups):
+        s = group_sub.get(anchor)
+        if s is None or gi == 0 or s > anchor:
+            continue
+        for j in range(s - 1, max(s - 5, -1), -1):
+            if lows[j] == "that":
+                prev_c = groups[gi - 1][1]
+                if not attached[anchor] and prev_c != anchor:
+                    att(prev_c, anchor, "OBJ")
+                    embedded.add(anchor)
+                break
+            if pos[j] not in ("D", "G", "N", "R") \
+                    and ptb[j] not in ("JJ", "PRP$", "CD", "POS"):
+                break
+
+    # (ii) speech/clausal verbs take a clause as their content argument:
+    #      fronted quotations and postposed attributions ("..., officials
+    #      say"), bare complements ("said he helped lead")
+    for gi, (anchor, content) in enumerate(groups):
+        lemma = tags[lo + content].lemma
+        if content in obj_heads:
+            continue
+        if lemma in _SPEECH_LEMMAS and (anchor in inverted_speech
+                                        or gi > 0):
+            # the fronted/preceding main clause is the content
+            first_a = groups[0][0]
+            if not attached[first_a] and first_a != content:
+                att(content, first_a, "OBJ")
+            # a following ", which ..." clause is also attributed content
+            if gi + 1 < len(groups):
+                na, _nc = groups[gi + 1]
+                ns = group_sub.get(na)
+                if ns is not None and lows[ns] == "which" \
+                        and not attached[na] and na != content:
+                    att(content, na, "OBJ")
+        if lemma in _CTV_BARE and gi + 1 < len(groups):
+            na, _nc = groups[gi + 1]
+            ns = group_sub.get(na)
+            bare = na == content + 1
+            clausal = (ns is not None and content < ns < na
+                       and ns - content <= 3)
+            if (bare or clausal) and not attached[na] and na != content:
+                att(content, na, "OBJ")
+
+    # (iii) comma/CC participial adjuncts attach ADV to the nearest
+    #       non-participial, non-embedded clause (preceding preferred):
+    #       their subject is inherited from it during SRL
+    for p_anchor in participials:
+        if attached[p_anchor]:
+            continue
+        target = None
+        for a, c in reversed([g for g in groups if g[0] < p_anchor]):
+            if a not in participials and a not in embedded:
+                target = c
+                break
+        if target is None:
+            for a, c in [g for g in groups if g[0] > p_anchor]:
+                if a not in participials and a not in embedded:
+                    target = c
+                    break
+        if target is not None and target != p_anchor:
+            att(target, p_anchor, "ADV")
+
     # 8. adverbs -> AMOD to nearest verb/adjective
     for i_l in range(n):
         if pos[i_l] == "A" and not attached[i_l]:
@@ -393,7 +570,8 @@ def parse_sentence_deps(tokens: List[Token], tags: List[Tagged], lo: int, hi: in
                 att(site, i_l, "AMOD")
 
     # 9. everything else (punctuation, leftovers) -> attach to root as P/DEP
-    root = root_verb
+    # (the post-pass may have attached the original root_verb candidate)
+    root = next((v for v in verb_idxs if not attached[v]), None)
     if root is None:
         # nominal sentence: last unattached nominal is root
         for j in range(n - 1, -1, -1):
@@ -632,12 +810,75 @@ NOMINAL_VERB_ROLESETS = {
 # graphs' self-links (e.g. weapons_v nb:a2 weapons, favor_v nb:a1 favor).
 NOMINAL_SELF_ARGS = {
     "supporter": "A0", "founder": "A0", "president": "A0", "donor": "A0",
-    "fighter": "A0", "official": "A0", "insurgent": "A0", "offshoot": "A0",
+    "fighter": "A0", "official": "A0", "insurgent": "A0", "offshoot": "A1",
     "brother": "A0", "veteran": "A0", "government": "A0", "opposition": "A0",
     "weapon": "A2", "favor": "A1", "sanction": "A1",
 }
 
+# noun lemma -> argnum its plain nominal modifier receives, overriding
+# the lowest-free-PM-argnum default ("the uprising['s] ... forces" ->
+# forces a3 uprising per the NomBank force.01 descriptor slot)
+NOMINAL_MOD_ARGS = {"force": "A3"}
+
+# noun lemma -> argnum an ADJECTIVE modifier receives; None blocks the
+# default ("a stark challenge" -> am-mnr; "the lone group" -> a3)
+NOMINAL_ADJ_ARGS = {"group": "A3", "way": "A2", "minority": None}
+
+# temporal adjectives modify event nominals as AM-TMP ("former
+# insurgents"); demonyms locate person nouns (AM-LOC) unless the
+# roleset assigns them an argnum (rebel.01: a1 = entity rebelled
+# against -> "Iraqi insurgents")
+_TEMPORAL_ADJ = {"former", "current", "past", "future", "erstwhile",
+                 "onetime", "previous"}
+_DEMONYMS = {"syrian", "iraqi", "american", "iranian", "israeli",
+             "russian", "chinese", "french", "german", "british",
+             "turkish", "egyptian", "lebanese", "afghan", "libyan",
+             "european"}
+NOMINAL_DEMONYM_ARGS = {"insurgent": "A1", "brother": "AM-LOC",
+                        "official": "A2"}
+
+# nominalizations whose NomBank argnums sit one BELOW the source-verb
+# PropBank argnums (offshoot.01 a0/a1 <-> spin.02 a1/a2); AM-* roles
+# exist only on the NomBank side for these
+NOMINAL_NB_SHIFT = {"offshoot"}
+
+# container nouns transparent for role assignment: "a stamp of
+# approval from X" -> approval's args hang off "stamp"
+_TRANSPARENT_NOUNS = {"stamp", "kind", "sort", "type", "form", "series",
+                      "wave", "round", "set"}
+_TRANSPARENT_HEADS = {"one", "part", "some", "most", "all", "none",
+                      "member", "members"}
+
+# light verbs whose subject becomes the a0 of their predicative noun
+# object ("have dealings", "posing a challenge")
+_LIGHT_VERBS = {"have", "make", "take", "give", "do", "pose"}
+
 _COPULA_LEMMAS = {"be", "become"}
+
+# object-control verbs: their object is the understood subject of a
+# governed infinitive/gerund complement ("lead battalions to capture",
+# "prevent it from inheriting"), and the complement itself is an A2
+_OBJ_CONTROL = {"lead", "push", "cause", "force", "persuade", "prompt",
+                "allow", "ask", "tell", "urge", "encourage", "order",
+                "convince", "require", "prevent", "stop", "keep", "get"}
+
+# (roleset, preposition) -> role for PP arguments the frames select
+# (PredicateMatrix/frame-file subcat rows, fixture slice)
+PREP_ARGS = {
+    ("flow.01", "to"): "AM-DIR", ("flow.01", "from"): "AM-DIR",
+    ("run.05", "for"): "A2",
+    ("prompt.02", "from"): "A1",
+    ("fight.01", "with"): "A2", ("fight.01", "on"): "AM-LOC",
+    ("return.02", "to"): "A2",
+    ("pose.02", "to"): "A2",
+}
+
+# roleset -> argnum of the DIRECT object when not the default A1
+OBJ_ARGS = {"prompt.02": "A2"}
+
+# common nouns that mark a locative PP object ("on the lands of Iraq")
+_LOC_NOUNS = {"land", "lands", "territory", "region", "area", "soil",
+              "ground", "grounds", "border", "coast"}
 
 # Semafor-contract second SRL source (N9, AnnotationPipeline.java:826-899):
 # an independent FrameNet frame lexicon (deterministic stand-in for the
@@ -665,6 +906,85 @@ def extract_semafor_predicates(tokens: List[Token], tags: List[Tagged],
                 "roles": [],
             })
     return preds
+
+
+def _resolve_subject(graph: DepGraph, tags: List[Tagged],
+                     i: int) -> Optional[int]:
+    """Understood subject of the verb at term i: its own SUB child, the
+    governing clause's subject (participial/infinitive adjuncts walk
+    up), the controlling OBJECT for object-control verbs ("pushes the
+    opposition to organize"), the for-PP object for make-expletives, or
+    the antecedent NP of a finite relative clause."""
+    subj: Optional[int] = None
+    scan = i
+    seen_sub = False
+    hops = 0
+    via_complement = False
+    while True:
+        if via_complement and scan != i and tags[scan].pos == "V":
+            if tags[scan].lemma in _OBJ_CONTROL:
+                ctrl = next((c for c, l in graph.children.get(scan, [])
+                             if l == "OBJ"
+                             and tags[c].pos in ("N", "R", "Q")), None)
+                if ctrl is not None:
+                    return ctrl
+            elif tags[scan].lemma == "make":
+                for c, l in graph.children.get(scan, []):
+                    if l in ("ADV", "LOC") and tags[c].pos == "P" \
+                            and tags[c].lemma == "for":
+                        pm = next((c2 for c2, l2 in
+                                   graph.children.get(c, [])
+                                   if l2 == "PMOD"), None)
+                        if pm is not None:
+                            return pm
+        for child, lab in graph.children.get(scan, []):
+            if lab == "SUB" and not seen_sub:
+                subj = child
+                seen_sub = True
+        if seen_sub:
+            break
+        p = graph.parent.get(scan)
+        hops += 1
+        if p is None or hops >= 10:
+            break
+        ph, plab = p
+        if plab == "NMOD" and scan == i and tags[ph].pos in ("N", "R", "Q"):
+            return ph  # finite relative clause antecedent
+        if plab in ("VC", "DEP", "ADV", "COORD", "CONJ"):
+            scan = ph
+        elif plab in ("IM", "OPRD", "PRP", "OBJ", "PMOD", "NMOD"):
+            via_complement = True
+            scan = ph
+        else:
+            break
+    return subj
+
+
+def _coordination_set(graph: DepGraph, h: int) -> List[int]:
+    """All conjuncts of the coordination chain containing h (including
+    h): walk up CONJ<-CC<-COORD to the chain head, then collect every
+    COORD->CC->CONJ descendant."""
+    top = h
+    while True:
+        p = graph.parent.get(top)
+        if p is not None and p[1] == "CONJ":
+            p2 = graph.parent.get(p[0])
+            if p2 is not None and p2[1] == "COORD":
+                top = p2[0]
+                continue
+        break
+    out: List[int] = []
+
+    def collect(x: int) -> None:
+        out.append(x)
+        for c, lab in graph.children.get(x, []):
+            if lab == "COORD":
+                for c2, lab2 in graph.children.get(c, []):
+                    if lab2 == "CONJ":
+                        collect(c2)
+
+    collect(top)
+    return out
 
 
 def _extract_lemma(roleset: str) -> str:
@@ -739,26 +1059,7 @@ def extract_predicates(tokens: List[Token], tags: List[Tagged],
             roleset = VERB_ROLESETS.get(t.lemma, t.lemma + ".01")
             roles: List[dict] = []
             subj = obj = None
-            # subject may hang off the aux above this verb (VC chain), or
-            # — for participial/infinitive adjuncts — be inherited from
-            # the governing clause (walk up until a SUB is found)
-            scan = i
-            seen_sub = False
-            hops = 0
-            while True:
-                for child, lab in graph.children.get(scan, []):
-                    if lab == "SUB" and not seen_sub:
-                        subj = child
-                        seen_sub = True
-                if seen_sub:
-                    break
-                p = graph.parent.get(scan)
-                hops += 1
-                if p is not None and hops < 8 and p[1] in (
-                        "VC", "IM", "DEP", "ADV", "OPRD", "COORD", "CONJ"):
-                    scan = p[0]
-                else:
-                    break
+            subj = _resolve_subject(graph, tags, i)
             is_cop = t.lemma in _COPULA_LEMMAS
             # subject argnum: A0 when the roleset has an arg0, else A1
             # (unaccusatives like flow.01 take their subject as theme)
@@ -770,38 +1071,116 @@ def extract_predicates(tokens: List[Token], tags: List[Tagged],
                 subj_arg = "A0"
             else:
                 subj_arg = "A1"
+            def clause_content(v: int) -> int:
+                """Follow the VC chain down to the content verb."""
+                cur = v
+                while True:
+                    nxt = next((c for c, l in graph.children.get(cur, [])
+                                if l == "VC"), None)
+                    if nxt is None:
+                        return cur
+                    cur = nxt
+
+            # expletive-object extraposition: "making IT illegal for X
+            # to V" — the true A1 is the infinitive, the 'it' is dropped
+            _obj_child = next((c for c, l in children
+                               if l in ("OBJ", "PRD")
+                               and tags[c].pos != "V"), None)
+            expletive = (t.lemma == "make" and _obj_child is not None
+                         and tokens[_obj_child].form.lower() == "it"
+                         and _obj_child + 1 < n
+                         and tags[_obj_child + 1].pos == "G")
             for child, lab in children:
                 if lab in ("OBJ", "PRD"):
-                    obj = child
-                elif lab == "OPRD":
-                    # open complement "want to support X": the A1/A2 is
-                    # the infinitive predicate under the TO's IM child
+                    if tags[child].pos == "V":
+                        # clausal complement ("sensing that time may be
+                        # running out", "said he helped"): A1 is the
+                        # embedded content verb
+                        ch = clause_content(child)
+                        roles.append({"sem_role": "A1",
+                                      "term_ids": role_span(ch),
+                                      "head_id": ch, "refs": []})
+                    else:
+                        obj = child
+                elif lab in ("OPRD", "PRP"):
+                    # infinitive complements: OPRD = open complement
+                    # ("want to support X" -> A1); PRP after an object =
+                    # A2 for object-control verbs ("pushes X to
+                    # organize"), purpose adjunct AM-PNC otherwise
+                    # ("isolate the group to prevent ...")
                     im = [c for c, l2 in graph.children.get(child, [])
                           if l2 == "IM"]
                     tgt = im[0] if im else child
-                    roles.append({"sem_role": "A1", "term_ids": role_span(tgt),
+                    if lab == "OPRD" or expletive:
+                        sem = "A1"
+                    elif t.lemma in _OBJ_CONTROL:
+                        sem = "A2"
+                    else:
+                        sem = "AM-PNC"
+                    roles.append({"sem_role": sem, "term_ids": role_span(tgt),
                                   "head_id": tgt, "refs": []})
                 elif lab in ("TMP",):
                     roles.append({"sem_role": "AM-TMP", "term_ids": role_span(child),
                                   "head_id": child, "refs": []})
+                elif lab in ("LOC", "ADV") and tags[child].pos == "P":
+                    prep = tags[child].lemma
+                    pm = [c for c, l2 in graph.children.get(child, [])
+                          if l2 == "PMOD"]
+                    if not pm:
+                        continue
+                    pmh = pm[0]
+                    if tags[pmh].morphofeat == "VBG" \
+                            and t.lemma in _OBJ_CONTROL:
+                        # gerund complement "prevent it from inheriting"
+                        roles.append({"sem_role": "A2",
+                                      "term_ids": role_span(pmh),
+                                      "head_id": pmh, "refs": []})
+                    elif (roleset, prep) in PREP_ARGS:
+                        sem = PREP_ARGS[(roleset, prep)]
+                        for h2 in _coordination_set(graph, pmh):
+                            roles.append({"sem_role": sem,
+                                          "term_ids": role_span(h2),
+                                          "head_id": h2, "refs": []})
+                    elif lab == "LOC" \
+                            or GAZETTEER.get(tokens[pmh].form.lower()) == "LOC" \
+                            or tokens[pmh].form.lower() in _LOC_NOUNS:
+                        roles.append({"sem_role": "AM-LOC",
+                                      "term_ids": role_span(child),
+                                      "head_id": child, "refs": []})
+                    elif (re.fullmatch(r"\d{4}", tokens[pmh].form)
+                          or tokens[pmh].form.lower() in _MONTHS):
+                        roles.append({"sem_role": "AM-TMP",
+                                      "term_ids": role_span(child),
+                                      "head_id": child, "refs": []})
                 elif lab == "LOC":
                     roles.append({"sem_role": "AM-LOC", "term_ids": role_span(child),
                                   "head_id": child, "refs": []})
-                elif lab == "ADV" and tags[child].pos == "P":
-                    # classify by PMOD object
-                    pm = [c for c, l2 in graph.children.get(child, []) if l2 == "PMOD"]
-                    if pm and GAZETTEER.get(tokens[pm[0]].form.lower()) == "LOC":
-                        roles.append({"sem_role": "AM-LOC", "term_ids": role_span(child),
-                                      "head_id": child, "refs": []})
-                    elif pm and (re.fullmatch(r"\d{4}", tokens[pm[0]].form)
-                                 or tokens[pm[0]].form.lower() in _MONTHS):
-                        roles.append({"sem_role": "AM-TMP", "term_ids": role_span(child),
-                                      "head_id": child, "refs": []})
             if subj is not None:
-                roles.insert(0, {"sem_role": subj_arg,
-                                 "term_ids": role_span(subj), "head_id": subj, "refs": []})
-            if obj is not None:
-                roles.append({"sem_role": "A2" if is_cop else "A1",
+                # a coordinated subject distributes the role over every
+                # conjunct ("the United States and other countries that
+                # want ..." -> a0(want, states) AND a0(want, countries))
+                for s_h in _coordination_set(graph, subj):
+                    roles.insert(0, {"sem_role": subj_arg,
+                                     "term_ids": role_span(s_h),
+                                     "head_id": s_h, "refs": []})
+            if obj is not None and not expletive:
+                if tokens[obj].form.lower() in _TRANSPARENT_HEADS:
+                    # "has become ONE OF the ... forces": the role passes
+                    # through the partitive head to the of-PP object
+                    of_tok = None
+                    for c, l in (graph.children.get(obj, [])
+                                 + graph.children.get(i, [])):
+                        if tags[c].lemma == "of" and c == obj + 1:
+                            of_tok = c
+                            break
+                    if of_tok is not None:
+                        pm = next((c2 for c2, l2 in
+                                   graph.children.get(of_tok, [])
+                                   if l2 == "PMOD"), None)
+                        if pm is not None:
+                            obj = pm
+                obj_sem = OBJ_ARGS.get(roleset, "A2" if is_cop else "A1")
+                roles.append({"sem_role": obj_sem,
                               "term_ids": role_span(obj), "head_id": obj, "refs": []})
             # factuality contract (D4): negated predicates marked CT-
             # (certain-negative), else CT+ — detected from a 'not'/'n't'
@@ -839,13 +1218,107 @@ def extract_predicates(tokens: List[Token], tags: List[Tagged],
                 (f"A{n}" for n in range(1, 6)
                  if (roleset, str(n)) in PM_ROLES and str(n) != self_num),
                 None)
+
+            def _add(sem: Optional[str], h: int) -> None:
+                if sem:
+                    roles.append({"sem_role": sem, "term_ids": role_span(h),
+                                  "head_id": h, "refs": []})
+
+            # support-verb construction: the noun is the object of a
+            # light verb, whose subject is the noun's agent ("Americans
+            # HAVE financial dealings" -> dealings a0 americans; "posing
+            # a stark challenge TO x" -> challenge a0 <poser>, a1 x)
+            par = graph.parent.get(i)
+            if par is not None and par[1] in ("OBJ", "PRD") \
+                    and tags[par[0]].pos == "V" \
+                    and tags[par[0]].lemma in _LIGHT_VERBS:
+                lv = par[0]
+                if (roleset, "0") in PM_ROLES and self_arg != "A0":
+                    vsubj = _resolve_subject(graph, tags, lv)
+                    if vsubj is not None:
+                        for s2 in _coordination_set(graph, vsubj):
+                            _add("A0", s2)
+                for c, l in graph.children.get(lv, []):
+                    if l in ("ADV", "LOC") and tags[c].pos == "P" \
+                            and tags[c].lemma == "to":
+                        pm = next((c2 for c2, l2 in graph.children.get(c, [])
+                                   if l2 == "PMOD"), None)
+                        if pm is not None and mod_arg:
+                            for h2 in _coordination_set(graph, pm):
+                                _add(mod_arg, h2)
+
+            # transparent container: "an explicit stamp OF approval FROM
+            # Al Qaeda" hanging off "group WITH ..." — the container
+            # noun's modifiers are the embedded nominal's arguments
+            if par is not None and par[1] == "PMOD" \
+                    and tags[par[0]].lemma == "of":
+                gpar = graph.parent.get(par[0])
+                if gpar is not None and gpar[1] == "NMOD" \
+                        and tags[gpar[0]].lemma in _TRANSPARENT_NOUNS:
+                    cont = gpar[0]
+                    for c, l in graph.children.get(cont, []):
+                        if l == "NMOD" and tags[c].pos == "G":
+                            _add("AM-MNR", c)
+                        elif l == "NMOD" and tags[c].pos == "P" \
+                                and tags[c].lemma == "from":
+                            pm = next((c2 for c2, l2 in
+                                       graph.children.get(c, [])
+                                       if l2 == "PMOD"), None)
+                            if pm is not None:
+                                _add("A0", pm)
+                    cpar = graph.parent.get(cont)
+                    if cpar is not None and cpar[1] == "PMOD" \
+                            and tags[cpar[0]].lemma == "with":
+                        wpar = graph.parent.get(cpar[0])
+                        if wpar is not None and wpar[1] == "NMOD" \
+                                and mod_arg:
+                            _add(mod_arg, wpar[0])
             for child, lab in graph.children.get(i, []):
                 if lab == "NMOD" and (tags[child].pos in ("Q", "R", "N")
                                       or tags[child].morphofeat == "PRP$"):
-                    if mod_arg:
-                        roles.append({"sem_role": mod_arg,
-                                      "term_ids": role_span(child),
-                                      "head_id": child, "refs": []})
+                    # a possessive modifier is the AGENT when the
+                    # roleset has a free a0 ("their successes", "the
+                    # Nusra Front's efforts" -> a0); a demonym locates a
+                    # person noun (am-loc) or fills a roleset slot
+                    # (rebel.01 a1); other nominal modifiers take the
+                    # roleset's modifier argnum
+                    possessive = (tags[child].morphofeat == "PRP$"
+                                  or (tags[child].pos in ("N", "R")
+                                      and child + 1 < n
+                                      and tokens[child + 1].form == "'s"))
+                    demonym = tokens[child].form.lower() in _DEMONYMS
+                    if possessive and (roleset, "0") in PM_ROLES \
+                            and self_arg != "A0":
+                        _add("A0", child)
+                    elif demonym and (t.lemma in NOMINAL_DEMONYM_ARGS
+                                      or t.lemma in PERSON_NOUNS):
+                        _add(NOMINAL_DEMONYM_ARGS.get(t.lemma, "AM-LOC"),
+                             child)
+                    elif t.lemma in NOMINAL_MOD_ARGS and child != i - 1:
+                        # distant premodifier fills the descriptor slot
+                        # ("the uprising['s] ... forces" -> a3); the
+                        # ADJACENT compound keeps the default argnum
+                        # ("fighting forces" -> a1)
+                        _add(NOMINAL_MOD_ARGS[t.lemma], child)
+                    elif mod_arg:
+                        _add(mod_arg, child)
+                elif lab == "NMOD" and tags[child].pos == "G":
+                    # adjective modifiers: temporal -> am-tmp; per-noun
+                    # argnum override; manner for event nominalizations;
+                    # plain descriptor "mod" otherwise
+                    adj = tags[child].lemma
+                    if adj in _TEMPORAL_ADJ:
+                        _add("AM-TMP", child)
+                    elif t.lemma in NOMINAL_ADJ_ARGS:
+                        _add(NOMINAL_ADJ_ARGS[t.lemma], child)
+                    elif t.lemma in NOMINAL_VERB_ROLESETS \
+                            and self_arg is None:
+                        # manner only for EVENT nominalizations (no
+                        # self-arg); agentive nominals ("like-minded
+                        # donors") keep the adjective as a plain mod edge
+                        _add("AM-MNR", child)
+                    elif t.lemma in NOMINAL_NB_SHIFT:
+                        _add("AM-MNR", child)
                 elif lab == "NMOD" and tags[child].pos == "P":
                     pl = tokens[child].form.lower()
                     pm = [c for c, l2 in graph.children.get(child, []) if l2 == "PMOD"]
@@ -854,7 +1327,7 @@ def extract_predicates(tokens: List[Token], tags: List[Tagged],
                     # nominal argument prepositions: of/to -> the
                     # roleset's modifier argnum, from -> A0,
                     # in+location -> AM-LOC
-                    if pl in ("of", "to") and mod_arg:
+                    if pl in ("of", "to", "with") and mod_arg:
                         roles.append({"sem_role": mod_arg, "term_ids": role_span(pm[0]),
                                       "head_id": pm[0], "refs": []})
                     elif pl == "from":
@@ -865,6 +1338,14 @@ def extract_predicates(tokens: List[Token], tags: List[Tagged],
                         roles.append({"sem_role": "AM-LOC",
                                       "term_ids": role_span(pm[0]),
                                       "head_id": pm[0], "refs": []})
+            if t.lemma in NOMINAL_NB_SHIFT:
+                for role in roles:
+                    sem0 = role["sem_role"]
+                    if sem0.startswith("A") and sem0[1:].isdigit():
+                        role["arg_by_res"] = {
+                            "nombank": f"A{int(sem0[1:]) - 1}"}
+                    elif sem0.startswith("AM-"):
+                        role["arg_by_res"] = {"propbank": None}
             refs = [{"resource": "NomBank", "reference": roleset,
                      "confidence": 1.0, "source": "mate"}]
             verb_rs = NOMINAL_VERB_ROLESETS.get(t.lemma)

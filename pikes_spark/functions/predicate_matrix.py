@@ -187,6 +187,7 @@ PM_ROLES: Dict[Tuple[str, str], Tuple[Optional[str], Optional[str]]] = {
     ("veteran.02", "0"): (None, None),
     ("veteran.02", "2"): (None, None),
     ("offshoot.01", "1"): (None, None),
+    ("offshoot.01", "2"): (None, None),
     ("battalion.01", "1"): (None, None),
     ("isolate.01", "0"): ("agent", None),
     ("isolate.01", "1"): ("patient", None),

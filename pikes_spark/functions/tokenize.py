@@ -252,6 +252,19 @@ _ADJECTIVES = {
     "young", "important", "public", "bad", "same", "able", "early",
     "free", "full", "low", "hard", "best", "better", "nuclear", "several",
     "many", "few", "much", "next", "final", "recent", "top", "annual",
+    "explicit", "stark", "direct", "simple", "viable", "similar", "lone",
+    "former", "current", "effective", "seasoned", "illegal",
+}
+# deverbal/plain nouns and verbs that the -al/-ic/-ish adjective-suffix
+# heuristic would mis-tag
+_SUFFIX_NOT_ADJ = {
+    "approval", "arrival", "refusal", "proposal", "denial", "removal",
+    "survival", "revival", "trial", "burial", "interval", "capital",
+    "hospital", "animal", "signal", "metal", "total", "journal",
+    "festival", "scandal", "tribunal", "rival",
+    "music", "critic", "republic", "traffic", "logic", "topic", "clinic",
+    "publish", "establish", "finish", "punish", "diminish", "distinguish",
+    "abolish", "accomplish", "astonish", "furnish", "vanish", "flourish",
 }
 _ORDINALS = {"first", "second", "third", "fourth", "fifth", "sixth",
              "seventh", "eighth", "ninth", "tenth"}
@@ -422,7 +435,8 @@ def tag_tokens(tokens: List[Token]) -> List[Tagged]:
                 t = Tagged("JJ", "G", _verb_lemma(low))
             else:
                 t = _verb_tagged(low)
-        elif low.endswith(("ous", "ful", "ive", "able", "ible", "al", "ic", "ish")) and len(low) > 4:
+        elif low.endswith(("ous", "ful", "ive", "able", "ible", "al", "ic", "ish")) \
+                and len(low) > 4 and low not in _SUFFIX_NOT_ADJ:
             t = Tagged("JJ", "G", low)
         elif form[0].isupper() and sent_initial and idx + 1 < len(tokens) and tokens[idx + 1].form[0].islower() and low not in _COMMON_VERBS:
             # sentence-initial capitalized common word: noun by default

@@ -953,8 +953,17 @@ class Distiller:
                     rhead = self.graph.head_of_span(role["term_ids"])
                 if rhead is None:
                     continue
-                # argument heads via PARTICIPATION_REGEX (:1281-1292)
-                arg_heads = self.graph.descendants_matching([rhead], PARTICIPATION_REGEX)
+                # argument heads via PARTICIPATION_REGEX (:1281-1292);
+                # a self-arg or a clausal argument (verb head) stays on
+                # its own node — no SUB/COORD expansion (the expansion
+                # would leak the role onto co-conjuncts / the embedded
+                # clause's subject)
+                if rhead == phead \
+                        or (self.terms[rhead]["pos"] or "O")[0].upper() == "V":
+                    arg_heads = {rhead}
+                else:
+                    arg_heads = self.graph.descendants_matching(
+                        [rhead], PARTICIPATION_REGEX)
                 # properties (:1294-1361)
                 props: List[Tuple[str, str]] = []
                 if sem == "A0":
@@ -963,9 +972,14 @@ class Distiller:
                     props.append((SEM_HAS_TIME, "role_sem"))
                 elif sem in ("AM-LOC",):
                     props.append((SEM_HAS_PLACE, "role_sem"))
-                if re.fullmatch(r"A\d", sem) or sem.startswith("AM-"):
+                if re.fullmatch(r"A\d", sem) or sem.startswith("AM-") \
+                        or sem == "mod":
+                    per_res = role.get("arg_by_res") or {}
                     for res, rs in rolesets:
-                        props.append((premon_role_iri(res, rs, sem),
+                        arg = per_res.get(res, sem)
+                        if arg is None:
+                            continue  # role absent on this resource side
+                        props.append((premon_role_iri(res, rs, arg),
                                       "role_pb" if res == "propbank" else "role_nb"))
                 # conn:<lemma-path> property (RDFGenerator.java:1363-1371)
                 conn = self.conn_iri(phead, rhead)
