@@ -551,9 +551,15 @@ def parse_sentence_deps(tokens: List[Token], tags: List[Tagged], lo: int, hi: in
         if target is not None and target != p_anchor:
             att(target, p_anchor, "ADV")
 
-    # 8. adverbs -> AMOD to nearest verb/adjective
+    # 8. adverbs -> AMOD to nearest verb/adjective; a locative adverb
+    # right after an NP modifies that NP ("donors abroad")
+    _POSTNOMINAL_ADV = {"abroad", "overseas", "here", "there", "nearby"}
     for i_l in range(n):
         if pos[i_l] == "A" and not attached[i_l]:
+            if lows[i_l] in _POSTNOMINAL_ADV and i_l > 0 \
+                    and pos[i_l - 1] in ("N", "R"):
+                att(nom_head(i_l - 1), i_l, "NMOD")
+                continue
             site = None
             for j in range(i_l + 1, n):
                 if pos[j] in ("V", "G"):
@@ -740,6 +746,9 @@ def extract_entities_timexes(tokens: List[Token], tags: List[Tagged]):
             # group spelled-number runs: "5 billion", "twenty three"
             if i > 0 and tags[i - 1].morphofeat == "CD":
                 continue
+            if low == "one" and i + 1 < n \
+                    and tokens[i + 1].form.lower() == "of":
+                continue  # partitive "one of the ..." is not a value
             ids = [i]
             j = i + 1
             while j < n and tags[j].morphofeat == "CD":
@@ -841,6 +850,10 @@ NOMINAL_DEMONYM_ARGS = {"insurgent": "A1", "brother": "AM-LOC",
 # PropBank argnums (offshoot.01 a0/a1 <-> spin.02 a1/a2); AM-* roles
 # exist only on the NomBank side for these
 NOMINAL_NB_SHIFT = {"offshoot"}
+
+# nominalizations whose AM-MNR adjective role exists only on the
+# NomBank side in the reference inventory (dealing.01 has no pb am-mnr)
+NOMINAL_AM_NB_ONLY = {"dealing"}
 
 # container nouns transparent for role assignment: "a stamp of
 # approval from X" -> approval's args hang off "stamp"
@@ -948,7 +961,8 @@ def _resolve_subject(graph: DepGraph, tags: List[Tagged],
         if p is None or hops >= 10:
             break
         ph, plab = p
-        if plab == "NMOD" and scan == i and tags[ph].pos in ("N", "R", "Q"):
+        if plab == "NMOD" and tags[scan].pos == "V" \
+                and tags[ph].pos in ("N", "R", "Q"):
             return ph  # finite relative clause antecedent
         if plab in ("VC", "DEP", "ADV", "COORD", "CONJ"):
             scan = ph
@@ -1182,10 +1196,43 @@ def extract_predicates(tokens: List[Token], tags: List[Tagged],
                 obj_sem = OBJ_ARGS.get(roleset, "A2" if is_cop else "A1")
                 roles.append({"sem_role": obj_sem,
                               "term_ids": role_span(obj), "head_id": obj, "refs": []})
+            # gapped coordination "support the rebels but not Islamic
+            # extremists": a SECOND, negated instance of the predicate
+            # takes the post-"but not" conjunct as its object
+            ellipsis_pred = None
+            if obj is not None and not expletive:
+                cc = next((c for c, l in graph.children.get(obj, [])
+                           if l == "COORD"
+                           and tokens[c].form.lower() == "but"), None)
+                second = None
+                neg_term = None
+                if cc is not None and cc + 1 < n \
+                        and tokens[cc + 1].form.lower() in ("not", "n't"):
+                    neg_term = cc + 1
+                    second = next((c for c, l in graph.children.get(cc, [])
+                                   if l == "CONJ"), None)
+                if second is not None:
+                    roles[-1]["no_expand"] = True  # A1 stays on conjunct 1
+                    e_roles = [{**r, "refs": []} for r in roles
+                               if r["sem_role"] == subj_arg]
+                    e_roles.append({"sem_role": "A1",
+                                    "term_ids": role_span(second),
+                                    "head_id": second, "refs": [],
+                                    "no_expand": True})
+                    ellipsis_pred = _with_pm({
+                        "id": f"pr{len(preds) + 1}e", "source": "ellipsis",
+                        "term_ids": [i], "head_id": i, "ellipsis": True,
+                        "neg_term": neg_term, "factuality": "CT-",
+                        "refs": [{"resource": "PropBank",
+                                  "reference": roleset,
+                                  "confidence": 1.0, "source": "ellipsis"}],
+                        "roles": e_roles,
+                    }, roleset)
             # factuality contract (D4): negated predicates marked CT-
             # (certain-negative), else CT+ — detected from a 'not'/'n't'
             # AMOD child on the verb or its aux chain
             neg = any(tokens[c].form.lower() in ("not", "n't")
+                      and not (c > 0 and tags[c - 1].morphofeat == "CC")
                       for c, lab in children if lab == "AMOD")
             p = graph.parent.get(i)
             if not neg and p is not None and p[1] == "VC":
@@ -1200,6 +1247,8 @@ def extract_predicates(tokens: List[Token], tags: List[Tagged],
                           "confidence": 1.0, "source": "mate"}],
                 "roles": roles,
             }, roleset))
+            if ellipsis_pred is not None:
+                preds.append(ellipsis_pred)
         elif t.pos in ("N",) and t.lemma in NOMINAL_ROLESETS:
             roleset = NOMINAL_ROLESETS[t.lemma]
             roles = []
@@ -1229,23 +1278,32 @@ def extract_predicates(tokens: List[Token], tags: List[Tagged],
             # HAVE financial dealings" -> dealings a0 americans; "posing
             # a stark challenge TO x" -> challenge a0 <poser>, a1 x)
             par = graph.parent.get(i)
+            a0_free = (roleset, "0") in PM_ROLES and self_arg != "A0"
             if par is not None and par[1] in ("OBJ", "PRD") \
-                    and tags[par[0]].pos == "V" \
-                    and tags[par[0]].lemma in _LIGHT_VERBS:
+                    and tags[par[0]].pos == "V":
                 lv = par[0]
-                if (roleset, "0") in PM_ROLES and self_arg != "A0":
+                if a0_free and tags[lv].lemma in _LIGHT_VERBS:
                     vsubj = _resolve_subject(graph, tags, lv)
                     if vsubj is not None:
                         for s2 in _coordination_set(graph, vsubj):
                             _add("A0", s2)
+                # the governing verb's directional PPs double as the
+                # noun's arguments ("returning the favor TO brothers"
+                # -> favor a2 brothers; "prompting sanctions FROM
+                # Europe" -> sanctions a0 europe)
                 for c, l in graph.children.get(lv, []):
-                    if l in ("ADV", "LOC") and tags[c].pos == "P" \
-                            and tags[c].lemma == "to":
-                        pm = next((c2 for c2, l2 in graph.children.get(c, [])
-                                   if l2 == "PMOD"), None)
-                        if pm is not None and mod_arg:
-                            for h2 in _coordination_set(graph, pm):
-                                _add(mod_arg, h2)
+                    if l not in ("ADV", "LOC") or tags[c].pos != "P":
+                        continue
+                    pm = next((c2 for c2, l2 in graph.children.get(c, [])
+                               if l2 == "PMOD"), None)
+                    if pm is None:
+                        continue
+                    if tags[c].lemma == "to" and mod_arg:
+                        for h2 in _coordination_set(graph, pm):
+                            _add(mod_arg, h2)
+                    elif tags[c].lemma == "from" and a0_free:
+                        for h2 in _coordination_set(graph, pm):
+                            _add("A0", h2)
 
             # transparent container: "an explicit stamp OF approval FROM
             # Al Qaeda" hanging off "group WITH ..." — the container
@@ -1317,6 +1375,8 @@ def extract_predicates(tokens: List[Token], tags: List[Tagged],
                         # self-arg); agentive nominals ("like-minded
                         # donors") keep the adjective as a plain mod edge
                         _add("AM-MNR", child)
+                        if t.lemma in NOMINAL_AM_NB_ONLY:
+                            roles[-1]["arg_by_res"] = {"propbank": None}
                     elif t.lemma in NOMINAL_NB_SHIFT:
                         _add("AM-MNR", child)
                 elif lab == "NMOD" and tags[child].pos == "P":
@@ -1570,6 +1630,8 @@ def extract_corefs(tokens: List[Token], tags: List[Tagged],
                     best = [j]
                     break
         elif low in ("it", "its"):
+            if low == "it" and i + 1 < n and tags[i + 1].pos == "G":
+                continue  # expletive "making it illegal ..."
             subject_position = (low == "it" and i + 1 < n
                                 and tags[i + 1].pos == "V")
             if subject_position:

@@ -33,7 +33,13 @@ def merge_srl_sources(predicates: List[dict], graph,
     """predicates (mixed sources) -> merged list (F9)."""
     mate: Dict[int, dict] = {}
     semafor: Dict[int, dict] = {}
+    ellipsis: List[dict] = []
     for pred in predicates:
+        if pred.get("ellipsis"):
+            # a second instance over the same head (gapped coordination)
+            # passes through the merge untouched
+            ellipsis.append(pred)
+            continue
         head = pred.get("head_id")
         if head is None:
             head = graph.head_of_span(pred["term_ids"])
@@ -92,4 +98,5 @@ def merge_srl_sources(predicates: List[dict], graph,
     for head, spred in semafor.items():
         if head not in mate:
             out.append(spred)
+    out.extend(ellipsis)
     return out

@@ -287,8 +287,10 @@ class Tagged(NamedTuple):
 def _noun_lemma(w: str) -> str:
     if len(w) > 3 and w.endswith("ies"):
         return w[:-3] + "y"
-    if len(w) > 3 and w.endswith("ses"):
+    if len(w) > 4 and w.endswith("sses"):
         return w[:-2]
+    if len(w) > 3 and w.endswith("ses"):
+        return w[:-1]  # bases -> base, cases -> case
     if len(w) > 2 and w.endswith("s") and not w.endswith("ss") and not w.endswith("us"):
         return w[:-1]
     return w
@@ -364,6 +366,9 @@ def tag_tokens(tokens: List[Token]) -> List[Tagged]:
             t = Tagged("MD", "V", _IRREGULAR_LEMMA.get(low, low))
         elif low in {"n't", "not"}:
             t = Tagged("RB", "A", "not")
+        elif low in {"most", "more", "less", "least"}:
+            t = Tagged("RBS" if low in ("most", "least") else "RBR",
+                       "A", low)
         elif low in _PARTICLES and prev_tag.startswith("VB"):
             t = Tagged("RP", "P", low)
         elif low in _CONJ:

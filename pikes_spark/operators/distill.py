@@ -140,6 +140,12 @@ def premon_role_iri(resource: str, pred: str, role: str) -> str:
             role = role.replace("am-", "arg")
     return PREMON_NS + _PREMON_PREFIX[resource] + "-" + pred + "@" + role
 
+# degree adverbs never become attribute nodes (gold has no nodes for
+# "most", "more", "just"); locative adverbs like "abroad" do
+_DEGREE_ADVERBS = {"most", "more", "just", "very", "too", "so", "quite",
+                   "least", "less", "almost", "nearly", "rather",
+                   "similar", "such", "same"}
+
 _XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
 _XSD_DOUBLE = "http://www.w3.org/2001/XMLSchema#double"
 _XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
@@ -187,6 +193,7 @@ class Distiller:
         # eval:head statements disambiguate multi-term mentions
         self.mention_heads: Dict[str, Tuple[int, int]] = {}
         self._copula_pairs: List[Tuple[dict, int, int]] = []
+        self._ellipsis_iris: Dict[str, str] = {}
         # IRIs that already carry a gaf:denotedBy (a reused global
         # entity:<surface> IRI keeps only its FIRST mention link, like the
         # reference output: pikes.5.ttl <entity:iraqi> has one denotedBy
@@ -368,6 +375,15 @@ class Distiller:
         for ent in keep:
             covered.update(ent["term_ids"])
         covered |= self._timex_wfs
+        referenced: Set[int] = set()
+        for pred in self.doc.get("predicates", []):
+            for role in pred.get("roles") or []:
+                rh = role.get("head_id")
+                if rh is not None:
+                    referenced.add(rh)
+        for co in self.doc.get("corefs", []):
+            for sp in co["spans"]:
+                referenced.update(sp)
         for tid, term in enumerate(self.terms):
             pos = (term["pos"] or "O")[0].upper()
             if pos not in ("R", "N", "Q") or tid in covered:
@@ -375,6 +391,12 @@ class Distiller:
             # NAME dep part of a larger name -> skip (namePart rule)
             dep = self.graph.dep_to(tid)
             if pos == "R" and dep is not None and "name" in dep[1].lower():
+                continue
+            # a personal pronoun nobody refers to (expletive 'it',
+            # relative 'that') is not an instance; possessives ("its")
+            # always are
+            if pos == "Q" and tid not in referenced \
+                    and not term["morphofeat"].startswith("PRP$"):
                 continue
             span = self.nominal_span(tid)
             keep.append({"id": f"auto{tid}", "type": None, "named": pos == "R",
@@ -610,6 +632,9 @@ class Distiller:
             # skip if head is a timex or named/ordinal entity head (:983-990)
             if head in named_heads:
                 continue
+            if pred.get("ellipsis"):
+                self._emit_ellipsis_pred(pred)
+                continue
             # F11 srlRemoveUnknownPredicates (opt-in; see class docstring)
             if self.strict_rolesets:
                 from ..functions.predicate_matrix import PM_PREDICATES
@@ -703,6 +728,45 @@ class Distiller:
                     else:
                         obj = NS[res] + ref["reference"].replace("#", ".")
                     self.emit_fact(iri, RDF_TYPE, obj, mention, comp, sent, mb, me)
+
+    def _emit_ellipsis_pred(self, pred: dict) -> None:
+        """Second predicate instance over a shared head for gapped
+        coordination ("... but not Islamic extremists"): own IRI, same
+        mention anchor, CT- factuality, and the gap's "not" as a ks:mod
+        attribute node."""
+        head = pred.get("head_id", pred["term_ids"][0])
+        tids = sorted(pred["term_ids"])
+        iri = self.mint_iri("pred_e:" + str(head) + pred["id"],
+                            self.terms[head]["lemma"])
+        self._ellipsis_iris[pred["id"]] = iri
+        mention = self.emit_mention(tids)
+        if mention:
+            self.mention_heads[mention] = (self.t_begin(head), self.t_end(head))
+        sent = self.tokens[tids[0]]["sent"]
+        mb, me = self.t_begin(tids[0]), self.t_end(tids[-1])
+        self.emit_fact(iri, RDF_TYPE, KS_ENTITY, mention, "instance", sent, mb, me)
+        self.emit_fact(iri, RDF_TYPE, SEM_EVENT, mention, "instance", sent, mb, me)
+        self.emit_meta(iri, GAF_DENOTED_BY, mention, "mention")
+        fact_val = pred.get("factuality")
+        if fact_val:
+            self.emit_fact(iri, NS["ks"] + "factuality", fact_val,
+                           mention, "factuality", sent, mb, me, o_literal=True)
+        for ref in pred.get("refs") or []:
+            res = (ref.get("resource") or "").lower()
+            if res in NS and ref.get("reference"):
+                comp = {"propbank": "type_pb", "nombank": "type_nb",
+                        "verbnet": "type_vn", "framenet": "type_fn",
+                        "eso": "type_eso"}.get(res, "type_" + res)
+                if res in _PREMON_PREFIX:
+                    obj = premon_class_iri(res, ref["reference"])
+                else:
+                    obj = NS[res] + ref["reference"].replace("#", ".")
+                self.emit_fact(iri, RDF_TYPE, obj, mention, comp, sent, mb, me)
+        neg_term = pred.get("neg_term")
+        if neg_term is not None:
+            attr = self.emit_term(neg_term)
+            if attr:
+                self.emit_fact(iri, KS_MOD, attr, None, "edge", sent)
 
     def _emit_copula_sameas(self, pred: dict, a1_head: int, a2_head: int) -> bool:
         """Copular be/become: if both args are annotated instances, emit
@@ -817,15 +881,36 @@ class Distiller:
     # D5 (RDFGenerator.java:587-619, 1101-1149)
     def process_modifiers(self) -> None:
         coref_heads = {h for pair in self._coref_head_pairs() for h in pair}
+        # a modifier already captured as a ROLE of the head's predicate
+        # needs no ks:mod edge (the role edge covers the pair); and when
+        # a head carries both an entity and a predicate IRI, the mod
+        # edge belongs on the ENTITY instance (gold: fighters
+        # hasQuality veteran — not fighters_v)
+        role_covered: Set[Tuple[int, int]] = set()
+        for pred in self.doc.get("predicates", []):
+            ph = pred.get("head_id", pred["term_ids"][0])
+            for role in pred.get("roles") or []:
+                rh = role.get("head_id")
+                if rh is not None:
+                    role_covered.add((ph, rh))
         seen: Set[Tuple[int, str]] = set()
         for head, iri in list(self.ann_obj.items()) + list(self.ann_pred.items()):
             if (head, iri) in seen:
                 continue
+            if head in self.ann_obj and iri != self.ann_obj[head]:
+                continue  # pred-side duplicate of an entity head
             seen.add((head, iri))
             extent = set(self.ann_extent.get(head, [head]))
             for mod in self.graph.descendants_matching([head], MODIFIER_REGEX):
                 if mod == head or mod in extent or mod in coref_heads:
                     continue
+                if (head, mod) in role_covered:
+                    continue
+                if (self.terms[mod]["pos"] or "O")[0].upper() == "Q":
+                    continue  # possessive/relative pronouns: no mod edge
+                if self.terms[mod]["lemma"] == "not" and mod > 0 \
+                        and self.terms[mod - 1]["morphofeat"] == "CC":
+                    continue  # "but not": negation owned by the ellipsis
                 target = self.ann_obj.get(mod) or self.ann_pred.get(mod)
                 sent = self.tokens[head]["sent"]
                 if target:
@@ -835,7 +920,8 @@ class Distiller:
                         self.emit_fact(iri, conn, target, None, "edge", sent)
                 else:
                     term = self.terms[mod]
-                    if (term["pos"] or "O")[0].upper() in ("G", "A"):
+                    if (term["pos"] or "O")[0].upper() in ("G", "A") \
+                            and term["lemma"] not in _DEGREE_ADVERBS:
                         attr = self.emit_term(mod)
                         if attr:
                             self.emit_fact(iri, KS_MOD, attr, None, "edge", sent)
@@ -895,14 +981,16 @@ class Distiller:
         modifier_iris: List[str] = []
         modifier_ids: List[str] = []
         for mod in sorted(self.graph.descendants_matching([head], "AMOD|NMOD")):
-            if mod != head and (self.terms[mod]["pos"] or "O")[0].upper() in "AGV":
+            if mod != head and (self.terms[mod]["pos"] or "O")[0].upper() in "AGV" \
+                    and self.terms[mod]["lemma"] not in _DEGREE_ADVERBS:
                 mod_iri = self.emit_term(mod)
                 if mod_iri:
                     modifier_iris.append(mod_iri)
                     modifier_ids.append(mod_iri.rsplit(":", 1)[-1])
         closure = [t for t in sorted(self.graph.descendants_matching(
             [head], "(AMOD|NMOD)*"))
-            if (self.terms[t]["pos"] or "O")[0].upper() in "AGV"]
+            if (self.terms[t]["pos"] or "O")[0].upper() in "AGV"
+            and self.terms[t]["lemma"] not in _DEGREE_ADVERBS]
         label = self.naf_text(self.filter_terms(closure) or closure or [head])
         level = 0
         for mid in modifier_ids:
@@ -933,7 +1021,10 @@ class Distiller:
     def process_roles(self) -> None:
         for pred in self.doc["predicates"]:
             phead = pred.get("head_id", pred["term_ids"][0])
-            pred_iri = self.ann_pred.get(phead)
+            if pred.get("ellipsis"):
+                pred_iri = self._ellipsis_iris.get(pred["id"])
+            else:
+                pred_iri = self.ann_pred.get(phead)
             if pred_iri is None:
                 continue
             # ALL pb/nb rolesets of the predicate contribute role
@@ -958,7 +1049,7 @@ class Distiller:
                 # its own node — no SUB/COORD expansion (the expansion
                 # would leak the role onto co-conjuncts / the embedded
                 # clause's subject)
-                if rhead == phead \
+                if rhead == phead or role.get("no_expand") \
                         or (self.terms[rhead]["pos"] or "O")[0].upper() == "V":
                     arg_heads = {rhead}
                 else:
