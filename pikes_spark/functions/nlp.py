@@ -700,6 +700,12 @@ def extract_entities_timexes(tokens: List[Token], tags: List[Tagged]):
             j = i
             while j + 1 < n and tags[j + 1].pos == "R" and j + 1 not in used:
                 j += 1
+            # gazetteer-known R+N multiword ("Syrian opposition")
+            if j + 1 < n and tags[j + 1].pos == "N":
+                ext = " ".join(tokens[k].form
+                               for k in range(i, j + 2)).lower()
+                if ext in GAZETTEER:
+                    j += 1
             surface = " ".join(tokens[k].form for k in range(i, j + 1)).lower()
             etype = GAZETTEER.get(surface)
             if etype is None:
@@ -875,15 +881,18 @@ _OBJ_CONTROL = {"lead", "push", "cause", "force", "persuade", "prompt",
                 "allow", "ask", "tell", "urge", "encourage", "order",
                 "convince", "require", "prevent", "stop", "keep", "get"}
 
-# (roleset, preposition) -> role for PP arguments the frames select
-# (PredicateMatrix/frame-file subcat rows, fixture slice)
+# (roleset, preposition) -> (role, fn_frame_element_override) for PP
+# arguments the frames select (PredicateMatrix/frame-file subcat rows);
+# the FE override distinguishes source/goal for directional PPs
 PREP_ARGS = {
-    ("flow.01", "to"): "AM-DIR", ("flow.01", "from"): "AM-DIR",
-    ("run.05", "for"): "A2",
-    ("prompt.02", "from"): "A1",
-    ("fight.01", "with"): "A2", ("fight.01", "on"): "AM-LOC",
-    ("return.02", "to"): "A2",
-    ("pose.02", "to"): "A2",
+    ("flow.01", "to"): ("AM-DIR", "goal"),
+    ("flow.01", "from"): ("AM-DIR", "source"),
+    ("run.05", "for"): ("A2", None),
+    ("prompt.02", "from"): ("A1", None),
+    ("fight.01", "with"): ("A2", None),
+    ("fight.01", "on"): ("AM-LOC", None),
+    ("return.02", "to"): ("A2", None),
+    ("pose.02", "to"): ("A2", None),
 }
 
 # roleset -> argnum of the DIRECT object when not the default A1
@@ -1071,6 +1080,10 @@ def extract_predicates(tokens: List[Token], tags: List[Tagged],
             if t.lemma in ("be", "have") and any(lab == "VC" for _, lab in children):
                 continue
             roleset = VERB_ROLESETS.get(t.lemma, t.lemma + ".01")
+            if t.lemma == "lead" and any(
+                    lab == "PRP" for _c, lab in graph.children.get(i, [])):
+                # "lead X to V" = induce (lead.03), not guide (lead.01)
+                roleset = "lead.03"
             roles: List[dict] = []
             subj = obj = None
             subj = _resolve_subject(graph, tags, i)
@@ -1150,11 +1163,14 @@ def extract_predicates(tokens: List[Token], tags: List[Tagged],
                                       "term_ids": role_span(pmh),
                                       "head_id": pmh, "refs": []})
                     elif (roleset, prep) in PREP_ARGS:
-                        sem = PREP_ARGS[(roleset, prep)]
+                        sem, fe = PREP_ARGS[(roleset, prep)]
                         for h2 in _coordination_set(graph, pmh):
-                            roles.append({"sem_role": sem,
-                                          "term_ids": role_span(h2),
-                                          "head_id": h2, "refs": []})
+                            r2 = {"sem_role": sem,
+                                  "term_ids": role_span(h2),
+                                  "head_id": h2, "refs": []}
+                            if fe:
+                                r2["fn_fe"] = fe
+                            roles.append(r2)
                     elif lab == "LOC" \
                             or GAZETTEER.get(tokens[pmh].form.lower()) == "LOC" \
                             or tokens[pmh].form.lower() in _LOC_NOUNS:
@@ -1196,6 +1212,15 @@ def extract_predicates(tokens: List[Token], tags: List[Tagged],
                 obj_sem = OBJ_ARGS.get(roleset, "A2" if is_cop else "A1")
                 roles.append({"sem_role": obj_sem,
                               "term_ids": role_span(obj), "head_id": obj, "refs": []})
+            if expletive and _obj_child is not None:
+                # the predicative adjective is the caused result state
+                # ("making it ILLEGAL ...") — VN result / FN effect
+                # only; PropBank keeps just the a1 clause
+                adj = _obj_child + 1
+                roles.append({"sem_role": "A2", "term_ids": [adj],
+                              "head_id": adj, "refs": [], "no_expand": True,
+                              "arg_by_res": {"propbank": None,
+                                             "nombank": None}})
             # gapped coordination "support the rebels but not Islamic
             # extremists": a SECOND, negated instance of the predicate
             # takes the post-"but not" conjunct as its object
@@ -1250,6 +1275,13 @@ def extract_predicates(tokens: List[Token], tags: List[Tagged],
             if ellipsis_pred is not None:
                 preds.append(ellipsis_pred)
         elif t.pos in ("N",) and t.lemma in NOMINAL_ROLESETS:
+            # a person-noun used as a PREMODIFIER ("veteran fighters")
+            # qualifies the head noun instead of predicating
+            _par0 = graph.parent.get(i)
+            if t.lemma in PERSON_NOUNS and _par0 is not None \
+                    and _par0[1] == "NMOD" and _par0[0] > i \
+                    and tags[_par0[0]].pos == "N":
+                continue
             roleset = NOMINAL_ROLESETS[t.lemma]
             roles = []
             self_arg = NOMINAL_SELF_ARGS.get(t.lemma)
@@ -1305,6 +1337,29 @@ def extract_predicates(tokens: List[Token], tags: List[Tagged],
                         for h2 in _coordination_set(graph, pm):
                             _add("A0", h2)
 
+            # a giver nominal inside the from-PP of a transfer/motion
+            # verb inherits the event's participants: what moves is the
+            # given theme, the to-goal its recipient ("money flows to
+            # the group ... from donors" -> donors a1 money, a2 group)
+            if par is not None and par[1] == "PMOD" \
+                    and tags[par[0]].lemma == "from" \
+                    and (roleset, "2") in PM_ROLES:
+                g2p = graph.parent.get(par[0])
+                if g2p is not None and g2p[1] in ("ADV", "LOC") \
+                        and tags[g2p[0]].pos == "V":
+                    vb = g2p[0]
+                    vsubj = _resolve_subject(graph, tags, vb)
+                    if vsubj is not None:
+                        _add("A1", vsubj)
+                    for c, l in graph.children.get(vb, []):
+                        if l in ("ADV", "LOC") and tags[c].pos == "P" \
+                                and tags[c].lemma == "to":
+                            pm2 = next((c2 for c2, l2 in
+                                        graph.children.get(c, [])
+                                        if l2 == "PMOD"), None)
+                            if pm2 is not None:
+                                _add("A2", pm2)
+
             # transparent container: "an explicit stamp OF approval FROM
             # Al Qaeda" hanging off "group WITH ..." — the container
             # noun's modifiers are the embedded nominal's arguments
@@ -1343,7 +1398,9 @@ def extract_predicates(tokens: List[Token], tags: List[Tagged],
                     possessive = (tags[child].morphofeat == "PRP$"
                                   or (tags[child].pos in ("N", "R")
                                       and child + 1 < n
-                                      and tokens[child + 1].form == "'s"))
+                                      and tokens[child + 1].form == "'s")
+                                  or (tags[child].pos == "R" and child < i
+                                      and t.lemma in NOMINAL_VERB_ROLESETS))
                     demonym = tokens[child].form.lower() in _DEMONYMS
                     if possessive and (roleset, "0") in PM_ROLES \
                             and self_arg != "A0":
@@ -1360,6 +1417,9 @@ def extract_predicates(tokens: List[Token], tags: List[Tagged],
                         _add(NOMINAL_MOD_ARGS[t.lemma], child)
                     elif mod_arg:
                         _add(mod_arg, child)
+                        if demonym:
+                            # a demonym modifier LOCATES the referent
+                            roles[-1]["fn_fe"] = "place"
                 elif lab == "NMOD" and tags[child].pos == "G":
                     # adjective modifiers: temporal -> am-tmp; per-noun
                     # argnum override; manner for event nominalizations;
@@ -1460,6 +1520,7 @@ def _with_pm(pred: dict, roleset: str) -> dict:
         else:
             continue
         vn_role, fn_fe = map_role(roleset, arg)
+        fn_fe = role.get("fn_fe") or fn_fe
         if vn_role and vn:
             role["refs"].append({"resource": "VerbNet",
                                  "reference": f"{vn[0]}@{vn_role}"})
@@ -1636,8 +1697,11 @@ def extract_corefs(tokens: List[Token], tags: List[Tagged],
                                 and tags[i + 1].pos == "V")
             if subject_position:
                 # subject 'it' refers to the salient (named) subject of
-                # the governing clause, not the nearest noun
-                for first, ids, etype in reversed(named):
+                # the governing clause — the FIRST ORG/LOC of the
+                # sentence, which is where English puts main-clause
+                # subjects ("As the United States pushes the Syrian
+                # opposition ..., it plans ..." -> the United States)
+                for first, ids, etype in named:
                     if first < i and etype in ("ORG", "LOC"):
                         best = ids
                         break

@@ -81,7 +81,6 @@ PM_PREDICATES: Dict[str, Tuple[List[str], List[str], List[str]]] = {
     "prevent.01": (["forbid-67"], ["Thwarting"], []),
     "prompt.02": (["force-59"], ["Cause_to_start"], []),
     "push.02": (["force-59"], ["Subjective_influence"], []),
-    "rebel.01": (["conspire-71"], [], []),
     "return.02": (["contribute-13.2-2"], [], []),
     "run.05": ([], [], []),
     "sanction.01": (["enforce-63"], ["Revenge"], []),
@@ -199,6 +198,7 @@ PM_ROLES: Dict[Tuple[str, str], Tuple[Optional[str], Optional[str]]] = {
     ("lead.03", "2"): ("result", "effect"),
     ("make.02", "0"): ("agent", "actor"),
     ("make.02", "1"): ("theme", "effect"),
+    ("make.02", "2"): ("result", "effect"),
     ("mount.02", "1"): ("theme", None),
     ("official.01", "0"): (None, "leader"),
     ("official.01", "2"): (None, "governed"),

@@ -23,6 +23,7 @@ GAZETTEER: Dict[str, str] = {
     "hiv": "MISC", "aids": "MISC",
     "syria": "LOC", "iraq": "LOC",
     "al qaeda": "ORG", "nusra front": "ORG", "the nusra front": "ORG",
+    "syrian opposition": "ORG", "bashar al-assad": "PER",
 }
 
 # DBpedia-style entity-linking candidate dictionary:
@@ -54,6 +55,10 @@ EL_CANDIDATES: Dict[str, list] = {
     "iraq": [("http://dbpedia.org/resource/Iraq", 0.92)],
     "al qaeda": [("http://dbpedia.org/resource/Al-Qaeda", 0.9)],
     "nusra front": [("http://dbpedia.org/resource/Al-Nusra_Front", 0.88)],
+    "bashar al-assad": [("http://dbpedia.org/resource/Bashar_al-Assad", 0.92)],
+    "americans": [("http://dbpedia.org/resource/Americans", 0.85)],
+    "syrian opposition": [
+        ("http://dbpedia.org/resource/Syrian_opposition", 0.88)],
 }
 
 # normalized surfaces never linkable (NAFFilter.java:752-781 stop list)

@@ -146,6 +146,10 @@ _DEGREE_ADVERBS = {"most", "more", "just", "very", "too", "so", "quite",
                    "least", "less", "almost", "nearly", "rather",
                    "similar", "such", "same"}
 
+# attribute-node adjectives with a FrameNet frame type in the reference
+# inventory ("other" evokes Increment)
+_ATTR_FN_FRAMES = {"other": "Increment"}
+
 _XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
 _XSD_DOUBLE = "http://www.w3.org/2001/XMLSchema#double"
 _XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
@@ -194,6 +198,7 @@ class Distiller:
         self.mention_heads: Dict[str, Tuple[int, int]] = {}
         self._copula_pairs: List[Tuple[dict, int, int]] = []
         self._ellipsis_iris: Dict[str, str] = {}
+        self._ellipsis_by_head: Dict[int, List[str]] = {}
         # IRIs that already carry a gaf:denotedBy (a reused global
         # entity:<surface> IRI keeps only its FIRST mention link, like the
         # reference output: pikes.5.ttl <entity:iraqi> has one denotedBy
@@ -621,7 +626,11 @@ class Distiller:
         for ent in self.doc["entities"]:
             if ent.get("named") or (ent["type"] or "").lower() in ("ordinal",):
                 h = self.graph.head_of_span(ent["term_ids"])
-                if h is not None:
+                if h is not None and (
+                        not ent.get("named")
+                        or self.terms[h]["morphofeat"].startswith("NNP")):
+                    # a gazetteer R+N multiword ("Syrian opposition")
+                    # keeps its common-noun head predicable
                     named_heads.add(h)
         for tmx in self.doc["timexes"]:
             h = self.graph.head_of_span(tmx["wf_ids"])
@@ -739,6 +748,7 @@ class Distiller:
         iri = self.mint_iri("pred_e:" + str(head) + pred["id"],
                             self.terms[head]["lemma"])
         self._ellipsis_iris[pred["id"]] = iri
+        self._ellipsis_by_head.setdefault(head, []).append(iri)
         mention = self.emit_mention(tids)
         if mention:
             self.mention_heads[mention] = (self.t_begin(head), self.t_end(head))
@@ -1012,6 +1022,11 @@ class Distiller:
             self.emit_fact(iri, NS["ks"] + "headSynset",
                            "http://wordnet-rdf.princeton.edu/wn30/" + syn,
                            None, "attribute", sent)
+        fn_frame = _ATTR_FN_FRAMES.get(self.terms[head]["lemma"])
+        if fn_frame:
+            self.emit_fact(iri, RDF_TYPE,
+                           premon_class_iri("framenet", fn_frame),
+                           None, "type_fn", sent)
         for mod_iri in modifier_iris:
             self.emit_fact(iri, KS_MOD, mod_iri, None, "edge", sent)
         self.emit_meta(iri, GAF_DENOTED_BY, mention, "mention")
@@ -1101,9 +1116,17 @@ class Distiller:
                     mention = self.emit_mention(sorted(set(role["term_ids"]) | {phead}))
                     mb = self.t_begin(min(role["term_ids"]))
                     me = self.t_end(max(role["term_ids"]))
+                    # a clausal argument whose head anchors an ellipsis
+                    # twin refers to BOTH instances ("want to support X
+                    # but not Y" -> want a1 support AND a1 support_2)
+                    extra = ([] if pred.get("ellipsis")
+                             else self._ellipsis_by_head.get(ah, []))
                     for prop, component in props:
                         self.emit_fact(pred_iri, prop, arg_iri, mention, component,
                                        sent, mb, me)
+                        for eiri in extra:
+                            self.emit_fact(pred_iri, prop, eiri, mention,
+                                           component, sent, mb, me)
 
 
 def _fmt_num(v: float) -> str:

@@ -83,14 +83,14 @@ def spark_scores(calibrated):
 
 # floors for THIS repo's pipeline — raise as components improve;
 # a drop below any floor = regression in the distillation core
-# (current: instances .95, triples .74, edges .70, sameas .72,
-#  types .89-.94, roles .59-.70; the reference's own output scores
+# (current: instances .984, triples .980, edges .985, sameas 1.0,
+#  types .96-1.0, roles .95-.99; the reference's own output scores
 #  instances .94, triples .64, edges .82, sameas .55)
-SPARK_GOLD_FLOORS = {"instances": 0.92, "linking": 0.80, "edges": 0.62,
-                     "triples": 0.68, "types_nb": 0.88, "types_fn": 0.84,
-                     "types_vn": 0.84, "types_pb": 0.88, "roles_nb": 0.60,
-                     "roles_vn": 0.55, "roles_pb": 0.52, "roles_fn": 0.50,
-                     "sameas": 0.60}
+SPARK_GOLD_FLOORS = {"instances": 0.96, "linking": 0.90, "edges": 0.95,
+                     "triples": 0.95, "types_nb": 0.96, "types_fn": 0.94,
+                     "types_vn": 0.96, "types_pb": 0.96, "roles_nb": 0.92,
+                     "roles_vn": 0.95, "roles_pb": 0.95, "roles_fn": 0.94,
+                     "sameas": 0.95}
 
 
 @pytest.mark.parametrize("comp", sorted(SPARK_GOLD_FLOORS))
