@@ -343,8 +343,9 @@ def parse_sentence_deps(tokens: List[Token], tags: List[Tagged], lo: int, hi: in
                         verb_site = vc_child[verb_site]
                     break
             prefers_verb = (verb_site is not None
-                            and lows[i_l] in _VERB_PREPS.get(
-                                tags[lo + verb_site].lemma, ()))
+                            and (lows[i_l] in _VERB_PREPS.get(
+                                tags[lo + verb_site].lemma, ())
+                                 or lows[i_l] == "as"))  # "blacklist X as Y"
             if i_l > 0 and pos[i_l - 1] in ("N", "R") and not prefers_verb:
                 site = nom_head(i_l - 1)
                 label = "NMOD"

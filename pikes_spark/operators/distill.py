@@ -150,6 +150,15 @@ _DEGREE_ADVERBS = {"most", "more", "just", "very", "too", "so", "quite",
 # inventory ("other" evokes Increment)
 _ATTR_FN_FRAMES = {"other": "Increment"}
 
+# adjective lemma -> [(frame, frame_element, attr_is_subject)]: labeled
+# FrameNet roles between an attribute node and the instance it
+# modifies ("other" adds its head to a set; "fortified" states the
+# head's purpose)
+_ATTR_FN_ROLES = {
+    "other": [("Increment", "added_set", True), ("Increment", "class", True)],
+    "fortify": [("Locale_by_use", "inherent_purpose", False)],
+}
+
 _XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
 _XSD_DOUBLE = "http://www.w3.org/2001/XMLSchema#double"
 _XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
@@ -586,6 +595,16 @@ class Distiller:
             if iri not in self._denoted:
                 self._denoted.add(iri)
                 self.emit_meta(iri, GAF_DENOTED_BY, mention, "mention")
+            # a demonym premodifier inside a gazetteer multiword ("the
+            # SYRIAN opposition") stays visible as an attribute node
+            # with a ks:mod edge (gold: opposition associatedWith syrian)
+            from ..functions.nlp import _DEMONYMS
+            for tid in tids:
+                if tid != head \
+                        and self.tokens[tid]["form"].lower() in _DEMONYMS:
+                    attr = self.emit_term(tid)
+                    if attr:
+                        self.emit_fact(iri, KS_MOD, attr, None, "edge", sent)
             if named:
                 self.emit_fact(iri, FOAF_NAME,
                                self.naf_text(self.filter_terms(tids) or tids),
@@ -935,6 +954,13 @@ class Distiller:
                         attr = self.emit_term(mod)
                         if attr:
                             self.emit_fact(iri, KS_MOD, attr, None, "edge", sent)
+                            for frame, fe, attr_subj in _ATTR_FN_ROLES.get(
+                                    term["lemma"], []):
+                                prop = premon_role_iri("framenet", frame, fe)
+                                s2, o2 = ((attr, iri) if attr_subj
+                                          else (iri, attr))
+                                self.emit_fact(s2, prop, o2, None,
+                                               "role_fn", sent)
 
     # extractPath (RDFGenerator.java:1732-1773): lemma path between two
     # heads along the undirected dep-tree route, skipping edges inside
