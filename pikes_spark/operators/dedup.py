@@ -164,33 +164,36 @@ def _minhash_params(seed: int = 42):
     return a, b
 
 
+def _hashed_shingles(shingles: DataFrame) -> DataFrame:
+    """(doc_id, hs:array<bigint>) — shingle strings hashed JVM-side
+    with xxhash64 inside whole-stage codegen; the Arrow batch that
+    reaches Python carries only int64s (the round-1 version FNV-hashed
+    every shingle CHARACTER in Python — the measured hot path)."""
+    return shingles.select(
+        "doc_id",
+        F.transform("shingles", lambda s: F.xxhash64(s)).alias("hs"))
+
+
 def minhash_signatures(shingles: DataFrame) -> DataFrame:
     """(doc_id, sig:array<bigint>) — vectorized numpy minhash:
-    h_i(x) = (a_i * xxhash(x) + b_i) mod 2^61-1, min over shingles."""
+    h_i(x) = (a_i * xxhash64(x) + b_i) mod 2^61-1, min over shingles."""
     a, b = _minhash_params()
 
     @F.pandas_udf(ArrayType(LongType()))
-    def sig_udf(sh: pd.Series) -> pd.Series:
+    def sig_udf(hs: pd.Series) -> pd.Series:
         out = []
-        for arr in sh:
+        for arr in hs:
             if arr is None or len(arr) == 0:
                 out.append([0] * N_HASHES)
                 continue
-            hv = np.array([_str_hash61(s) for s in arr], dtype=np.uint64)
+            hv = np.asarray(arr, dtype=np.int64).astype(np.uint64) % _MERSENNE
             # (a[:,None] * hv[None,:] + b[:,None]) mod M, min over shingles
             prods = (a[:, None] * hv[None, :] + b[:, None]) % _MERSENNE
             out.append(prods.min(axis=1).astype(np.int64).tolist())
         return pd.Series(out)
 
-    return shingles.select("doc_id", sig_udf("shingles").alias("sig"))
-
-
-def _str_hash61(s: str) -> int:
-    """Deterministic 61-bit string hash (FNV-1a folded)."""
-    h = 1469598103934665603
-    for ch in s.encode("utf-8"):
-        h = ((h ^ ch) * 1099511628211) & ((1 << 64) - 1)
-    return h % _MERSENNE
+    return _hashed_shingles(shingles).select(
+        "doc_id", sig_udf("hs").alias("sig"))
 
 
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str,
@@ -240,23 +243,22 @@ def simhash_signatures(shingles: DataFrame) -> DataFrame:
     hashes, vectorized numpy."""
 
     @F.pandas_udf(LongType())
-    def sim_udf(sh: pd.Series) -> pd.Series:
+    def sim_udf(hs: pd.Series) -> pd.Series:
+        powers = (1 << np.arange(64, dtype=np.uint64))
         out = []
-        for arr in sh:
+        for arr in hs:
             if arr is None or len(arr) == 0:
                 out.append(0)
                 continue
-            hv = np.array([_str_hash61(s) for s in arr], dtype=np.uint64)
+            hv = np.asarray(arr, dtype=np.int64).astype(np.uint64)
             bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1)
             votes = bits.sum(axis=0) * 2 - len(hv)
-            val = 0
-            for j in range(64):
-                if votes[j] > 0:
-                    val |= 1 << j
+            val = int((powers[votes > 0]).sum(dtype=np.uint64))
             out.append(val - (1 << 64) if val >= (1 << 63) else val)
         return pd.Series(out)
 
-    return shingles.select("doc_id", sim_udf("shingles").alias("simhash"))
+    return _hashed_shingles(shingles).select(
+        "doc_id", sim_udf("hs").alias("simhash"))
 
 
 def simhash_pairs(spark: SparkSession, sf_dir: str,
