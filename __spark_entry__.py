@@ -217,6 +217,42 @@ def _q_media(spark, sf_dir):
 
 # relational layer (SURVEY.md §2.6: scan/filter/agg/join/window on the
 # TPC-H-ish tables) — exact SQL oracles
+def _q_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the applyInPandasWithState sessionizer through a real
+    Structured Streaming run (availableNow), then a second run whose
+    far-future sentinel advances the watermark and fires the
+    event-time timeouts closing the remaining sessions — yielding the
+    COMPLETE session set, value-comparable to SESSIONIZE_SQL."""
+    import datetime
+    import tempfile
+
+    from pikes_spark.streaming.stateful import streaming_sessionize
+
+    tmp = tempfile.mkdtemp(prefix="pikes_stateful_q_")
+    landing, out, ckpt = f"{tmp}/landing", f"{tmp}/out", f"{tmp}/ckpt"
+    schema = "event_id bigint, ts timestamp, user_id bigint, value double"
+    (spark.read.parquet(f"{sf_dir}/events.parquet")
+     .select("event_id", "ts", "user_id", "value").write.parquet(landing))
+
+    def run_once() -> None:
+        stream = spark.readStream.schema(schema).parquet(landing)
+        q = (streaming_sessionize(stream).writeStream
+             .format("parquet").outputMode("append")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(600)
+
+    run_once()
+    spark.createDataFrame([(2 ** 40, datetime.datetime(2100, 1, 1), -1, 0.0)],
+                          schema).write.mode("append").parquet(landing)
+    run_once()
+    return (spark.read.parquet(out)
+            .filter(F.col("user_id") >= 0)
+            .select("user_id", F.col("sess_no").cast("bigint").alias("sess_no"),
+                    "n_events", "sum_value_fl", "sess_start")
+            .orderBy("user_id", "sess_no"))
+
+
 def _q_rel_agg(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (li.filter(F.col("l_shipdate") < "1997-01-01")
@@ -294,6 +330,11 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # event-stream operators (batch form; streaming uses same exprs)
         "evt_sessionize": events.sessionize,
         "evt_windowed_counts": events.windowed_counts,
+        # custom STATEFUL streaming operator (applyInPandasWithState):
+        # driven end-to-end through Structured Streaming, flushed via a
+        # watermark sentinel, and value-checked against the same SQL
+        # oracle as the batch sessionizer
+        "evt_sessionize_stateful": _q_sessionize_stateful,
     }
 
 
@@ -379,6 +420,9 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY l_returnflag, l_linestatus
         """,
         "evt_sessionize": events.SESSIONIZE_SQL,
+        # the stateful streaming sessionizer closes every session via
+        # the sentinel flush, so the complete-session SQL is its oracle
+        "evt_sessionize_stateful": events.SESSIONIZE_SQL,
         "evt_windowed_counts": events.WINDOWED_COUNTS_SQL,
         "rel_join_window_topk": """
             WITH j AS (

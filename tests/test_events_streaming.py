@@ -46,3 +46,52 @@ def test_streaming_pages_to_triples(spark):
         assert snap2["total_rows"] == snap["total_rows"]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stateful_streaming_sessionize_matches_batch(spark):
+    """applyInPandasWithState sessionizer == batch sessionize on the
+    same events: run the stream twice (availableNow) — the second run
+    sees only a far-future sentinel whose watermark fires the
+    event-time timeouts that close the remaining open sessions."""
+    import datetime
+    from pikes_spark.operators.events import sessionize
+    from pikes_spark.streaming.stateful import streaming_sessionize
+
+    tmp = tempfile.mkdtemp(prefix="pikes_state_")
+    try:
+        ev = (spark.read.parquet(f"{SF}/events.parquet")
+              .filter(F.col("user_id") < 5)
+              .select("event_id", "ts", "user_id", "value"))
+        ev.write.parquet(f"{tmp}/landing")
+        # batch expectation over the SAME subset
+        ev_dir = f"{tmp}/batch"
+        ev.write.parquet(f"{ev_dir}/events.parquet")
+        expected = {(r["user_id"], r["sess_no"], r["n_events"],
+                     r["sum_value_fl"], r["sess_start"])
+                    for r in sessionize(spark, ev_dir).collect()}
+
+        schema = "event_id bigint, ts timestamp, user_id bigint, value double"
+
+        def run_once():
+            stream = spark.readStream.schema(schema).parquet(f"{tmp}/landing")
+            q = (streaming_sessionize(stream).writeStream
+                 .format("parquet").outputMode("append")
+                 .option("path", f"{tmp}/out")
+                 .option("checkpointLocation", f"{tmp}/ckpt")
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(300)
+
+        run_once()
+        # sentinel advances the watermark past every open session's gap
+        spark.createDataFrame(
+            [(999999, datetime.datetime(2030, 1, 1), -1, 0.0)], schema
+        ).write.mode("append").parquet(f"{tmp}/landing")
+        run_once()
+
+        got = {(r["user_id"], r["sess_no"], r["n_events"],
+                r["sum_value_fl"], r["sess_start"])
+               for r in spark.read.parquet(f"{tmp}/out").collect()
+               if r["user_id"] >= 0}
+        assert got == expected
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
