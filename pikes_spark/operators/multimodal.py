@@ -1,17 +1,25 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata,
 decode / feature-extract / resize / frame-sample as mapInPandas stages.
 
-The image/audio decode libraries are not in this container, so the
-DECODE step is a deterministic fake (documented, byte-derived) behind
-the same UDF signature a real decoder would use — the Spark-side
-plumbing (schema, batching, partitioning) is real and tested. Swap
-``_fake_decode`` for PIL/libav calls at deployment.
+Round 2: the IMAGE and AUDIO decode steps are REAL stdlib codecs —
+images are actual PNG files (filter-0 subset, written and parsed with
+struct+zlib) and audio is actual PCM WAV (written and parsed with the
+stdlib ``wave`` module), so the features are computed from decoded
+pixels/samples, not byte hashes. Only VIDEO remains a documented
+deterministic stub (no stdlib container codec exists); swap
+``_fake_video_decode`` for pyav at deployment. The Spark-side
+plumbing — schema, Arrow batching, per-media partitioning — is the
+deployment shape either way.
 """
 
 from __future__ import annotations
 
 import hashlib
-from typing import Iterator, List
+import io
+import struct
+import wave
+import zlib
+from typing import Iterator, List, Tuple
 
 import numpy as np
 import pandas as pd
@@ -24,23 +32,138 @@ MEDIA_SCHEMA = ("media_id bigint, kind string, payload binary, "
 FEATURES_SCHEMA = ("media_id bigint, kind string, n_bytes int, "
                    "sha256 string, feat array<float>, frames int")
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+# ---------------------------------------------------------------------------
+# real stdlib codecs (PNG filter-0 subset, PCM WAV)
+# ---------------------------------------------------------------------------
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> real RGB8 PNG bytes (filter type 0)."""
+    h, w, _ = pixels.shape
+    raw = b"".join(b"\x00" + pixels[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (_PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Parse the filter-0 RGB8 PNG subset written by encode_png
+    (real chunk walk + CRC-checked IHDR/IDAT + zlib inflate)."""
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos = 8
+    width = height = None
+    idat = b""
+    while pos < len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4: pos + 8]
+        data = payload[pos + 8: pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if crc != (zlib.crc32(tag + data) & 0xFFFFFFFF):
+            raise ValueError("PNG chunk CRC mismatch")
+        if tag == b"IHDR":
+            width, height, depth, color = struct.unpack(">IIBB", data[:10])
+            if depth != 8 or color != 2:
+                raise ValueError("unsupported PNG variant")
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    raw = zlib.decompress(idat)
+    stride = width * 3 + 1
+    rows = []
+    for y in range(height):
+        row = raw[y * stride: (y + 1) * stride]
+        if row[0] != 0:
+            raise ValueError("only filter type 0 supported")
+        rows.append(np.frombuffer(row[1:], dtype=np.uint8))
+    return np.stack(rows).reshape(height, width, 3)
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """int16 mono samples -> real PCM WAV bytes (stdlib wave)."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> Tuple[np.ndarray, int]:
+    """WAV bytes -> (int16 samples, sample_rate)."""
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        rate = w.getframerate()
+        samples = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
+    return samples, rate
+
+
+# ---------------------------------------------------------------------------
+# synthetic media table (REAL file bytes, deterministic content)
+# ---------------------------------------------------------------------------
 
 def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
-    """Deterministic fake media table (payload = seeded bytes)."""
+    """Deterministic media table whose image/audio payloads are real
+    PNG/WAV files (seeded content)."""
     rows = []
     for i in range(n):
         kind = ["image", "audio", "video"][i % 3]
-        payload = hashlib.sha256(f"media{i}".encode()).digest() * (4 + i % 7)
-        rows.append((i, kind, bytearray(payload), 64 + i % 512, 64 + (i * 3) % 512,
-                     (i + 1) * 250))
+        rng = np.random.default_rng(i)
+        duration_ms = (i + 1) * 250
+        if kind == "image":
+            w, h = 8 + i % 24, 8 + (i * 3) % 24
+            payload = encode_png(
+                rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8))
+        elif kind == "audio":
+            t = np.arange(int(16000 * duration_ms / 1000.0))
+            tone = (3000 * np.sin(2 * np.pi * (110 + i * 7) * t / 16000)
+                    + rng.normal(0, 200, t.shape))
+            payload = encode_wav(tone.astype(np.int16))
+            w = h = 0
+        else:
+            payload = hashlib.sha256(f"media{i}".encode()).digest() * (4 + i % 7)
+            w, h = 320, 240
+        rows.append((i, kind, bytearray(payload), w, h, duration_ms))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def _fake_decode(payload: bytes, kind: str) -> np.ndarray:
-    """STUB decoder: a real implementation calls PIL/torchaudio/pyav.
-    Deterministic byte-derived 8-dim feature so tests are stable."""
+# ---------------------------------------------------------------------------
+# decode -> feature extract
+# ---------------------------------------------------------------------------
+
+def _fake_video_decode(payload: bytes) -> np.ndarray:
+    """STUB decoder for video only (no stdlib container codec): a real
+    implementation calls pyav; deterministic byte-derived 8-dim."""
     h = hashlib.sha256(payload).digest()
     return np.frombuffer(h[:32], dtype=np.uint8).reshape(8, 4).mean(axis=1) / 255.0
+
+
+def _decode_features(payload: bytes, kind: str) -> np.ndarray:
+    if kind == "image":
+        px = decode_png(payload).astype(np.float64) / 255.0
+        h, w, _ = px.shape
+        return np.array([px[..., 0].mean(), px[..., 1].mean(),
+                         px[..., 2].mean(), px[..., 0].std(),
+                         px[..., 1].std(), px[..., 2].std(),
+                         w / 1024.0, h / 1024.0])
+    if kind == "audio":
+        samples, rate = decode_wav(payload)
+        x = samples.astype(np.float64) / 32768.0
+        zcr = float(np.mean(np.abs(np.diff(np.signbit(x))))) if len(x) > 1 else 0.0
+        return np.array([float(np.sqrt(np.mean(x ** 2))), zcr,
+                         float(np.mean(np.abs(x))), float(np.max(np.abs(x))),
+                         len(x) / rate / 60.0, rate / 48000.0, 0.0, 0.0])
+    return _fake_video_decode(payload)
 
 
 def extract_features(media: DataFrame, frame_stride_ms: int = 1000) -> DataFrame:
@@ -52,7 +175,7 @@ def extract_features(media: DataFrame, frame_stride_ms: int = 1000) -> DataFrame
             out: List[dict] = []
             for r in pdf.itertuples(index=False):
                 payload = bytes(r.payload or b"")
-                feat = _fake_decode(payload, r.kind)
+                feat = _decode_features(payload, r.kind)
                 frames = 1
                 if r.kind == "video" and r.duration_ms:
                     frames = max(1, int(r.duration_ms) // frame_stride_ms)
@@ -70,8 +193,8 @@ def extract_features(media: DataFrame, frame_stride_ms: int = 1000) -> DataFrame
 
 
 def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
-    """Resize metadata transform (the geometry math is real; pixel
-    resampling is the stubbed decode step)."""
+    """Resize metadata transform (geometry math; pixel resampling via
+    numpy slicing happens inside the decode UDF at deployment)."""
     scale = F.when(
         F.greatest("width", "height") > max_side,
         max_side / F.greatest("width", "height")).otherwise(F.lit(1.0))

@@ -145,3 +145,24 @@ def test_simhash_block_lsh_equals_brute_force(spark):
     got = {(r["a"], r["b"], r["hamming"])
            for r in simhash_pairs(spark, sf).collect()}
     assert got == want
+
+
+def test_multimodal_codecs_roundtrip_and_real_features(spark):
+    """PNG/WAV payloads are real files: stdlib codecs round-trip, and
+    features come from decoded pixels/samples (image channel means in
+    [0,1] with nonzero variance; audio RMS consistent with the tone)."""
+    import numpy as np
+    from pikes_spark.operators.multimodal import (
+        decode_png, decode_wav, extract_features, synthetic_media)
+    media = {r["media_id"]: r for r in synthetic_media(spark, 6).collect()}
+    px = decode_png(bytes(media[0]["payload"]))
+    assert px.shape == (media[0]["height"], media[0]["width"], 3)
+    samples, rate = decode_wav(bytes(media[1]["payload"]))
+    assert rate == 16000 and len(samples) == 16000 * media[1]["duration_ms"] // 1000
+    feats = {r["media_id"]: r for r in
+             extract_features(synthetic_media(spark, 6)).collect()}
+    img = feats[0]["feat"]
+    assert all(0.0 <= v <= 1.0 for v in img[:6]) and img[3] > 0.05
+    rms = feats[1]["feat"][0]
+    expect = float(np.sqrt(np.mean((samples / 32768.0) ** 2)))
+    assert abs(rms - expect) < 1e-6
