@@ -52,21 +52,7 @@ def _python_links(doc: dict) -> List[dict]:
     return links
 
 
-def _merge_links(doc: dict, links: List[dict]) -> None:
-    """Same as operators/annotate._merge_links (F5 linkingCompletion)."""
-    tokens = doc["tokens"]
-    for ent in doc["entities"]:
-        tids = sorted(ent["term_ids"])
-        if not tids:
-            continue
-        b = tokens[tids[0]]["begin"]
-        e = tokens[tids[-1]]["begin"] + tokens[tids[-1]]["len"]
-        refs = list(ent.get("refs") or [])
-        for lk in links:
-            if lk["begin"] == b and lk["end"] == e:
-                refs.append({"resource": "dbpedia", "reference": lk["uri"],
-                             "confidence": float(lk["score"])})
-        ent["refs"] = refs
+from ..operators.annotate import _merge_links  # noqa: E402  (F5 — one impl)
 
 
 def distill_gold_page(url: str, text: str) -> Tuple[List[dict], Dict[str, tuple]]:

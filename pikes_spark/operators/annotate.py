@@ -191,11 +191,15 @@ def _l(v):
 
 
 def _merge_links(doc: dict, links: List[dict]) -> None:
-    """linkingCompletion (F5): attach best link whose char span matches
-    the entity span to the entity's refs."""
+    """linkingCompletion (F5, NAFFilter.java:667-750): attach the best
+    link whose char span matches an entity span to that entity's refs;
+    a link matching NO entity creates a new entity over its span
+    (:699-721); entity links are copied onto predicates sharing the
+    head term (:723-750) so the SRL layer carries them too."""
     if not links:
         return
     tokens = doc["tokens"]
+    matched: set = set()
     for ent in doc["entities"]:
         tids = sorted(ent["term_ids"])
         if not tids:
@@ -203,11 +207,44 @@ def _merge_links(doc: dict, links: List[dict]) -> None:
         b = tokens[tids[0]]["begin"]
         e = tokens[tids[-1]]["begin"] + tokens[tids[-1]]["len"]
         refs = list(ent.get("refs") or [])
-        for lk in links:
+        for li, lk in enumerate(links):
             if lk and lk.get("begin") == b and lk.get("end") == e:
                 refs.append({"resource": "dbpedia", "reference": lk["uri"],
                              "confidence": float(lk.get("score") or 0.0)})
+                matched.add(li)
         ent["refs"] = refs
+    # F5b: unmatched links become new (named) entities over their span
+    for li, lk in enumerate(links):
+        if li in matched or not lk:
+            continue
+        span = [t["id"] for t in tokens
+                if lk["begin"] <= t["begin"]
+                and t["begin"] + t["len"] <= lk["end"]]
+        if span:
+            doc["entities"].append({
+                "id": f"lnk{li}", "type": None, "named": True,
+                "term_ids": span,
+                "refs": [{"resource": "dbpedia", "reference": lk["uri"],
+                          "confidence": float(lk.get("score") or 0.0)}]})
+    # F5c: copy entity links onto predicates anchored at the same head
+    ent_refs_by_tid = {}
+    for ent in doc["entities"]:
+        db = [r for r in ent.get("refs") or []
+              if (r.get("resource") or "").lower() == "dbpedia"]
+        if db:
+            for t in ent["term_ids"]:
+                ent_refs_by_tid.setdefault(t, []).extend(db)
+    for pred in doc.get("predicates", []):
+        head = pred.get("head_id")
+        for r in ent_refs_by_tid.get(head, []):
+            refs = pred.setdefault("refs", [])
+            if not any((x.get("resource") or "").lower() == "dbpedia"
+                       and x.get("reference") == r["reference"]
+                       for x in refs):
+                refs.append({"resource": "dbpedia",
+                             "reference": r["reference"],
+                             "confidence": r.get("confidence"),
+                             "source": "f5"})
 
 
 def pages_to_triples(pages: DataFrame, links: DataFrame | None = None,
