@@ -245,6 +245,30 @@ def _merge_links(doc: dict, links: List[dict]) -> None:
                              "reference": r["reference"],
                              "confidence": r.get("confidence"),
                              "source": "f5"})
+    # F16 srlRoleLinking with coref expansion (NAFFilter.java:1462-1483
+    # + linkEntitiesTimexPredicates, srlRoleLinkingUsingCoref=true
+    # default): each SRL role carries the DBpedia refs of its argument
+    # head's entity AND of the head's coreference mates
+    coref_mates: dict = {}
+    for co in doc.get("corefs", []):
+        all_tids = [t for sp in co["spans"] for t in sp]
+        for sp in co["spans"]:
+            for t in sp:
+                coref_mates.setdefault(t, set()).update(all_tids)
+    for pred in doc.get("predicates", []):
+        for role in pred.get("roles") or []:
+            rh = role.get("head_id")
+            if rh is None:
+                continue
+            linkable = {rh} | coref_mates.get(rh, set())
+            refs = role.setdefault("refs", [])
+            for t in sorted(linkable):
+                for r in ent_refs_by_tid.get(t, []):
+                    if not any((x.get("resource") or "").lower() == "dbpedia"
+                               and x.get("reference") == r["reference"]
+                               for x in refs):
+                        refs.append({"resource": "dbpedia",
+                                     "reference": r["reference"]})
 
 
 def pages_to_triples(pages: DataFrame, links: DataFrame | None = None,
