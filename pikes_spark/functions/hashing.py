@@ -88,7 +88,9 @@ def murmur3_id(parts: Sequence[str]) -> str:
     """Hash a sequence of strings (joined with \\u0000 separators, as
     rdfpro's Hash.murmur3(String...) concatenates its arguments) into
     a 22-char URL-safe identifier."""
-    data = "\u0000".join(parts).encode("utf-8")
+    # surrogatepass: broken web text carries unpaired surrogates;
+    # the ID must stay deterministic instead of raising
+    data = "\u0000".join(parts).encode("utf-8", "surrogatepass")
     h1, h2 = murmur3_x64_128(data)
     value = (h1 << 64) | h2
     out: List[str] = []

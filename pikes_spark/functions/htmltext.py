@@ -51,7 +51,7 @@ def wrap_html(text: str, title: str = "") -> bytes:
         + _FOOTER
         + "<script>var x=1;</script></body></html>"
     )
-    return doc.encode("utf-8")
+    return doc.encode("utf-8", "surrogatepass")
 
 
 _DROP_BLOCK = re.compile(

@@ -129,3 +129,21 @@ def test_fingerprint_matches_sql_definition():
 def test_timex_values(text, value, ttype):
     doc = annotate_document(text)
     assert any(t["value"] == value and t["type"] == ttype for t in doc["timexes"]), doc["timexes"]
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(alphabet=st.characters(min_codepoint=9, max_codepoint=0x1F9FF),
+               max_size=600))
+def test_annotate_distill_never_crashes_and_offsets_valid(text):
+    """Fuzz the full rule-NLP + distillation path: arbitrary unicode
+    must never raise, token offsets must index into the text, and
+    every emitted triple must carry a subject and predicate."""
+    from pikes_spark.functions.nlp import annotate_document
+    from pikes_spark.operators.distill import distill_document
+    doc = annotate_document(text)
+    for t in doc["tokens"]:
+        assert 0 <= t["begin"] <= len(text)
+        assert text[t["begin"]:t["begin"] + t["len"]] == t["form"]
+    triples = distill_document("http://e/fuzz", text, doc, "en")
+    for tr in triples:
+        assert tr["subject"] and tr["predicate"]
