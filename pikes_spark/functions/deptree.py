@@ -114,6 +114,9 @@ class DepGraph:
         for frm, to, rfunc in deps:
             self.parent[to] = (frm, rfunc)
             self.children.setdefault(frm, []).append((to, rfunc))
+        # the tree is immutable after construction; root paths are hot
+        # (every descendants_matching call walks them) and cacheable
+        self._root_paths: Dict[int, List[int]] = {}
 
     # --- getDepToTerm ---------------------------------------------------
     def dep_to(self, term: int) -> Optional[Tuple[int, str]]:
@@ -144,11 +147,15 @@ class DepGraph:
         return seen
 
     def _root_path(self, term: int) -> List[int]:
+        cached = self._root_paths.get(term)
+        if cached is not None:
+            return cached
         path = [term]
         seen = {term}
         while True:
             p = self.parent.get(path[-1])
             if p is None or p[0] in seen:
+                self._root_paths[term] = path
                 return path
             path.append(p[0])
             seen.add(p[0])
