@@ -199,3 +199,53 @@ def test_d10_attribute_nodes_global_ns():
     # attribute nodes live in the global attr: namespace
     for t in attrs:
         assert t["subject"].startswith("attr:")
+
+
+def test_gapped_coordination_second_instance():
+    """'support the rebels but not Islamic extremists' -> a second,
+    NEGATED predicate instance over the same verb whose a1 is the
+    post-"but not" conjunct; the first stays CT+ with a1 = conjunct 1."""
+    trips = _triples("They want to support the rebels but not Islamic "
+                     "extremists.")
+    supports = sorted({t["subject"] for t in trips
+                       if "support.01@arg1" in t["predicate"]})
+    assert len(supports) == 2, supports
+    by_subj = {}
+    for t in trips:
+        if "support.01@arg1" in t["predicate"]:
+            by_subj.setdefault(t["subject"], set()).add(
+                t["object"].rsplit("#", 1)[-1])
+    objs = sorted(frozenset(v) for v in by_subj.values())
+    assert any("rebel" in "".join(o) for o in objs)
+    assert any("extremist" in "".join(o) for o in objs)
+    fact = {t["subject"]: t["object"] for t in trips
+            if t["component"] == "factuality"}
+    vals = sorted(fact[s] for s in supports if s in fact)
+    assert vals == ["CT+", "CT-"]
+
+
+def test_clausal_complement_a1():
+    """'He said he helped them.' -> say.01 a1 points at the embedded
+    predicate instance (the help event), not a nominal."""
+    trips = _triples("He said he helped them.")
+    a1 = [t for t in trips if "say.01@arg1" in t["predicate"]]
+    assert a1 and any("help" in t["object"] for t in a1)
+
+
+def test_object_control_subject():
+    """'They pushed the group to organize a committee.' -> a0(organize)
+    is the controlled OBJECT (the group), and pushes a2 -> organize."""
+    trips = _triples("They pushed the group to organize a committee.")
+    a0 = [t for t in trips if "organize.01@arg0" in t["predicate"]]
+    assert a0 and all(t["object"].endswith("#group") for t in a0), a0
+    a2 = [t for t in trips if "push.02@arg2" in t["predicate"]]
+    assert a2 and any("organize" in t["object"] for t in a2)
+
+
+def test_coordinated_subject_distributes_roles():
+    """'John and Mary visited Paris.' -> visit.01 a0 edges to BOTH
+    conjuncts (PARTICIPATION coord expansion + SRL distribution)."""
+    trips = _triples("John and Mary visited Paris.")
+    a0_objs = {t["object"].rsplit(":", 1)[-1].lower()
+               for t in trips if "visit.01@arg0" in t["predicate"]}
+    assert {"john", "mary"} <= a0_objs, a0_objs
