@@ -208,6 +208,7 @@ class Distiller:
         self._copula_pairs: List[Tuple[dict, int, int]] = []
         self._ellipsis_iris: Dict[str, str] = {}
         self._ellipsis_by_head: Dict[int, List[str]] = {}
+        self._entity_surfaces_seen: Set[str] = set()
         # IRIs that already carry a gaf:denotedBy (a reused global
         # entity:<surface> IRI keeps only its FIRST mention link, like the
         # reference output: pikes.5.ttl <entity:iraqi> has one denotedBy
@@ -570,8 +571,18 @@ class Distiller:
                              if named else self.terms[head]["lemma"])
                 iri = self.mint_iri("ent:" + str(ent["id"]), suggested)
             else:
-                iri = _clean_iri(
-                    "entity:" + self.span_text(tids).lower().replace(" ", "_"))
+                surface = self.span_text(tids).lower().replace(" ", "_")
+                if surface in self._entity_surfaces_seen:
+                    # a REPEATED unlinked surface stays a separate
+                    # per-mention instance (gold: iraqi_1/iraqi_2 with
+                    # coref sameAs between them); cross-document merge
+                    # happens at D12 smushing over the sameAs edges,
+                    # not by IRI collision
+                    iri = self.mint_iri("ent:" + str(ent["id"]),
+                                        self.terms[head]["lemma"])
+                else:
+                    self._entity_surfaces_seen.add(surface)
+                    iri = _clean_iri("entity:" + surface)
             if head not in self.ann_obj:
                 self.ann_obj[head] = iri
                 self.ann_extent[head] = tids
