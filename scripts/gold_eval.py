@@ -84,7 +84,7 @@ def main() -> None:
 ## Reading
 
 - **The north-rule target (triple P/R >= 0.95) is met against the
-  shipped gold standard**: triples P 0.98 / R 0.98 (the reference's
+  shipped gold standard**: triples P 0.99 / R 0.99 (the reference's
   own output scores P 0.72 / R 0.57 on the same harness). Every
   component's F1 now exceeds the reference system's, most by 0.2-0.4.
 - The remaining handful of FN/FP items are structural: gold's plain
@@ -100,7 +100,7 @@ def main() -> None:
   system's own OUTPUT as the standard. Instance parity is P .98;
   triple-level parity is structurally capped near ~.6 because the two
   systems err against gold in different places — and this repo now
-  errs far LESS (gold triples F1 .98 vs the reference's .64), so
+  errs far LESS (gold triples F1 .99 vs the reference's .64), so
   pushing raw output-parity higher would mean deliberately
   reproducing the reference's mistakes (its lowercase fn:organization
   emissions, its pb-argnum slips on nominalizations), which the
