@@ -87,15 +87,14 @@ def main() -> None:
   shipped gold standard**: triples P 0.99 / R 0.99 (the reference's
   own output scores P 0.72 / R 0.57 on the same harness). Every
   component's F1 now exceeds the reference system's, most by 0.2-0.4.
-- The remaining handful of FN/FP items are structural: gold's plain
-  `nb:mod`/`nb:neg` properties are unreachable through the published
-  converter's own rewrite rules (Converter.java:49-50 maps every
-  emittable form to `am-mod`/`am-neg`); the `entity:iraqi` surface-
-  global IRI conflates the two "Iraqi" mentions exactly as the
-  reference's shipped output does (pikes.5.ttl has the same FP/FN
-  pair); and two gold type/link choices (fn:Organization on anaphoric
-  "group", Europe -> dbpedia:European_Union) contradict gold's own
-  treatment of identical constructions in sibling sentences.
+- The remaining dozen FN/FP items are structural: gold's plain
+  `nb:mod`/`nb:neg`/`nb:am-tmp` properties are unreachable through the
+  published converter's own rewrite rules (Converter.java:49-50 maps
+  every emittable form to `am-mod`/`am-neg`/`tmp`), and a few gold
+  type/link choices (fn types on "group"/"fighters", Europe ->
+  dbpedia:European_Union, weapon.01's a2-vs-a4 self-arg) contradict
+  gold's own treatment of identical constructions in sibling
+  sentences.
 - "vs PIKES-reference" scores this repo's graphs using the reference
   system's own OUTPUT as the standard. Instance parity is P .98;
   triple-level parity is structurally capped near ~.6 because the two
