@@ -16,22 +16,9 @@ from __future__ import annotations
 
 import struct
 
-from typing import Iterable, List, Sequence
+from typing import List, Sequence
 
 _MASK = (1 << 64) - 1
-
-
-def _rotl(x: int, r: int) -> int:
-    return ((x << r) | (x >> (64 - r))) & _MASK
-
-
-def _fmix(k: int) -> int:
-    k ^= k >> 33
-    k = (k * 0xFF51AFD7ED558CCD) & _MASK
-    k ^= k >> 33
-    k = (k * 0xC4CEB9FE1A85EC53) & _MASK
-    k ^= k >> 33
-    return k
 
 
 def murmur3_x64_128(data: bytes, seed: int = 0) -> tuple:
