@@ -102,3 +102,57 @@ def test_include_composite_dissolution(spark):
     assert ("p:met", "sem:hasActor", "e:john") in subs
     assert ("p:met", "sem:hasActor", "e:mary") in subs
     assert ("e:mary", "rdf:type", "ks:Entity") in subs
+
+
+def test_cc_random_graph_matches_union_find(spark):
+    """Distributed star CC == reference union-find on a seeded random
+    graph (8k nodes / 12k edges, power-law-ish hubs): identical
+    PARTITION STRUCTURE, and every emitted root is the lexicographic
+    minimum of its component (the deterministic canonical choice)."""
+    import random
+
+    rng = random.Random(20260816)
+    n_nodes, n_edges = 8000, 12000
+    nodes = [f"http://e/n{i:05d}" for i in range(n_nodes)]
+    edges = []
+    for _ in range(n_edges):
+        a = nodes[rng.randrange(n_nodes)]
+        # hub bias: 20% of edges attach to the first 50 nodes
+        b = nodes[rng.randrange(50)] if rng.random() < 0.2 \
+            else nodes[rng.randrange(n_nodes)]
+        if a != b:
+            edges.append((a, b))
+    # python union-find reference
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    comp = {}
+    for x in list(parent):
+        comp.setdefault(find(x), set()).add(x)
+    expected = {frozenset(v | {r}) for r, v in comp.items()}
+
+    from pikes_spark.operators.canonicalize import connected_components
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = connected_components(df, local_threshold=0)  # force distributed
+    got_groups = {}
+    for r in out.collect():
+        got_groups.setdefault(r["component"], set()).add(r["node"])
+    got = set()
+    for root, members in got_groups.items():
+        members.add(root)
+        assert root == min(members), (root, min(members))
+        got.add(frozenset(members))
+    # singletons never appear in either representation's edge set
+    expected_multi = {g for g in expected if len(g) > 1}
+    got_multi = {g for g in got if len(g) > 1}
+    assert got_multi == expected_multi
