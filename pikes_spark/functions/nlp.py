@@ -1709,14 +1709,23 @@ def extract_corefs(tokens: List[Token], tags: List[Tagged],
                                 and tags[i + 1].pos == "V")
             if subject_position:
                 # subject 'it' refers to the salient (named) subject of
-                # the governing clause — the FIRST ORG/LOC of the
-                # sentence, which is where English puts main-clause
+                # the governing clause — the FIRST ORG/LOC of the SAME
+                # SENTENCE, which is where English puts main-clause
                 # subjects ("As the United States pushes the Syrian
-                # opposition ..., it plans ..." -> the United States)
+                # opposition ..., it plans ..." -> the United States);
+                # an ORG/LOC in an earlier sentence is not the clause
+                # subject, so fall back to the nearest preceding one
+                sent = tokens[i].sent
                 for first, ids, etype in named:
-                    if first < i and etype in ("ORG", "LOC"):
+                    if first < i and etype in ("ORG", "LOC") \
+                            and tokens[first].sent == sent:
                         best = ids
                         break
+                if best is None:
+                    for first, ids, etype in reversed(named):
+                        if first < i and etype in ("ORG", "LOC"):
+                            best = ids
+                            break
             else:
                 for j in range(i - 1, -1, -1):
                     if tags[j].pos == "N" and tags[j].lemma not in PERSON_NOUNS \

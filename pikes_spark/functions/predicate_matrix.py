@@ -155,7 +155,7 @@ PM_ROLES: Dict[Tuple[str, str], Tuple[Optional[str], Optional[str]]] = {
     ("favor.02", "2"): ("recipient", None),
     ("field.02", "1"): (None, "use"),
     ("fight.01", "0"): ("agent", "side_1"),
-    ("fight.01", "2"): ("agent", "side_1"),
+    ("fight.01", "2"): ("co-agent", "side_1"),
     ("fight.01", "am-loc"): (None, "place"),
     ("fighter.01", "0"): ("agent", None),
     ("flow.01", "1"): ("theme", "fluid"),

@@ -48,7 +48,7 @@ WITH g AS (
                                 ROWS UNBOUNDED PRECEDING) AS sess_no
   FROM g
 )
-SELECT user_id, sess_no, count(*) AS n_events,
+SELECT user_id, CAST(sess_no AS BIGINT) AS sess_no, count(*) AS n_events,
        CAST(floor(sum(CAST(value AS DECIMAL(38,6)))) AS BIGINT) AS sum_value_fl,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start
 FROM s GROUP BY user_id, sess_no ORDER BY user_id, sess_no
