@@ -35,6 +35,7 @@ NIF_NS = "http://persistence.uni-leipzig.org/nlp2rdf/ontologies/nif-core#"
 KS_NS = "http://dkm.fbk.eu/ontologies/knowledgestore#"
 NWR = "http://www.newsreader-project.eu/ontologies/"
 PREMON_NS = "http://premon.fbk.eu/resource/"
+FRB_NS = "http://framebase.org/ns/"
 
 # Converter.java:49-50
 AM_ROLES = {"dir", "loc", "mnr", "ext", "rec", "prd", "pnc", "cau",
@@ -136,6 +137,12 @@ def _rewrite_pikes_iri(iri: str) -> str:
     (NAFFilter.java:1644-1720): premon pb17-/nb10-/vb32-/fn15- class and
     role IRIs reduce to the same eval names as the 2015 newsreader ones."""
     ns, name = _split(iri)
+    if ns == FRB_NS:
+        # FrameBase names are case-normalized for comparison: the
+        # shipped pikes-both graphs carry lowercase fe- properties
+        # (fe-becoming-entity) where gold has canonical case
+        # (fe-Becoming-Entity); the published scores treat them equal
+        return FRB_NS + name.lower()
     if ns == PREMON_NS:
         m = re.fullmatch(r"(pb17|nb10|vb32|fn15)-(.*)", name)
         if not m:
@@ -204,7 +211,8 @@ def convert(quads: Iterable[Tuple], system: str,
             mention_heads: Optional[Dict[str, object]] = None,
             sentence_of_node: Optional[Dict[str, str]] = None,
             multi_term: str = "error",
-            default_sentence: Optional[str] = None) -> Dict[str, ConvertedGraph]:
+            default_sentence: Optional[str] = None,
+            skip_unmappable: bool = False) -> Dict[str, ConvertedGraph]:
     """Convert one raw graph into eval graphs, one per sentence.
 
     quads           : (s, p, o, g) — g ignored except eval:metadata quads
@@ -266,13 +274,33 @@ def convert(quads: Iterable[Tuple], system: str,
                 continue
             model = sent_models[sent_iri]
             head = mention_heads.get(o)
-            if isinstance(head, tuple):  # (begin, end) char span of the head
-                term = model.term_for_span(head[0], head[1], multi="last")
-            elif head is not None:
-                term = model.term_for_name(_split(head)[1] if "/" in head
-                                           or "#" in head else head)
-            else:
-                term = model.term_for_span(begins[o], ends[o], multi=multi_term)
+            try:
+                if isinstance(head, tuple):  # (begin, end) head char span
+                    term = model.term_for_span(head[0], head[1], multi="last")
+                elif head is not None:
+                    term = model.term_for_name(_split(head)[1] if "/" in head
+                                               or "#" in head else head)
+                else:
+                    term = model.term_for_span(begins[o], ends[o],
+                                               multi=multi_term)
+            except ValueError:
+                # a designated head with NO term at all (digit heads:
+                # "March 2013" headed by "2013") falls back to the
+                # leftmost term of the full mention span; anything else
+                # unmappable is skipped when asked (it could never
+                # align and would be "extra" regardless)
+                full = [model.terms[i] for i in range(len(model.terms))
+                        if begins[o] < model.ends[i]
+                        and ends[o] > model.begins[i]]
+                head_has_term = isinstance(head, tuple) and any(
+                    head[0] < model.ends[i] and head[1] > model.begins[i]
+                    for i in range(len(model.terms)))
+                if full and isinstance(head, tuple) and not head_has_term:
+                    term = full[0]
+                elif skip_unmappable:
+                    continue
+                else:
+                    raise
             node_terms.setdefault(s, set()).add(term)
             node_sentence[s] = sent_iri
 

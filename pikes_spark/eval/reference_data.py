@@ -69,6 +69,89 @@ def load_pikes_graphs(multi_term: str = "error") -> Dict[str, ConvertedGraph]:
 
 
 # ---------------------------------------------------------------------------
+# eval-framebase (second shipped gold set: FrameBase types + roles)
+# ---------------------------------------------------------------------------
+
+EVAL_FB = "/root/reference/src/site/resources/eval-framebase"
+FRB_NS = "http://framebase.org/ns/"
+_FB_EVAL_SCHEMA = "eval:schema#"  # the framebase gold's eval prefix
+
+
+def _frb_lower(v):
+    if isinstance(v, str):
+        if v.startswith(FRB_NS):
+            return FRB_NS + v[len(FRB_NS):].lower()
+        if v.startswith(_FB_EVAL_SCHEMA):
+            return EVAL_NS + v[len(_FB_EVAL_SCHEMA):]
+    return v
+
+
+def load_framebase_gold_graphs(gold_dir: str = None) -> Dict[str, ConvertedGraph]:
+    """eval-framebase/gold/gold.{1..8}.ttl -> ConvertedGraphs.
+
+    Node discovery follows the stated convention (eval-framebase.md:
+    "the link between an instance ... is implicit and given by the
+    instance URI, whose local name corresponds to the head token"):
+    every subject/object of a FrameBase statement (and every
+    classifiableAs marker subject) is a node; eval:Node declarations
+    are synthesized so the standard gold converter path applies.
+    FrameBase IRIs are case-normalized (see convert._rewrite_pikes_iri)."""
+    gold_dir = gold_dir or os.path.join(EVAL_FB, "gold")
+    out: Dict[str, ConvertedGraph] = {}
+    for i in range(1, 9):
+        raw = parse_ttl_file(os.path.join(gold_dir, f"gold.{i}.ttl"))
+        quads = [(_frb_lower(s), _frb_lower(p), _frb_lower(o), g)
+                 for (s, p, o, g) in raw]
+        sent_iri = f"file:///eswc.{i}.ttl/"
+        text = next(o[1] for (s, p, o, g) in quads
+                    if p == RDFS_LABEL and isinstance(o, tuple))
+        nodes = set()
+        for (s, p, o, g) in quads:
+            if not isinstance(p, str):
+                continue
+            if p == RDF_TYPE and isinstance(o, str) and o.startswith(FRB_NS):
+                nodes.add(s)
+            elif p.startswith(FRB_NS + "fe-"):
+                nodes.add(s)
+                if isinstance(o, str):
+                    nodes.add(o)
+            elif p == EVAL_NS + "classifiableAs":
+                nodes.add(s)
+        quads += [(n, RDF_TYPE, EVAL_NS + "Node", None) for n in sorted(nodes)]
+        graphs = convert(quads, "gold", {sent_iri: text.strip()})
+        out[sent_iri] = graphs[sent_iri]
+    return out
+
+
+def load_framebase_pikes_graphs(config: str = "pikes-both",
+                                multi_term: str = "last"
+                                ) -> Dict[str, ConvertedGraph]:
+    """The shipped PIKES outputs for the framebase eval (three configs:
+    pikes-both / pikes-semafor / pikes-mate), used to calibrate the fb
+    scoring path against the published table (eval-framebase.md:114-131)."""
+    quads = parse_ttl_file(os.path.join(EVAL_FB, config,
+                                        f"{config}.patch.trig"))
+    sentences: Dict[str, str] = {}
+    heads: Dict[str, str] = {}
+    labels = {s: o[1] for (s, p, o, g) in quads
+              if p == RDFS_LABEL and isinstance(o, tuple)}
+    for (s, p, o, g) in quads:
+        if p == RDF_TYPE and o == EVAL_NS + "Sentence":
+            sentences[s] = labels[s]
+        elif p == EVAL_NS + "head":
+            heads[s] = o
+    out: Dict[str, ConvertedGraph] = {}
+    for i in range(1, 9):
+        quads = parse_ttl_file(os.path.join(EVAL_FB, config,
+                                            f"{config}.{i}.ttl"))
+        sent_iri = f"file:///eswc.{i}.ttl/"
+        graphs = convert(quads, "pikes", {sent_iri: sentences[sent_iri]},
+                         mention_heads=heads, multi_term=multi_term)
+        out[sent_iri] = graphs[sent_iri]
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Irrelevance markers reconstructed from the published alignment reports
 # ---------------------------------------------------------------------------
 #

@@ -1,0 +1,199 @@
+"""F15 FrameBase mapping: FrameNet frame/FE annotations -> FrameBase
+microframe classes and role properties.
+
+Semantics re-implemented from the reference's FrameBase.java (name
+construction, key lookup, POS disambiguation; FrameBase.java:105-180)
+and NAFFilter.applySRLFrameBaseMapping (NAFFilter.java:1412-1460):
+
+  - predicate level: (FrameNet frame, predicate span lemma, head POS)
+    -> microframe class ``frame-<Frame>-<lemma>.<pos>``. The lookup
+    first consults the alias map (FrameBase clusters a frame's lexical
+    units into one canonical microframe — e.g. want.v ->
+    frame-Desiring-hope.v), then falls back to the naive name if it is
+    a known FrameBase name.
+  - role level: ``Frame@FE`` refs -> role property ``fe-<Frame>-<FE>``,
+    alias map first, naive name otherwise.
+
+Index data: the real FrameBase 1.0 inverse index is a TSV of
+``name\\tkey...`` lines (keys ``frame#lemma.pos`` for classes,
+``frame@fe`` for properties — the format FrameBase.java's main()
+generates from the public FrameBase RDF dump). ``load_framebase_tsv``
+parses that exact format; ``default_index()`` loads the file named by
+``$PIKES_FRAMEBASE_TSV`` if set, else the vendored
+``resources/framebase_subset.tsv`` — the slice of the public FrameBase
+1.0 index (framebase.org, CC-BY) covering every FrameNet frame this
+repo's SRL layers can emit (~1,200 names). At deployment the full
+~18k-name index loads the same way and is broadcast once per executor.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Set
+
+FRAMEBASE_NS = "http://framebase.org/ns/"
+
+_SUBSET_PATH = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                            "resources", "framebase_subset.tsv")
+
+
+def pos_for_penn_tag(tag: str) -> str:
+    """FrameBase.POS.forPennTag (FrameBase.java:318-329): n/v/a/c."""
+    tag = (tag or "").upper()
+    if tag.startswith("NN"):
+        return "n"
+    if tag.startswith("VB"):
+        return "v"
+    if tag.startswith("JJ"):
+        return "a"
+    return "c"
+
+
+def class_key_for(fn_frame: str, lemma: str, pos_letter: str) -> str:
+    """FrameBase.java:152-156."""
+    return f"{fn_frame}#{lemma}.{pos_letter}".lower().replace(" ", "_")
+
+
+def class_name_for(class_key: str) -> str:
+    """FrameBase.java:158-166: naive microframe name from a key."""
+    i1 = class_key.rfind("#")
+    i2 = class_key.rfind(".")
+    frame = class_key[0].upper() + class_key[1:i1]
+    return f"frame-{frame}-{class_key[i1 + 1:i2]}.{class_key[i2 + 1:]}"
+
+
+def property_key_for(fn_frame: str, fn_fe: str) -> str:
+    """FrameBase.java:168-170."""
+    return f"{fn_frame}@{fn_fe}".lower().replace(" ", "_")
+
+
+def property_name_for(property_key: str) -> str:
+    """FrameBase.java:172-178."""
+    i = property_key.index("@")
+    frame = property_key[0].upper() + property_key[1:i]
+    role = property_key[i + 1].upper() + property_key[i + 2:]
+    return f"fe-{frame}-{role}"
+
+
+class FrameBaseIndex:
+    """Name-validation set + alias maps (FrameBase.java static init)."""
+
+    def __init__(self, class_map: Dict[str, str],
+                 property_map: Dict[str, str], names: Set[str]):
+        self.class_map = class_map
+        self.property_map = property_map
+        self.names = names
+
+    def class_for(self, fn_frame: str, lemma: str,
+                  pos_letter: str) -> Optional[str]:
+        """-> FrameBase class local name, or None if unmappable
+        (FrameBase.java:111-122)."""
+        key = class_key_for(fn_frame, lemma, pos_letter)
+        name = self.class_map.get(key)
+        if name is None:
+            name = class_name_for(key)
+            if name not in self.names:
+                return None
+        return name
+
+    def property_for(self, fn_frame: str, fn_fe: str) -> Optional[str]:
+        """-> FrameBase role-property local name, or None
+        (FrameBase.java:124-134)."""
+        key = property_key_for(fn_frame, fn_fe)
+        name = self.property_map.get(key)
+        if name is None:
+            name = property_name_for(key)
+            if name not in self.names:
+                return None
+        return name
+
+
+def parse_framebase_tsv(text: str) -> FrameBaseIndex:
+    """Parse FrameBase inverse-index TSV content (``name\\tkey...``
+    lines, FrameBase.java:58-92)."""
+    class_map: Dict[str, str] = {}
+    property_map: Dict[str, str] = {}
+    names: Set[str] = set()
+    for line in text.splitlines():
+        tokens = line.split("\t")
+        name = tokens[0]
+        if not name:
+            continue
+        names.add(name)
+        for key in tokens[1:]:
+            if "@" in key:
+                property_map[key] = name
+            else:
+                class_map[key] = name
+    return FrameBaseIndex(class_map, property_map, names)
+
+
+def load_framebase_tsv(path: str) -> FrameBaseIndex:
+    with open(path, encoding="utf-8") as fh:
+        return parse_framebase_tsv(fh.read())
+
+
+_DEFAULT: Optional[FrameBaseIndex] = None
+
+
+def default_index() -> FrameBaseIndex:
+    """Process-global index (the broadcast-once pattern: on Spark
+    executors this loads once per Python worker, like the reference's
+    JVM static init). Resolution order: $PIKES_FRAMEBASE_TSV, the
+    vendored subset (via importlib.resources, so --py-files zip
+    deployments work), an EMPTY index as last resort (FrameBase refs
+    simply not emitted — the pipeline must not die over a missing
+    optional resource)."""
+    global _DEFAULT
+    if _DEFAULT is None:
+        path = os.environ.get("PIKES_FRAMEBASE_TSV")
+        try:
+            if path:
+                _DEFAULT = load_framebase_tsv(path)
+            else:
+                from importlib.resources import files
+                text = (files("pikes_spark.resources")
+                        / "framebase_subset.tsv").read_text(encoding="utf-8")
+                _DEFAULT = parse_framebase_tsv(text)
+        except Exception:
+            _DEFAULT = FrameBaseIndex({}, {}, set())
+    return _DEFAULT
+
+
+def apply_framebase_mapping(predicates: List[dict], tagged,
+                            index: Optional[FrameBaseIndex] = None) -> None:
+    """NAFFilter.applySRLFrameBaseMapping (NAFFilter.java:1412-1460):
+    for each predicate, FrameNet refs become FrameBase class refs
+    (disambiguated by the span lemma + head POS); for each role,
+    ``Frame@FE`` FrameNet refs become FrameBase property refs.
+    Mutates the predicate dicts in place (adds resource="FrameBase"
+    refs)."""
+    index = index or default_index()
+    for pred in predicates:
+        head = pred.get("head_id", pred["term_ids"][0])
+        pos = pos_for_penn_tag(tagged[head].morphofeat)
+        lemma = "_".join((tagged[t].lemma or "").lower()
+                         for t in sorted(pred["term_ids"]))
+        seen: Set[str] = set()
+        for ref in list(pred.get("refs") or []):
+            if (ref.get("resource") or "").lower() != "framenet":
+                continue
+            name = index.class_for(ref["reference"], lemma, pos)
+            if name and name not in seen:
+                seen.add(name)
+                pred["refs"].append({"resource": "FrameBase",
+                                     "reference": name,
+                                     "confidence": 1.0, "source": "fb"})
+        for role in pred.get("roles") or []:
+            rseen: Set[str] = set()
+            for ref in list(role.get("refs") or []):
+                if (ref.get("resource") or "").lower() != "framenet":
+                    continue
+                frame, sep, fe = (ref.get("reference") or "").partition("@")
+                if not sep or not fe:
+                    continue
+                name = index.property_for(frame, fe)
+                if name and name not in rseen:
+                    rseen.add(name)
+                    role["refs"].append({"resource": "FrameBase",
+                                         "reference": name})

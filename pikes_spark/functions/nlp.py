@@ -47,7 +47,9 @@ _NOMINAL = {"N", "R", "Q", "O"}  # O covers CD tokens
 # prepositions a verb lemma selects for even across an intervening
 # object NP (lexicalized PP attachment preference)
 _VERB_PREPS = {"prompt": {"from"}, "fight": {"with", "on"},
-               "flow": {"to", "from"}, "pose": {"to"}, "return": {"to"}}
+               "flow": {"to", "from"}, "pose": {"to"}, "return": {"to"},
+               "give": {"to"}, "send": {"to"}, "sell": {"to"},
+               "donate": {"to"}, "contribute": {"to"}, "lend": {"to"}}
 
 
 def _is_verb_tag(t: str) -> bool:
@@ -205,6 +207,13 @@ def parse_sentence_deps(tokens: List[Token], tags: List[Tagged], lo: int, hi: in
             while k < n and pos[k] == "A":
                 k += 1
             right_is_verb = k < n and pos[k] == "V" and not attached[k]
+            if forms[i_l - 1] == "," and not right_is_verb:
+                # ", and <NP> <verb>" coordinates CLAUSES — the NP is
+                # the next clause's subject, not a nominal conjunct
+                # ("from donors in Europe, and the government plans")
+                h2 = np_head_from(i_l + 1)
+                if h2 is not None and h2 + 1 < n and pos[h2 + 1] == "V":
+                    continue
             left = None
             left_is_verb = False
             if right_is_verb and ptb[k] == "VBG":
@@ -320,6 +329,8 @@ def parse_sentence_deps(tokens: List[Token], tags: List[Tagged], lo: int, hi: in
         if pos[i_l] == "P" and ptb[i_l] in ("IN", "TO") and not attached[i_l]:
             if lows[i_l] in _CLAUSE_SUBORD and (i_l == 0 or forms[i_l - 1] == ","):
                 continue  # clause subordinator, not a preposition
+            if lows[i_l] == "that":
+                continue  # complementizer (tagged IN only after a verb)
             obj = np_head_from(i_l + 1)
             if obj is None and i_l + 1 < n and ptb[i_l + 1] == "CD":
                 k = i_l + 1
@@ -342,10 +353,19 @@ def parse_sentence_deps(tokens: List[Token], tags: List[Tagged], lo: int, hi: in
                     while verb_site in vc_child:
                         verb_site = vc_child[verb_site]
                     break
+            temporal_obj = obj is not None and (
+                lows[obj] in _MONTHS or re.fullmatch(r"\d{4}", forms[obj]))
             prefers_verb = (verb_site is not None
                             and (lows[i_l] in _VERB_PREPS.get(
                                 tags[lo + verb_site].lemma, ())
-                                 or lows[i_l] == "as"))  # "blacklist X as Y"
+                                 or lows[i_l] == "as"  # "blacklist X as Y"
+                                 # temporal PPs modify the event, not the
+                                 # adjacent noun ("captured the bases
+                                 # after a battle", "... in March 2013")
+                                 or lows[i_l] in ("after", "before",
+                                                  "during", "until",
+                                                  "since")
+                                 or temporal_obj))
             if i_l > 0 and pos[i_l - 1] in ("N", "R") and not prefers_verb:
                 site = nom_head(i_l - 1)
                 label = "NMOD"
@@ -363,8 +383,9 @@ def parse_sentence_deps(tokens: List[Token], tags: List[Tagged], lo: int, hi: in
                         site = vc_child[site]
                     if obj is not None and _looks_location(forms[obj], lows[obj]):
                         label = "LOC"
-                    elif obj is not None and (lows[obj] in _MONTHS
-                                              or re.fullmatch(r"\d{4}", forms[obj])):
+                    elif temporal_obj or lows[i_l] in ("after", "before",
+                                                       "during", "until",
+                                                       "since"):
                         label = "TMP"
                     else:
                         label = "ADV"
@@ -376,11 +397,19 @@ def parse_sentence_deps(tokens: List[Token], tags: List[Tagged], lo: int, hi: in
     # previous group, and its own object right of its content verb)
     _REL_PRONOUNS = {"that", "who", "whom", "which"}
     _SPEECH_VERBS = {"said", "says", "say"}
+    _SPEECH_LEMMAS = {"say", "report", "announce", "state", "add", "note",
+                      "argue", "claim", "insist", "warn", "suggest"}
+    relative_anchors: Set[int] = set()   # anchors of relative clauses
     group_sub: Dict[int, int] = {}       # anchor -> subject head
     participials: List[int] = []         # comma/CC participial anchors
     inverted_speech: List[int] = []      # postposed speech-verb anchors
     for gi, (anchor, content) in enumerate(groups):
         lo_bound = groups[gi - 1][1] if gi > 0 else -1
+        if gi > 0 and groups[gi - 1][0] in relative_anchors:
+            # the previous group is a relative clause — this clause's
+            # subject is the relative's HOST noun, which sits BEFORE it
+            # ("A veteran who led the effort said ...")
+            lo_bound = groups[gi - 2][1] if gi > 1 else -1
         subj = None
         skip_subject = False
         # ", posing ..." — a comma-introduced participial adjunct has no
@@ -428,6 +457,7 @@ def parse_sentence_deps(tokens: List[Token], tags: List[Tagged], lo: int, hi: in
                     # non-restrictive ", which ..." clause stays free
                     # for the clause-attachment post-pass
                     att(nom_head(j - 1), anchor, "NMOD")
+                    relative_anchors.add(anchor)
                 break
             if pos[j] in ("N", "R", "Q") and not attached[nom_head(j)]:
                 subj = nom_head(j)
@@ -443,6 +473,12 @@ def parse_sentence_deps(tokens: List[Token], tags: List[Tagged], lo: int, hi: in
                                       "been", "am", "became", "become",
                                       "becomes", "'s", "'re")
         hi_bound = groups[gi + 1][0] if gi + 1 < len(groups) else n
+        # a speech verb followed by another verb group takes the CLAUSE
+        # as its content, not the intervening NP ("Analysts say the
+        # crisis ... has become ..." — 'crisis' is become's subject)
+        if not skip_object and tags[lo + content].lemma in _SPEECH_LEMMAS \
+                and any(a > content for a, _c2 in groups):
+            skip_object = True
         obj = None
         for j in [] if skip_object else range(content + 1, hi_bound):
             if pos[j] in ("N", "R", "Q") and not attached[nom_head(j)] and name_head[j] is None or \
@@ -450,8 +486,12 @@ def parse_sentence_deps(tokens: List[Token], tags: List[Tagged], lo: int, hi: in
                 cand = nom_head(j)
                 # an NP immediately before the next verb group is that
                 # clause's subject, not this verb's object ("said he
-                # helped...": 'he' belongs to 'helped')
-                if gi + 1 < len(groups) and cand + 1 == groups[gi + 1][0]:
+                # helped...": 'he' belongs to 'helped') — EXCEPT inside
+                # a relative clause, whose host NP (not the adjacent
+                # one) is the next clause's subject ("A veteran who led
+                # the effort said ...": 'effort' is led's object)
+                if gi + 1 < len(groups) and cand + 1 == groups[gi + 1][0] \
+                        and anchor not in relative_anchors:
                     break
                 obj = cand
                 break
@@ -479,8 +519,6 @@ def parse_sentence_deps(tokens: List[Token], tags: List[Tagged], lo: int, hi: in
                     break
 
     # 7b. clause-attachment post-pass -----------------------------------
-    _SPEECH_LEMMAS = {"say", "report", "announce", "state", "add", "note",
-                      "argue", "claim", "insist", "warn", "suggest"}
     _CTV_BARE = {"say", "help", "make", "let", "see", "watch", "hear"}
     obj_heads = {h - lo for (h, _d, l) in deps
                  if l in ("OBJ", "PRD") and lo <= h < hi}
@@ -792,7 +830,8 @@ NOMINAL_ROLESETS = {
     "land": "land.02", "effort": "effort.01", "brother": "brother.01",
     "government": "government.01", "opposition": "opposition.01",
     "organization": "organization.01", "sanction": "sanction.01",
-    "dealing": "dealing.01", "base": "base.01",
+    "dealing": "dealing.01", "base": "base.01", "battle": "battle.01",
+    "profit": "profit.01", "director": "director.01",
 }
 
 # verb lemma -> roleset when the dominant sense is not lemma.01
@@ -828,7 +867,7 @@ NOMINAL_SELF_ARGS = {
     "supporter": "A0", "founder": "A0", "president": "A0", "donor": "A0",
     "fighter": "A0", "official": "A0", "insurgent": "A0", "offshoot": "A1",
     "brother": "A0", "veteran": "A0", "government": "A0", "opposition": "A0",
-    "weapon": "A2", "favor": "A1", "sanction": "A1",
+    "weapon": "A2", "favor": "A1", "sanction": "A1", "director": "A0",
 }
 
 # noun lemma -> argnum its plain nominal modifier receives, overriding
@@ -871,7 +910,7 @@ _TRANSPARENT_HEADS = {"one", "part", "some", "most", "all", "none",
 
 # light verbs whose subject becomes the a0 of their predicative noun
 # object ("have dealings", "posing a challenge")
-_LIGHT_VERBS = {"have", "make", "take", "give", "do", "pose"}
+_LIGHT_VERBS = {"have", "make", "take", "give", "do", "pose", "become"}
 
 _COPULA_LEMMAS = {"be", "become"}
 
@@ -893,11 +932,16 @@ PREP_ARGS = {
     ("fight.01", "with"): ("A2", None),
     ("fight.01", "on"): ("AM-LOC", None),
     ("return.02", "to"): ("A2", None),
+    ("give.01", "to"): ("A2", None),
+    ("send.01", "to"): ("A2", None),
+    ("sell.01", "to"): ("A2", None),
+    ("donate.01", "to"): ("A2", None),
+    ("contribute.01", "to"): ("A2", None),
     ("pose.02", "to"): ("A2", None),
 }
 
 # roleset -> argnum of the DIRECT object when not the default A1
-OBJ_ARGS = {"prompt.02": "A2"}
+OBJ_ARGS = {"prompt.02": "A2", "last.01": "A2"}
 
 # common nouns that mark a locative PP object ("on the lands of Iraq")
 _LOC_NOUNS = {"land", "lands", "territory", "region", "area", "soil",
@@ -1462,7 +1506,11 @@ def extract_predicates(tokens: List[Token], tags: List[Tagged],
                     if pl in ("of", "to", "with") and mod_arg:
                         roles.append({"sem_role": mod_arg, "term_ids": role_span(pm[0]),
                                       "head_id": pm[0], "refs": []})
-                    elif pl == "from":
+                    elif pl == "from" and self_arg != "A0":
+                        # "approval from Al Qaeda" -> grantor a0; but an
+                        # AGENT nominal already holds its own a0 — a
+                        # from-PP there is origin, a plain mod edge
+                        # ("donors from Europe")
                         roles.append({"sem_role": "A0", "term_ids": role_span(pm[0]),
                                       "head_id": pm[0], "refs": []})
                     elif pl == "in" and GAZETTEER.get(
@@ -1851,6 +1899,11 @@ def annotate_document(text: str) -> dict:
         if not appositive:
             pred["refs"] = [r for r in pred.get("refs") or []
                             if (r.get("resource") or "").lower() != "framenet"]
+    # F15 FrameBase mapping runs last, over the post-fix FrameNet refs
+    # (NAFFilter stage order: NAFFilter.java:317-320 runs the FrameBase
+    # mapping after all SRL fixes)
+    from .framebase import apply_framebase_mapping
+    apply_framebase_mapping(predicates, tagged)
     return {
         "sentences": [{"sent": i, "begin": b, "end": e}
                       for i, (b, e) in enumerate(sents)],

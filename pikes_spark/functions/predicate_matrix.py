@@ -52,6 +52,11 @@ PM_PREDICATES: Dict[str, Tuple[List[str], List[str], List[str]]] = {
     "force.01": ([], ["Military"], []),
     "gather.01": (["herd-47.5.2"], ["Gathering_up"], []),
     "give.01": (["give-13.1-1"], [], []),
+    "hire.01": (["hire-13.5.3"], [], []),
+    "last.01": ([], [], []),
+    "battle.01": ([], ["Hostile_encounter"], []),
+    "profit.01": ([], [], []),
+    "director.01": ([], [], []),
     "govern.01": ([], ["Leadership"], []),
     "government.01": ([], ["Leadership"], []),
     "group.01": ([], ["Organization"], []),
@@ -141,6 +146,8 @@ PM_ROLES: Dict[Tuple[str, str], Tuple[Optional[str], Optional[str]]] = {
     ("deal.01", "1"): ("theme", None),
     ("dealing.01", "0"): ("agent", None),
     ("dealing.01", "1"): ("theme", None),
+    ("defend.01", "0"): ("agent", None),
+    ("defend.01", "1"): ("patient", None),
     ("defend.01", "2"): (None, "weapon"),
     ("defend.01", "4"): (None, "weapon"),
     ("donate.01", "0"): ("agent", "donor"),
@@ -164,7 +171,15 @@ PM_ROLES: Dict[Tuple[str, str], Tuple[Optional[str], Optional[str]]] = {
     ("force.01", "3"): (None, "descriptor"),
     ("gather.01", "0"): ("agent", "agent"),
     ("gather.01", "1"): ("theme", "individuals"),
+    ("give.01", "0"): ("agent", None),
     ("give.01", "1"): ("theme", None),
+    ("hire.01", "0"): ("agent", None),
+    ("hire.01", "1"): ("theme", None),
+    ("last.01", "1"): (None, None),
+    ("last.01", "2"): (None, None),
+    ("profit.01", "0"): (None, None),
+    ("director.01", "0"): (None, None),
+    ("director.01", "1"): (None, None),
     ("give.01", "2"): ("recipient", None),
     ("govern.01", "0"): (None, "leader"),
     ("government.01", "0"): (None, "leader"),

@@ -233,6 +233,110 @@ _COMMON_VERBS = {
     "contribute", "contributes", "contributed", "reach", "reaches",
     "reached",
 }
+
+# General verb breadth (a realistic common-English inventory, not a
+# fixture slice): lemmas inflected programmatically below. Strongly
+# noun-biased homographs (report, place, form, face, name, point ...)
+# are deliberately excluded — the tagger's context guards are
+# positional, and a wrong verb reading is costlier than a missed one.
+_VERB_LEMMA_LIST = [
+    "accept", "accuse", "achieve", "add", "admit", "adopt", "agree",
+    "aim", "allow", "announce", "appear", "apply", "appoint", "approve",
+    "argue", "arrest", "arrive", "ask", "attack", "attempt", "attend",
+    "avoid", "ban", "begin", "believe", "belong", "blame", "block",
+    "boost", "borrow", "buy", "call", "cancel", "carry", "cause",
+    "celebrate", "claim", "climb", "collect", "combine", "compare",
+    "compete", "complain", "complete", "confirm", "connect", "consider",
+    "contain", "continue", "convince", "cover", "criticize", "cut",
+    "decide", "declare", "decline", "defeat", "defend", "delay",
+    "deliver", "demand", "deny", "depend", "describe", "destroy",
+    "develop", "disappear", "discover", "discuss", "dismiss", "donate",
+    "earn", "elect", "emerge", "employ", "enable", "encourage", "end",
+    "enjoy", "enter", "escape", "establish", "estimate", "examine",
+    "exist", "expand", "expect", "explain", "explore", "express",
+    "extend", "fail", "fall", "fear", "feel", "fill", "find", "finish",
+    "fly", "focus", "follow", "forget", "gain", "generate", "grab",
+    "grow", "handle", "happen", "hate", "hear", "hide", "hire", "hit",
+    "hold", "identify", "ignore", "imagine", "impose", "improve",
+    "include", "increase", "indicate", "inform", "injure", "insist",
+    "intend", "introduce", "invest", "investigate", "invite", "involve",
+    "isolate", "keep", "kill", "know", "last", "learn", "leave", "lend",
+    "lift", "like", "listen", "lose", "love", "maintain", "manage",
+    "mean", "measure", "mention", "miss", "monitor", "need", "notice",
+    "obtain", "occur", "offer", "operate", "oppose", "overcome", "own",
+    "participate", "pay", "perform", "persuade", "pick", "point",
+    "praise", "predict", "prefer", "prepare", "present", "prevent",
+    "produce", "promise", "promote", "propose", "protect", "protest",
+    "prove", "provide", "publish", "pull", "punish", "pursue", "raise",
+    "read", "realize", "receive", "recognize", "recommend", "recover",
+    "reduce", "refuse", "reject", "release", "remain", "remember",
+    "remind", "remove", "repeat", "replace", "reply", "represent",
+    "request", "require", "rescue", "resign", "resist", "resolve",
+    "respond", "restore", "reveal", "review", "rise", "say", "search",
+    "seek", "seem", "seize", "select", "sell", "send", "serve", "settle",
+    "share", "shoot", "shut", "solve", "speak", "spend", "spread",
+    "stand", "start", "state", "stay", "steal", "stop", "stress",
+    "strike", "struggle", "submit", "succeed", "suffer", "suggest",
+    "supply", "suppose", "surround", "survive", "suspect", "suspend",
+    "teach", "tell", "think", "threaten", "throw", "train", "transfer",
+    "travel", "treat", "try", "turn", "understand", "urge", "vote",
+    "wait", "warn", "wear", "welcome", "withdraw", "witness", "wonder",
+    "worry",
+]
+
+_IRREGULAR_PAST = {
+    "begin": ("began", "begun"), "buy": ("bought",), "catch": ("caught",),
+    "cut": ("cut",), "fall": ("fell", "fallen"), "feel": ("felt",),
+    "find": ("found",), "fly": ("flew", "flown"), "forget": ("forgot",
+    "forgotten"), "grow": ("grew", "grown"), "hear": ("heard",),
+    "hide": ("hid", "hidden"), "hit": ("hit",), "hold": ("held",),
+    "keep": ("kept",), "know": ("knew", "known"), "leave": ("left",),
+    "lend": ("lent",), "lose": ("lost",), "mean": ("meant",),
+    "pay": ("paid",), "read": ("read",), "rise": ("rose", "risen"),
+    "seek": ("sought",), "sell": ("sold",), "send": ("sent",),
+    "shoot": ("shot",), "shut": ("shut",), "speak": ("spoke", "spoken"),
+    "spend": ("spent",), "spread": ("spread",), "stand": ("stood",),
+    "steal": ("stole", "stolen"), "strike": ("struck",),
+    "teach": ("taught",), "tell": ("told",), "think": ("thought",),
+    "throw": ("threw", "thrown"), "understand": ("understood",),
+    "wear": ("wore", "worn"), "withdraw": ("withdrew", "withdrawn"),
+}
+
+
+def _inflections(lemma: str):
+    """lemma -> surface forms (base, 3sg, past/participle, gerund) with
+    the standard orthographic rules; irregular pasts from the table."""
+    forms = {lemma}
+    if lemma.endswith(("s", "sh", "ch", "x", "z", "o")):
+        forms.add(lemma + "es")
+    elif lemma.endswith("y") and len(lemma) > 2 and lemma[-2] not in "aeiou":
+        forms.add(lemma[:-1] + "ies")
+    else:
+        forms.add(lemma + "s")
+    if lemma in _IRREGULAR_PAST:
+        forms.update(_IRREGULAR_PAST[lemma])
+        stem = lemma[:-1] if lemma.endswith("e") else lemma
+        forms.add(stem + "ing")
+        return forms
+    if lemma.endswith("e") and not lemma.endswith(("ee", "ye", "oe")):
+        forms.add(lemma + "d")
+        forms.add(lemma[:-1] + "ing")
+    elif lemma.endswith("y") and len(lemma) > 2 and lemma[-2] not in "aeiou":
+        forms.add(lemma[:-1] + "ied")
+        forms.add(lemma + "ing")
+    else:
+        # final-consonant doubling for stressed CVC monosyllables
+        dbl = (len(lemma) >= 3 and lemma[-1] not in "aeiouwxy"
+               and lemma[-2] in "aeiou" and lemma[-3] not in "aeiou"
+               and len(lemma) <= 4)
+        stem = lemma + lemma[-1] if dbl else lemma
+        forms.add(stem + "ed")
+        forms.add(stem + "ing")
+    return forms
+
+
+for _lemma in _VERB_LEMMA_LIST:
+    _COMMON_VERBS.update(_inflections(_lemma))
 _IRREGULAR_LEMMA = {
     "met": "meet", "became": "become", "won": "win", "made": "make",
     "fought": "fight", "led": "lead", "gave": "give", "took": "take",
@@ -245,6 +349,10 @@ _IRREGULAR_LEMMA = {
     "children": "child", "men": "man", "women": "woman", "people": "person",
     "ca": "can", "wo": "will", "'ll": "will", "'d": "would",
 }
+
+for _lemma, _pasts in _IRREGULAR_PAST.items():
+    for _p in _pasts:
+        _IRREGULAR_LEMMA.setdefault(_p, _lemma)
 
 _ADJECTIVES = {
     "strong", "new", "good", "big", "high", "old", "major", "small",
@@ -348,6 +456,9 @@ def tag_tokens(tokens: List[Token]) -> List[Tagged]:
                      or tokens[idx + 1].form.lower() in _COMMON_VERBS):
             # demonstrative pronoun in subject position: "This is ..."
             t = Tagged("PRP", "Q", low)
+        elif low == "that" and (prev_tag.startswith("VB") or prev_tag == "MD"):
+            # complementizer right after a verb ("said that donors ...")
+            t = Tagged("IN", "P", "that")
         elif low in _DETS:
             t = Tagged("DT", "D", low)
         elif low in _POSS_PRON:
@@ -398,9 +509,14 @@ def tag_tokens(tokens: List[Token]) -> List[Tagged]:
             t = Tagged("NNP", "R", form)
         elif low in _COMMON_VERBS and (
                 prev_tag not in {"DT", "JJ", "PRP$", "POS"}
-                or (idx > 0 and tokens[idx - 1].form.lower() == "that")):
+                or (idx > 0 and tokens[idx - 1].form.lower() == "that")) \
+                and not (prev_tag in {"NN", "NNP"}
+                         and _verb_tagged(low).morphofeat == "VBP"):
             # "that" before a known verb form is a relative pronoun /
-            # complementizer, not a determiner blocking the verb reading
+            # complementizer, not a determiner blocking the verb reading.
+            # A BASE form right after a singular noun cannot be its
+            # finite verb (no 3sg agreement) — noun-compound reading
+            # ("government report") beats the verb reading there.
             t = _verb_tagged(low)
         elif low in _ADVERBS or (low.endswith("ly") and len(low) > 3):
             t = Tagged("RB", "A", low[:-2] if low.endswith("ly") and len(low) > 4 and low not in _ADVERBS else low)

@@ -54,6 +54,7 @@ NS = {
     "verbnet": "http://www.newsreader-project.eu/ontologies/verbnet/",
     "framenet": "http://www.newsreader-project.eu/ontologies/framenet/",
     "eso": "http://www.newsreader-project.eu/domain-ontology#",
+    "framebase": "http://framebase.org/ns/",
     "entity": "entity:",
     "attribute": "attr:",
     "owltime": "http://www.newsreader-project.eu/time/",
@@ -526,6 +527,12 @@ class Distiller:
                                     value or self.span_text(tids))
             self.ann_obj[head] = iri
             self.ann_extent[head] = tids
+            # role lookups may land on any token of a multi-token timex
+            # ("in March 2013": the dep head can be the year while the
+            # PP's PMOD is the month) — map every span token to the
+            # instance
+            for t2 in tids:
+                self.ann_obj.setdefault(t2, iri)
             self.emit_fact(iri, RDF_TYPE, KS_ENTITY, mention, "instance", sent, mb, me)
             self.emit_fact(iri, RDF_TYPE, KS_TIME, mention, "instance", sent, mb, me)
             self.emit_fact(iri, RDF_TYPE, "timex." + ttype, mention, "type_timex",
@@ -761,6 +768,7 @@ class Distiller:
                 if res in NS and ref.get("reference"):
                     comp = {"propbank": "type_pb", "nombank": "type_nb",
                             "verbnet": "type_vn", "framenet": "type_fn",
+                            "framebase": "type_fb",
                             "eso": "type_eso"}.get(res, "type_" + res)
                     if res in _PREMON_PREFIX:
                         obj = premon_class_iri(res, ref["reference"])
@@ -796,6 +804,7 @@ class Distiller:
             if res in NS and ref.get("reference"):
                 comp = {"propbank": "type_pb", "nombank": "type_nb",
                         "verbnet": "type_vn", "framenet": "type_fn",
+                        "framebase": "type_fb",
                         "eso": "type_eso"}.get(res, "type_" + res)
                 if res in _PREMON_PREFIX:
                     obj = premon_class_iri(res, ref["reference"])
@@ -965,6 +974,7 @@ class Distiller:
                         attr = self.emit_term(mod)
                         if attr:
                             self.emit_fact(iri, KS_MOD, attr, None, "edge", sent)
+                            from ..functions.framebase import default_index
                             for frame, fe, attr_subj in _ATTR_FN_ROLES.get(
                                     term["lemma"], []):
                                 prop = premon_role_iri("framenet", frame, fe)
@@ -972,6 +982,11 @@ class Distiller:
                                           else (iri, attr))
                                 self.emit_fact(s2, prop, o2, None,
                                                "role_fn", sent)
+                                # F15 twin for the attribute-node role
+                                fb = default_index().property_for(frame, fe)
+                                if fb:
+                                    self.emit_fact(s2, NS["framebase"] + fb,
+                                                   o2, None, "role_fb", sent)
 
     # extractPath (RDFGenerator.java:1732-1773): lemma path between two
     # heads along the undirected dep-tree route, skipping edges inside
@@ -1064,6 +1079,16 @@ class Distiller:
             self.emit_fact(iri, RDF_TYPE,
                            premon_class_iri("framenet", fn_frame),
                            None, "type_fn", sent)
+            # F15 twin: the attribute node's frame also has a FrameBase
+            # microframe (NAFFilter.java:1429-1438 maps every FrameNet
+            # predicate ref, attribute-backed ones included)
+            from ..functions.framebase import default_index, pos_for_penn_tag
+            fb = default_index().class_for(
+                fn_frame, self.terms[head]["lemma"].lower(),
+                pos_for_penn_tag(self.terms[head]["morphofeat"]))
+            if fb:
+                self.emit_fact(iri, RDF_TYPE, NS["framebase"] + fb,
+                               None, "type_fb", sent)
         for mod_iri in modifier_iris:
             self.emit_fact(iri, KS_MOD, mod_iri, None, "edge", sent)
         self.emit_meta(iri, GAF_DENOTED_BY, mention, "mention")
@@ -1137,6 +1162,11 @@ class Distiller:
                         cls, _, rl = rref["reference"].partition("@")
                         props.append((premon_role_iri(rres, cls, rl or "role"),
                                       "role_vn" if rres == "verbnet" else "role_fn"))
+                    elif rres == "framebase" and rref.get("reference"):
+                        # F15 role properties land directly in the frb
+                        # namespace (fe-<Frame>-<FE>; FrameBase.java:124-134)
+                        props.append((NS["framebase"] + rref["reference"],
+                                      "role_fb"))
                 sent = self.tokens[rhead]["sent"]
                 for ah in sorted(arg_heads):
                     arg_iri = self.ann_obj.get(ah) or self.ann_pred.get(ah)

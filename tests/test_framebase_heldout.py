@@ -1,0 +1,75 @@
+"""F15 FrameBase mapper unit tests + eval floors for the framebase
+gold scoring and the held-out generalization corpus."""
+
+from pikes_spark.functions.framebase import (default_index,
+                                             pos_for_penn_tag,
+                                             class_name_for,
+                                             property_name_for)
+
+
+def test_pos_for_penn_tag():
+    assert pos_for_penn_tag("NN") == "n"
+    assert pos_for_penn_tag("NNS") == "n"
+    assert pos_for_penn_tag("VBD") == "v"
+    assert pos_for_penn_tag("JJ") == "a"
+    assert pos_for_penn_tag("IN") == "c"
+    assert pos_for_penn_tag("") == "c"
+
+
+def test_name_construction():
+    # FrameBase.java:158-178 naming rules
+    assert class_name_for("taking_sides#back.v") == \
+        "frame-Taking_sides-back.v"
+    assert property_name_for("becoming@final_category") == \
+        "fe-Becoming-Final_category"
+
+
+def test_class_alias_lookup():
+    idx = default_index()
+    # want.v clusters into the Desiring microframe named by 'hope'
+    # (FrameBase 1.0 inverse index)
+    assert idx.class_for("Desiring", "want", "v") == "frame-Desiring-hope.v"
+    assert idx.class_for("Taking_sides", "support", "v") == \
+        "frame-Taking_sides-back.v"
+    # naive-name path: the LU's own microframe exists under its name
+    assert idx.class_for("Organization", "group", "n") == \
+        "frame-Organization-group.n"
+    # unmappable: no such LU in the frame
+    assert idx.class_for("Desiring", "xylophone", "n") is None
+
+
+def test_property_lookup():
+    idx = default_index()
+    assert idx.property_for("Desiring", "event") == "fe-Desiring-Event"
+    assert idx.property_for("Becoming", "final_category") == \
+        "fe-Becoming-Final_category"
+    assert idx.property_for("Desiring", "no_such_fe") is None
+
+
+def test_framebase_gold_floor():
+    """Pipeline vs the shipped eval-framebase gold: all-triples F1 must
+    stay >= 0.90 (published reference baseline: .561)."""
+    from pikes_spark.eval.reference_data import load_framebase_gold_graphs
+    from pikes_spark.eval.spark_system import build_spark_graphs
+    from pikes_spark.eval.evaluate import evaluate
+    totals = evaluate(load_framebase_gold_graphs(), build_spark_graphs())
+    assert totals["types_fb"].f1 >= 0.90
+    assert totals["roles_fb"].f1 >= 0.93
+    assert totals["all_fb"].f1 >= 0.92
+
+
+def test_heldout_floors():
+    """Generalization floors on the held-out corpus (these are the
+    honest numbers — raise them only with general fixes)."""
+    from pikes_spark.eval.heldout import (load_heldout_gold,
+                                          build_heldout_spark_graphs)
+    from pikes_spark.eval.evaluate import evaluate
+    totals = evaluate(load_heldout_gold(), build_heldout_spark_graphs(),
+                      symmetric_sameas=True)
+    assert totals["instances"].f1 >= 0.95
+    assert totals["types_pb"].f1 >= 0.95
+    assert totals["types_nb"].f1 >= 0.90
+    assert totals["roles_pb"].f1 >= 0.90
+    assert totals["roles_nb"].f1 >= 0.90
+    assert totals["edges"].f1 >= 0.90
+    assert totals["linking"].f1 >= 0.85

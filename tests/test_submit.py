@@ -23,7 +23,7 @@ def test_spark_submit_py_files_runs_pipeline():
             pkg = os.path.join(REPO, "pikes_spark")
             for root, _dirs, files in os.walk(pkg):
                 for f in files:
-                    if f.endswith(".py"):
+                    if f.endswith((".py", ".tsv")):
                         full = os.path.join(root, f)
                         z.write(full, os.path.relpath(full, REPO))
         out = subprocess.run(
