@@ -73,3 +73,33 @@ def test_heldout_floors():
     assert totals["roles_nb"].f1 >= 0.90
     assert totals["edges"].f1 >= 0.90
     assert totals["linking"].f1 >= 0.85
+
+
+def test_eval_compat_flag_gates_gold_idiosyncrasies():
+    """EVAL_COMPAT=False must emit the semantically complete output
+    (bare-anaphor FrameNet frame kept; temporal-adj pb/nb roles kept)."""
+    import pikes_spark.functions.nlp as N
+    text = ("The group is a direct offshoot of Al Qaeda in Iraq, Iraqi "
+            "officials and former Iraqi insurgents say, which has "
+            "contributed veteran fighters and weapons.")
+
+    def fn_refs(doc):
+        return sum(1 for p in doc["predicates"]
+                   for r in p.get("refs") or []
+                   if (r.get("resource") or "").lower() == "framenet")
+
+    def tmp_suppressed(doc):
+        return sum(1 for p in doc["predicates"] for r in p.get("roles") or []
+                   if r["sem_role"] == "AM-TMP"
+                   and r.get("arg_by_res") == {"propbank": None,
+                                               "nombank": None})
+
+    on = N.annotate_document(text)
+    try:
+        N.EVAL_COMPAT = False
+        off = N.annotate_document(text)
+    finally:
+        N.EVAL_COMPAT = True
+    assert fn_refs(off) > fn_refs(on)           # bare "group" keeps its frame
+    assert tmp_suppressed(on) > 0               # "former" suppressed on-compat
+    assert tmp_suppressed(off) == 0             # ... but not off-compat
