@@ -1208,11 +1208,20 @@ def extract_predicates(tokens: List[Token], tags: List[Tagged],
             from .predicate_matrix import PM_ROLES
             if is_cop:
                 subj_arg = "A1"
-            elif (roleset, "0") in PM_ROLES or roleset not in {
-                    rs for (rs, _a) in PM_ROLES}:
+            elif (roleset, "0") in PM_ROLES:
                 subj_arg = "A0"
-            else:
+            elif roleset in {rs for (rs, _a) in PM_ROLES}:
+                # fixture knows the roleset and records no arg0
                 subj_arg = "A1"
+            else:
+                # full-breadth PropBank decides for rolesets outside the
+                # fixture slice (unaccusatives like last.01/occur.01
+                # take their subject as A1); unknown everywhere -> A0
+                from .resource_loaders import propbank_index
+                _pb = propbank_index()
+                _rs = _pb.roleset(roleset) if _pb else None
+                subj_arg = ("A1" if _rs is not None
+                            and 0 not in _rs.arg_descr else "A0")
             def clause_content(v: int) -> int:
                 """Follow the VC chain down to the content verb."""
                 cur = v

@@ -288,10 +288,18 @@ ON_FREQUENCIES: Dict[str, int] = {
 
 def map_roleset(roleset: str) -> Tuple[List[str], List[str], List[str]]:
     """-> (vn, fn, eso) refs for a roleset; VN disambiguated by max
-    OntoNotes frequency with last-max-wins (>=) tie-break."""
+    OntoNotes frequency with last-max-wins (>=) tie-break. Rolesets
+    outside the fixture slice fall back to the full-breadth PropBank
+    index (the reference's own VN/FN columns, generated from the real
+    PredicateMatrix) when that resource is available."""
     entry = PM_PREDICATES.get(roleset)
     if entry is None:
-        return [], [], []
+        from .resource_loaders import propbank_index
+        pb = propbank_index()
+        rs = pb.roleset(roleset) if pb else None
+        if rs is None:
+            return [], [], []
+        entry = (rs.vn_frames, rs.fn_frames, [])
     vn_classes, fn_frames, eso = entry
     if len(vn_classes) > 1:
         best, best_val = None, 0
@@ -304,5 +312,21 @@ def map_roleset(roleset: str) -> Tuple[List[str], List[str], List[str]]:
 
 
 def map_role(roleset: str, arg: str) -> Tuple[Optional[str], Optional[str]]:
-    """arg: "0".."5" or "am-xxx" (lowercase)."""
-    return PM_ROLES.get((roleset, arg), (None, None))
+    """arg: "0".."5" or "am-xxx" (lowercase). Fixture rows first (they
+    encode the gold-blessed case/choices); full-breadth PropBank
+    fallback for everything else — VN theta roles lowercased to the
+    fixture/gold style, FN frame elements kept in canonical case."""
+    hit = PM_ROLES.get((roleset, arg))
+    if hit is not None:
+        return hit
+    if roleset in PM_PREDICATES or not arg.isdigit():
+        return (None, None)
+    from .resource_loaders import propbank_index
+    pb = propbank_index()
+    rs = pb.roleset(roleset) if pb else None
+    if rs is None:
+        return (None, None)
+    num = int(arg)
+    vn = rs.arg_vn_roles.get(num) or []
+    fn = rs.arg_fn_roles.get(num) or []
+    return (vn[0].lower() if vn else None, fn[0] if fn else None)

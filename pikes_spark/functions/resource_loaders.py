@@ -1,0 +1,317 @@
+"""Real resource-format loaders: PropBank / NomBank runtime TSVs, the
+PropBank/NomBank XML framesets they are generated from, and the
+PredicateMatrix 28-column TSV.
+
+Formats re-implemented from the reference's loaders:
+  - PropBank.tsv   — PropBank.java:44-95 (id, lemma, name, vn|fn|event
+    frame lists, then (num, descr, vnRoles, fnRoles) quadruples)
+  - NomBank.tsv    — NomBank.java:36-80 (id, pbId, lemma, descr, nine
+    arg descrs, nine arg->PB nums, mandatory/optional arg lists)
+  - frameset XML   — PropBank.java:266-345 StaxParser walk
+    (frameset > predicate@lemma > roleset@id,name > roles > role@n,descr
+    with nested vnrole@vncls,vntheta); the standard public
+    PropBank/NomBank frame-file DTD
+  - PredicateMatrix TSV — PredicateMatrix.java:59-240 (28 columns,
+    ``id:``-prefixed values, NULL markers, fixPbArg normalization)
+
+Resolution: each default loader checks an env var, then the read-only
+reference checkout's shipped file (realistic breadth: ~6.2k PropBank +
+~5.6k NomBank rolesets), and degrades to ``None`` when neither exists
+— callers keep the deterministic fixture tables as fallback, so the
+package stays standalone.
+"""
+
+from __future__ import annotations
+
+import os
+import xml.etree.ElementTree as ET
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Set, Tuple
+
+_REF_RES = ("/root/reference/pikes-resources/src/main/resources/"
+            "eu/fbk/dkm/pikes/resources")
+
+
+@dataclass
+class PropBankRoleset:
+    id: str
+    lemma: str
+    name: str
+    vn_frames: List[str]
+    fn_frames: List[str]
+    event_types: List[str]
+    arg_descr: Dict[int, str] = field(default_factory=dict)
+    arg_vn_roles: Dict[int, List[str]] = field(default_factory=dict)
+    arg_fn_roles: Dict[int, List[str]] = field(default_factory=dict)
+
+
+@dataclass
+class NomBankRoleset:
+    id: str
+    pb_id: Optional[str]
+    lemma: str
+    descr: str
+    arg_descr: List[str]
+    arg_pb_nums: Optional[List[int]]
+    mandatory_args: List[int]
+    optional_args: List[int]
+
+
+class PropBankIndex:
+
+    def __init__(self, rolesets: List[PropBankRoleset]):
+        self.by_id: Dict[str, PropBankRoleset] = {}
+        self.by_lemma: Dict[str, List[PropBankRoleset]] = {}
+        for rs in rolesets:
+            self.by_id[rs.id.lower()] = rs
+            self.by_lemma.setdefault(rs.lemma.lower(), []).append(rs)
+
+    def roleset(self, rid: Optional[str]) -> Optional[PropBankRoleset]:
+        return self.by_id.get(rid.lower()) if rid else None
+
+    def rolesets_for_lemma(self, lemma: str) -> List[PropBankRoleset]:
+        return self.by_lemma.get(lemma.lower(), [])
+
+
+class NomBankIndex:
+
+    def __init__(self, rolesets: List[NomBankRoleset]):
+        self.by_id: Dict[str, NomBankRoleset] = {}
+        self.by_lemma: Dict[str, List[NomBankRoleset]] = {}
+        for rs in rolesets:
+            self.by_id[rs.id.lower()] = rs
+            self.by_lemma.setdefault(rs.lemma.lower(), []).append(rs)
+
+    def roleset(self, rid: Optional[str]) -> Optional[NomBankRoleset]:
+        return self.by_id.get(rid.lower()) if rid else None
+
+    def rolesets_for_lemma(self, lemma: str) -> List[NomBankRoleset]:
+        return self.by_lemma.get(lemma.lower(), [])
+
+
+def _split_bar(v: str) -> List[str]:
+    return [x for x in v.split("|") if x]
+
+
+def parse_propbank_tsv(text: str) -> PropBankIndex:
+    """PropBank.java:50-85 column layout."""
+    out: List[PropBankRoleset] = []
+    for line in text.splitlines():
+        if not line.strip():
+            continue
+        tokens = line.split("\t")
+        rs = PropBankRoleset(
+            id=tokens[0], lemma=tokens[1], name=tokens[2],
+            vn_frames=_split_bar(tokens[3]), fn_frames=_split_bar(tokens[4]),
+            event_types=_split_bar(tokens[5]))
+        i = 6
+        while i + 3 < len(tokens):
+            try:
+                num = int(tokens[i])
+            except ValueError:
+                break
+            rs.arg_descr[num] = tokens[i + 1]
+            rs.arg_vn_roles[num] = _split_bar(tokens[i + 2])
+            rs.arg_fn_roles[num] = _split_bar(tokens[i + 3])
+            i += 4
+        out.append(rs)
+    return PropBankIndex(out)
+
+
+def parse_nombank_tsv(text: str) -> NomBankIndex:
+    """NomBank.java:40-72 column layout."""
+    out: List[NomBankRoleset] = []
+    for line in text.splitlines():
+        if not line.strip():
+            continue
+        tokens = line.split("\t")
+        pb_id = tokens[1] or None
+        arg_descr = tokens[4:13]
+        arg_pb_nums = None
+        if pb_id is not None and len(tokens) > 22:
+            try:
+                arg_pb_nums = [int(tokens[14 + i]) for i in range(9)]
+            except ValueError:
+                arg_pb_nums = None
+        mandatory = ([int(a) for a in sorted(tokens[24].split())]
+                     if len(tokens) > 24 and tokens[24].strip() else [])
+        optional = ([int(a) for a in sorted(tokens[25].split())]
+                    if len(tokens) > 25 and tokens[25].strip() else [])
+        out.append(NomBankRoleset(
+            id=tokens[0], pb_id=pb_id, lemma=tokens[2], descr=tokens[3],
+            arg_descr=arg_descr, arg_pb_nums=arg_pb_nums,
+            mandatory_args=mandatory, optional_args=optional))
+    return NomBankIndex(out)
+
+
+def parse_propbank_frameset_xml(text: str) -> List[PropBankRoleset]:
+    """The public PropBank/NomBank frame-file format (frameset DTD),
+    the input the reference's PropBank.java main() converts to TSV
+    (PropBank.java:266-345). VN mappings come from nested <vnrole>
+    elements; FN mappings are not in framesets (they come from the
+    PredicateMatrix in the reference's pipeline)."""
+    root = ET.fromstring(text)
+    out: List[PropBankRoleset] = []
+    for predicate in root.iter("predicate"):
+        lemma = (predicate.get("lemma") or "").strip() \
+            .replace("_", " ").lower()
+        for roleset in predicate.iter("roleset"):
+            rs = PropBankRoleset(
+                id=(roleset.get("id") or "").strip(),
+                lemma=lemma, name=(roleset.get("name") or "").strip(),
+                vn_frames=_split_bar(roleset.get("vncls") or ""),
+                fn_frames=_split_bar(roleset.get("framnet") or ""),
+                event_types=[])
+            for role in roleset.iter("role"):
+                n = role.get("n")
+                if n is None or not n.isdigit():
+                    continue  # modifier args (n="m") are not numbered
+                num = int(n)
+                rs.arg_descr[num] = (role.get("descr") or "").strip()
+                vn = [f"{v.get('vncls')}@{v.get('vntheta')}"
+                      for v in role.iter("vnrole")
+                      if v.get("vncls") and v.get("vntheta")]
+                if vn:
+                    rs.arg_vn_roles[num] = vn
+            out.append(rs)
+    return out
+
+
+# --- PredicateMatrix 28-col TSV --------------------------------------------
+
+PM_COLS = {"ID_LANG": 0, "ID_POS": 1, "VN_CLASS": 4, "VN_SUBCLASS": 6,
+           "VN_LEMA": 8, "VN_ROLE": 9, "FN_FRAME": 12,
+           "FN_FRAME_ELEMENT": 14, "PB_ROLESET": 15, "PB_ARG": 16,
+           "ESO_CLASS": 25, "ESO_ROLE": 26}
+
+
+def _strip_ns(v: str) -> str:
+    """removePredicateMatrixNamespace (PredicateMatrix.java:416-424)."""
+    if v != "NULL" and ":" in v:
+        return v[v.index(":") + 1:]
+    return v
+
+
+def fix_pb_arg(v: str) -> str:
+    """fixPbArg (PredicateMatrix.java:427-435): C-/R- stripped, DV ->
+    ADV, single char -> A<d>, three chars -> AM-XXX."""
+    v = v.replace("C-", "").replace("R-", "")
+    if v == "DV":
+        v = "ADV"
+    if len(v) == 1:
+        v = "A" + v
+    elif len(v) == 3:
+        v = "AM-" + v
+    return v
+
+
+@dataclass
+class PredicateMatrixData:
+    vn_classes: Dict[str, List[str]] = field(default_factory=dict)
+    vn_subclasses: Dict[str, List[str]] = field(default_factory=dict)
+    fn_frames: Dict[str, List[str]] = field(default_factory=dict)
+    eso_classes: Dict[str, List[str]] = field(default_factory=dict)
+    vn_roles: Dict[str, List[str]] = field(default_factory=dict)  # "rs@A0"
+    fn_fes: Dict[str, List[str]] = field(default_factory=dict)
+    vn_to_fn: Dict[str, List[str]] = field(default_factory=dict)
+
+
+def parse_predicate_matrix_tsv(text: str) -> PredicateMatrixData:
+    """PredicateMatrix.java:59-240 — English verb rows only, keyed by
+    PB roleset; duplicate-preserving-order list semantics kept."""
+    d = PredicateMatrixData()
+
+    def add(m: Dict[str, List[str]], k: str, v: str) -> None:
+        arr = m.setdefault(k, [])
+        if v not in arr:
+            arr.append(v)
+
+    for line in text.splitlines():
+        f = line.split("\t")
+        if len(f) < 27 or f[0] == "1_ID_LANG":
+            continue
+        if f[0] != "id:eng" or f[1] != "id:v":
+            continue
+        f = f[:2] + [_strip_ns(x) for x in f[2:]]
+        rs = f[PM_COLS["PB_ROLESET"]]
+        if rs == "NULL":
+            continue
+        vn_cls, vn_sub = f[PM_COLS["VN_CLASS"]], f[PM_COLS["VN_SUBCLASS"]]
+        vn_lemma, fn = f[PM_COLS["VN_LEMA"]], f[PM_COLS["FN_FRAME"]]
+        if vn_cls != "NULL" and vn_lemma != "NULL":
+            add(d.vn_classes, rs, f"{vn_lemma}-{vn_cls}")
+        if vn_sub != "NULL" and vn_lemma != "NULL":
+            full = f"{vn_lemma}-{vn_sub}"
+            add(d.vn_subclasses, rs, full)
+            if fn != "NULL":
+                add(d.vn_to_fn, full, fn)
+        if fn != "NULL":
+            add(d.fn_frames, rs, fn)
+        if f[PM_COLS["ESO_CLASS"]] != "NULL":
+            add(d.eso_classes, rs, f[PM_COLS["ESO_CLASS"]])
+        pb_arg = f[PM_COLS["PB_ARG"]]
+        if pb_arg != "NULL":
+            arg = fix_pb_arg(pb_arg)
+            key = f"{rs}@{arg}"
+            vn_role = f[PM_COLS["VN_ROLE"]]
+            if vn_role != "NULL":
+                if vn_cls != "NULL" and vn_lemma != "NULL":
+                    add(d.vn_roles, key, f"{vn_lemma}-{vn_cls}@{vn_role}")
+                if vn_sub != "NULL" and vn_lemma != "NULL":
+                    add(d.vn_roles, key, f"{vn_lemma}-{vn_sub}@{vn_role}")
+            fe = f[PM_COLS["FN_FRAME_ELEMENT"]]
+            if fe != "NULL" and fn != "NULL":
+                add(d.fn_fes, key, f"{fn}@{fe}")
+            if f[PM_COLS["ESO_ROLE"]] != "NULL" \
+                    and f[PM_COLS["ESO_CLASS"]] != "NULL":
+                add(d.eso_classes, key,
+                    f"{f[PM_COLS['ESO_CLASS']]}@{f[PM_COLS['ESO_ROLE']]}")
+    return d
+
+
+# --- default instances ------------------------------------------------------
+
+_PB: Optional[PropBankIndex] = None
+_NB: Optional[NomBankIndex] = None
+_PB_TRIED = _NB_TRIED = False
+
+
+def _load(env: str, fname: str, parser):
+    path = os.environ.get(env) or os.path.join(_REF_RES, fname)
+    try:
+        with open(path, encoding="utf-8") as fh:
+            return parser(fh.read())
+    except OSError:
+        return None
+
+
+def propbank_index() -> Optional[PropBankIndex]:
+    """Full-breadth PropBank index ($PIKES_PROPBANK_TSV, else the
+    reference checkout's shipped file), or None."""
+    global _PB, _PB_TRIED
+    if not _PB_TRIED:
+        _PB = _load("PIKES_PROPBANK_TSV", "PropBank.tsv", parse_propbank_tsv)
+        _PB_TRIED = True
+    return _PB
+
+
+def nombank_index() -> Optional[NomBankIndex]:
+    global _NB, _NB_TRIED
+    if not _NB_TRIED:
+        _NB = _load("PIKES_NOMBANK_TSV", "NomBank.tsv", parse_nombank_tsv)
+        _NB_TRIED = True
+    return _NB
+
+
+def broad_roleset_inventory() -> Optional[Set[str]]:
+    """Union of PropBank + NomBank roleset ids at realistic breadth
+    (~11.8k), or None when neither resource is available."""
+    pb, nb = propbank_index(), nombank_index()
+    if pb is None and nb is None:
+        return None
+    ids: Set[str] = set()
+    if pb:
+        ids.update(pb.by_id)
+    if nb:
+        ids.update(nb.by_id)
+    return ids

@@ -404,6 +404,22 @@ def _noun_lemma(w: str) -> str:
     return w
 
 
+def _known_verb_stem(stem: str) -> str:
+    """Disambiguate e-final lemmas against the full-breadth PropBank
+    lemma index when available (collapsed -> collapse, not collaps;
+    grasped stays grasp). Suffix rules alone cannot decide -se vs -sp
+    class verbs."""
+    try:
+        from .resource_loaders import propbank_index
+        pb = propbank_index()
+    except Exception:
+        pb = None
+    if pb is not None and stem not in pb.by_lemma \
+            and (stem + "e") in pb.by_lemma:
+        return stem + "e"
+    return stem
+
+
 def _verb_lemma(w: str) -> str:
     if w in _IRREGULAR_LEMMA:
         return _IRREGULAR_LEMMA[w]
@@ -416,7 +432,7 @@ def _verb_lemma(w: str) -> str:
         if stem.endswith(("at", "iv", "os", "us", "ir", "ur", "iz", "bl",
                           "v", "c", "g", "as", "uad", "ut", "ens", "olat")):
             return stem + "e"
-        return stem
+        return _known_verb_stem(stem)
     if len(w) > 4 and w.endswith("ing"):
         stem = w[:-3]
         if len(stem) > 2 and stem[-1] == stem[-2] and stem[-1] not in "aeiou":
@@ -424,7 +440,7 @@ def _verb_lemma(w: str) -> str:
         if stem.endswith(("at", "iv", "os", "us", "ir", "ur", "iz", "bl",
                           "v", "c", "uad", "ut", "ens", "olat", "ak", "om")):
             return stem + "e"
-        return stem
+        return _known_verb_stem(stem)
     if len(w) > 3 and w.endswith("ies"):
         return w[:-3] + "y"
     if len(w) > 2 and w.endswith("es") and w[-3] in "shoxz":

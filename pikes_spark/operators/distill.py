@@ -168,16 +168,22 @@ _XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
 class Distiller:
     """One Extractor per document (RDFGenerator.java:477-719).
 
-    ``strict_rolesets=True`` enables F11 srlRemoveUnknownPredicates
+    ``strict_rolesets`` is F11 srlRemoveUnknownPredicates
     (NAFFilter.java:1163-1187): predicates whose roleset is absent from
-    the PredicateMatrix inventory are dropped. Off by default here —
-    the sandbox inventory is a fixture subset, so strict filtering
-    would drop most synthetic-corpus predicates; at deployment with
-    the full PropBank/NomBank framesets, turn it on."""
+    the roleset inventory are dropped. The reference RDF runner has it
+    ON (RDFGenerator.java:328-330); here the default (None) resolves to
+    ON when the full-breadth PropBank/NomBank inventory is loadable
+    (~10.5k rolesets — $PIKES_PROPBANK_TSV/$PIKES_NOMBANK_TSV or the
+    reference checkout) and OFF when only the fixture slice exists,
+    where strict filtering would wrongly drop most real predicates."""
 
     def __init__(self, url: str, text: str, doc: dict, lang: str = "en",
-                 strict_rolesets: bool = False, emit_conn: bool = False,
+                 strict_rolesets: Optional[bool] = None,
+                 emit_conn: bool = False,
                  created: Optional[str] = None):
+        if strict_rolesets is None:
+            from ..functions.resource_loaders import broad_roleset_inventory
+            strict_rolesets = broad_roleset_inventory() is not None
         self.strict_rolesets = strict_rolesets
         # conn:<lemma-path> edges (RDFGenerator.java:1127,1370): in the
         # reference the "conn" namespace is COMMENTED OUT of
@@ -681,13 +687,19 @@ class Distiller:
             if pred.get("ellipsis"):
                 self._emit_ellipsis_pred(pred)
                 continue
-            # F11 srlRemoveUnknownPredicates (opt-in; see class docstring)
+            # F11 srlRemoveUnknownPredicates (see class docstring):
+            # inventory = fixture slice + the full-breadth PropBank /
+            # NomBank ids when available
             if self.strict_rolesets:
                 from ..functions.predicate_matrix import PM_PREDICATES
+                from ..functions.resource_loaders import \
+                    broad_roleset_inventory
                 rs = next((r["reference"] for r in pred.get("refs") or []
                            if (r.get("resource") or "").lower()
                            in ("propbank", "nombank")), None)
-                if rs not in PM_PREDICATES:
+                broad = broad_roleset_inventory() or set()
+                if rs not in PM_PREDICATES \
+                        and (rs or "").lower() not in broad:
                     continue
             # noun-sharing: predicate over an existing non-named entity
             # reuses the entity IRI (selfArg logic :1005-1028)

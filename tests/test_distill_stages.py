@@ -60,7 +60,9 @@ def test_premon_iris():
 
 def test_f11_strict_rolesets():
     text = "The zorgle blorfed the fnarp."  # unknown roleset blorf.01
-    loose = _triples(text)
+    # default now auto-resolves to strict when the broad inventory is
+    # loadable — pass False explicitly for the lenient baseline
+    loose = _triples(text, strict_rolesets=False)
     strict = _triples(text, strict_rolesets=True)
     loose_pb = [t for t in loose if t["component"] == "type_pb"]
     strict_pb = [t for t in strict if t["component"] == "type_pb"]

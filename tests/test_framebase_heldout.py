@@ -103,3 +103,71 @@ def test_eval_compat_flag_gates_gold_idiosyncrasies():
     assert fn_refs(off) > fn_refs(on)           # bare "group" keeps its frame
     assert tmp_suppressed(on) > 0               # "former" suppressed on-compat
     assert tmp_suppressed(off) == 0             # ... but not off-compat
+
+
+def test_resource_loaders_real_formats():
+    """Loaders for the real PropBank/NomBank TSV + frameset XML formats
+    (skipped when the reference resources are absent)."""
+    import pytest
+    from pikes_spark.functions.resource_loaders import (
+        propbank_index, nombank_index, broad_roleset_inventory,
+        parse_propbank_frameset_xml, parse_predicate_matrix_tsv, fix_pb_arg)
+    # pure-format pieces first (no resource needed)
+    assert fix_pb_arg("1") == "A1"
+    assert fix_pb_arg("TMP") == "AM-TMP"
+    assert fix_pb_arg("C-0") == "A0"
+    assert fix_pb_arg("DV") == "AM-ADV"
+    xml = ('<frameset><predicate lemma="test_verb">'
+           '<roleset id="test.01" name="testing"><roles>'
+           '<role n="0" descr="tester">'
+           '<vnrole vncls="29.1" vntheta="Agent"/></role>'
+           '<role n="1" descr="thing tested"/>'
+           '<role n="m" descr="mod"/></roles></roleset>'
+           '</predicate></frameset>')
+    rs = parse_propbank_frameset_xml(xml)[0]
+    assert rs.id == "test.01" and rs.lemma == "test verb"
+    assert rs.arg_descr == {0: "tester", 1: "thing tested"}
+    assert rs.arg_vn_roles == {0: ["29.1@Agent"]}
+    pm_tsv = ("id:eng\tid:v\tid:give\tid:give.01@1\tid:13.1\tid:13.1\t"
+              "id:13.1-1\tid:13.1-1\tid:give\tid:Theme\tid:give%2\t"
+              "id:ili-30-01\tid:Giving\tid:give.v\tid:Theme\tid:give.01\t"
+              "id:1\tNULL\tNULL\tNULL\tNULL\tNULL\tNULL\tNULL\tNULL\t"
+              "id:Giving\tid:theme\tNULL")
+    pm = parse_predicate_matrix_tsv(pm_tsv)
+    assert pm.vn_classes["give.01"] == ["give-13.1"]
+    assert pm.fn_frames["give.01"] == ["Giving"]
+    assert pm.vn_roles["give.01@A1"][0] == "give-13.1@Theme"
+    assert pm.fn_fes["give.01@A1"] == ["Giving@Theme"]
+    # breadth (requires the reference checkout or env-pointed files)
+    pb, nb = propbank_index(), nombank_index()
+    if pb is None or nb is None:
+        pytest.skip("full-breadth PropBank/NomBank resources not available")
+    assert len(pb.by_id) > 5000 and len(nb.by_id) > 5000
+    g = pb.roleset("give.01")
+    assert 0 in g.arg_descr and g.vn_frames == ["give-13.1-1"]
+    assert pb.roleset("mount.02").arg_descr.get(0) is None  # unaccusative
+    d = nb.roleset("donor.01")
+    assert d.pb_id == "donate.01" and d.mandatory_args == [0]
+    assert len(broad_roleset_inventory()) > 10000
+
+
+def test_breadth_fallback_mapping():
+    """Rolesets outside the fixture slice get VN/FN refs and the right
+    subject argnum from the full-breadth PropBank index."""
+    import pytest
+    from pikes_spark.functions.resource_loaders import propbank_index
+    if propbank_index() is None:
+        pytest.skip("full-breadth PropBank not available")
+    from pikes_spark.functions.predicate_matrix import map_roleset, map_role
+    vn, fn, _eso = map_roleset("abandon.01")  # not in the fixture slice
+    assert vn == ["leave-51.2"] and fn == ["Departing"]
+    assert map_role("abandon.01", "0") == ("theme", "Theme")
+    # unaccusative subject (occur.01 has no arg0 in PropBank):
+    # 'The eruption occurred in March.' -> occur a1, never a0
+    from pikes_spark.functions.nlp import annotate_document
+    doc = annotate_document("The eruption occurred in March.")
+    pred = next(p for p in doc["predicates"]
+                if any(r.get("reference") == "occur.01"
+                       for r in p.get("refs") or []))
+    assert any(r["sem_role"] == "A1" for r in pred["roles"])
+    assert not any(r["sem_role"] == "A0" for r in pred["roles"])
