@@ -197,6 +197,18 @@ def _q_sim_ivf(spark, sf_dir):
     return similarity.ivf_topk(spark, sf_dir, query_vec_id=0, k=10)
 
 
+def _q_simhash_stats(spark, sf_dir):
+    """Value-checkable digest of the simhash pair set: per Hamming
+    distance, pair count + an order-insensitive pair checksum (the raw
+    40k-pair listing stays available as dedup_simhash)."""
+    pairs = dedup.simhash_pairs(spark, sf_dir)
+    mix = (F.col("a") * F.lit(1_000_003) + F.col("b")) % F.lit(2147483647)
+    return (pairs.groupBy("hamming")
+            .agg(F.count("*").alias("n_pairs"),
+                 F.sum(mix).alias("pair_checksum"))
+            .orderBy("hamming"))
+
+
 def _q_compaction(spark, sf_dir):
     """D13 fact-graph compaction: identical statement-sets merge."""
     from pikes_spark.operators.compaction import compact_fact_graphs
@@ -318,6 +330,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
         "dedup_simhash": dedup.simhash_pairs,
+        "dedup_simhash_stats": _q_simhash_stats,
         "dedup_embedding_cosine": dedup.embedding_neardup_pairs,
         # similarity search
         "sim_brute_force_topk": lambda s, d: similarity.brute_force_topk(s, d, 0, 10),
@@ -348,6 +361,15 @@ PAGES_CTE = "WITH pages AS (" + PAGES_ORACLE_CTE + ")"
 def _gold_values_sql(list_name: str, cols, order: str) -> str:
     from pikes_spark.sources import gold_expected as ge
     rows = getattr(ge, list_name)
+    return ge.values_sql(rows, cols) + " ORDER BY " + order
+
+
+def _corpus_values_sql(list_name: str, cols, order: str) -> str:
+    """Frozen sf0.01 corpus stats (scripts/refreeze_corpus_stats.py) —
+    the driver's oracle scale; see corpus_expected.py docstring."""
+    from pikes_spark.sources import gold_expected as ge
+    from pikes_spark.sources import corpus_expected as ce
+    rows = getattr(ce, list_name)
     return ge.values_sql(rows, cols) + " ORDER BY " + order
 
 
@@ -392,6 +414,23 @@ def oracle_sql() -> dict[str, str]:
         "kg_gold_canonicalize": _gold_triples_values_sql(
             "EXPECTED_CANONICAL_STATS", ["component", "n", "n_subjects"],
             order="component"),
+        "kg_triples_by_component": _corpus_values_sql(
+            "TRIPLES_BY_COMPONENT", ["component", "n"], order="component"),
+        "kg_canonicalize": _corpus_values_sql(
+            "CANONICAL_STATS", ["component", "n", "n_subjects"],
+            order="component"),
+        "kg_compaction": _corpus_values_sql(
+            "COMPACTION_STATS", ["component", "n", "n_graphs"],
+            order="component"),
+        "dedup_simhash_stats": _corpus_values_sql(
+            "SIMHASH_STATS", ["hamming", "n_pairs", "pair_checksum"],
+            order="hamming"),
+        "sim_ivf_topk": _corpus_values_sql(
+            "IVF_TOPK", ["vec_id", "cos_x1e6"], order="cos_x1e6 DESC, vec_id"),
+        "mm_media_features": _corpus_values_sql(
+            "MEDIA_FEATURES",
+            ["media_id", "kind", "n_bytes", "sha256", "frames"],
+            order="media_id"),
         "kg_gold_compaction": _gold_triples_values_sql(
             "EXPECTED_COMPACTION_STATS", ["component", "n", "n_graphs"],
             order="component"),

@@ -303,15 +303,27 @@ def nombank_index() -> Optional[NomBankIndex]:
     return _NB
 
 
+_INVENTORY: Optional[Set[str]] = None
+_INVENTORY_TRIED = False
+
+
 def broad_roleset_inventory() -> Optional[Set[str]]:
     """Union of PropBank + NomBank roleset ids at realistic breadth
-    (~11.8k), or None when neither resource is available."""
+    (~10.5k), or None when neither resource is available. Cached —
+    this runs once per Distiller AND per strict-F11 predicate check,
+    so rebuilding the set each call was ~30% of pipeline time."""
+    global _INVENTORY, _INVENTORY_TRIED
+    if _INVENTORY_TRIED:
+        return _INVENTORY
     pb, nb = propbank_index(), nombank_index()
     if pb is None and nb is None:
-        return None
-    ids: Set[str] = set()
-    if pb:
-        ids.update(pb.by_id)
-    if nb:
-        ids.update(nb.by_id)
-    return ids
+        _INVENTORY = None
+    else:
+        ids: Set[str] = set()
+        if pb:
+            ids.update(pb.by_id)
+        if nb:
+            ids.update(nb.by_id)
+        _INVENTORY = ids
+    _INVENTORY_TRIED = True
+    return _INVENTORY
