@@ -327,6 +327,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_fingerprint": textstats.fingerprints,
         # dedup family
         "dedup_exact": dedup.exact_duplicates,
+        # ngram_jaccard is the exact all-pairs VERIFIER/oracle path —
+        # quadratic on hot shingles, not the scale path; use
+        # dedup_minhash_lsh for corpus-scale near-dup (its oracle IS
+        # this query)
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
         "dedup_simhash": dedup.simhash_pairs,

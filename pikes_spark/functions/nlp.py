@@ -1988,6 +1988,24 @@ def annotate_document(text: str) -> dict:
     # mapping after all SRL fixes)
     from .framebase import apply_framebase_mapping
     apply_framebase_mapping(predicates, tagged)
+    # F17/F18 coref fixes (off by default, like the reference)
+    from . import coref_fixes
+    _doc_for_fixes = None
+    if coref_fixes.ENABLE_COREF_SPAN_FIXING \
+            or coref_fixes.ENABLE_COREF_ROLE_DEPS:
+        _doc_for_fixes = {
+            "tokens": [{"id": t.id, "sent": t.sent} for t in tokens],
+            "terms": [{"id": i, "morphofeat": tg.morphofeat,
+                       "refs": _term_refs(tg)}
+                      for i, tg in enumerate(tagged)],
+            "deps": [{"from": f, "to": t, "rfunc": r} for f, t, r in deps],
+            "predicates": predicates, "corefs": corefs,
+        }
+        if coref_fixes.ENABLE_COREF_SPAN_FIXING:
+            coref_fixes.coref_span_fixing(_doc_for_fixes, graph)
+        if coref_fixes.ENABLE_COREF_ROLE_DEPS:
+            coref_fixes.coref_for_role_dependencies(_doc_for_fixes, graph)
+        corefs = _doc_for_fixes["corefs"]
     return {
         "sentences": [{"sent": i, "begin": b, "end": e}
                       for i, (b, e) in enumerate(sents)],
