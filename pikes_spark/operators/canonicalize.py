@@ -189,22 +189,26 @@ def dissolve_composites(triples: DataFrame) -> DataFrame:
                    F.col("object").alias("_member")).distinct())
     if not inc.take(1):
         return triples
-    inc = F.broadcast(inc)
-    others = triples.filter(F.col("predicate") != ks_include)
-    # subject-side: composite statements copy to each member
-    smap = inc.withColumnRenamed("_comp", "subject")
-    s_exp = (others.join(smap, "subject")
-             .withColumn("subject", F.col("_member")).drop("_member"))
-    s_keep = others.join(smap.select("subject"), "subject", "left_anti")
-    merged = s_keep.unionByName(s_exp)
-    # object-side
-    omap = inc.withColumnRenamed("_comp", "object")
-    o_exp = (merged.join(omap, "object")
-             .withColumn("object", F.col("_member")).drop("_member"))
-    o_keep = merged.join(omap.select("object"), "object", "left_anti")
-    return (o_keep.unionByName(o_exp)
-            .filter(F.col("subject") != F.col("object"))
-            .dropDuplicates(["subject", "predicate", "object", "graph", "url"]))
+    # ONE scan: broadcast the composite->members map grouped as arrays,
+    # left-join each side, explode members (or the original value) —
+    # no anti-join/union passes, no shuffle, and no early dedupe (the
+    # caller's final dropDuplicates covers merged statements; a second
+    # full-table shuffle here was a measured chunk of the non-scaling
+    # J4 wall)
+    smap = inc.groupBy("_comp").agg(F.collect_list("_member").alias("_ms"))
+    s_side = F.broadcast(smap.withColumnRenamed("_comp", "subject"))
+    o_side = F.broadcast(smap.withColumnRenamed("_comp", "object")
+                         .withColumnRenamed("_ms", "_mo"))
+    return (triples.filter(F.col("predicate") != ks_include)
+            .join(s_side, "subject", "left")
+            .withColumn("subject",
+                        F.explode(F.coalesce("_ms", F.array("subject"))))
+            .drop("_ms")
+            .join(o_side, "object", "left")
+            .withColumn("object",
+                        F.explode(F.coalesce("_mo", F.array("object"))))
+            .drop("_mo")
+            .filter(F.col("subject") != F.col("object")))
 
 
 def canonicalize_triples(triples: DataFrame, max_iter: int = 50,
