@@ -220,7 +220,19 @@ def canonicalize_triples(triples: DataFrame, max_iter: int = 50,
     if dissolve_includes:
         triples = dissolve_composites(triples)
     edges = build_sameas_edges(triples)
-    comp = connected_components(edges, max_iter=max_iter)
+    # size probe (counted aggregate, one cheap job): small edge sets
+    # take the driver union-find fast path — and then the canonical
+    # map is KNOWN small (driver-built from those same edges), so the
+    # byte-stats job below is skipped entirely. Fixed per-job latency
+    # is the dominant non-scaling term of J4 on short runs.
+    n_edges = edges.select("src", "dst").count()
+    driver_path = n_edges <= 2_000_000
+    if driver_path:
+        comp = _local_union_find_rows(triples.sparkSession,
+                                      edges.select("src", "dst").collect())
+    else:
+        comp = connected_components(edges, max_iter=max_iter,
+                                    local_threshold=0)
     # drop synthetic surface hubs from the mapping domain
     comp = comp.filter(~F.col("node").startswith("surface:"))
     comp = comp.withColumn(
@@ -235,15 +247,16 @@ def canonicalize_triples(triples: DataFrame, max_iter: int = 50,
     # Decide explicitly from the observed BYTE size (row counts lie for
     # IRI strings: 20M rows of 100-byte IRIs is ~2 GB and would OOM real
     # executors as a broadcast): broadcast under 64 MB of string payload,
-    # shuffle join above it (the 10^12-document path). One cheap aggregate
-    # job; the mapping itself is a groupBy over the localCheckpointed CC
-    # frontier (or a driver-local DataFrame), so no cache is needed.
+    # shuffle join above it (the 10^12-document path).
     mapping = comp
-    stats = comp.agg(
-        F.coalesce(F.sum(F.length("node") + F.length("component")), F.lit(0))
-        .alias("bytes")).collect()[0]
-    if stats["bytes"] <= 64 * 1024 * 1024:
+    if driver_path:
         mapping = F.broadcast(mapping)
+    else:
+        stats = comp.agg(
+            F.coalesce(F.sum(F.length("node") + F.length("component")),
+                       F.lit(0)).alias("bytes")).collect()[0]
+        if stats["bytes"] <= 64 * 1024 * 1024:
+            mapping = F.broadcast(mapping)
     rewritten = (triples
                  .join(mapping.withColumnRenamed("node", "subject")
                        .withColumnRenamed("component", "_cs"), "subject", "left")
