@@ -171,3 +171,21 @@ def test_breadth_fallback_mapping():
                        for r in p.get("refs") or []))
     assert any(r["sem_role"] == "A1" for r in pred["roles"])
     assert not any(r["sem_role"] == "A0" for r in pred["roles"])
+
+
+def test_heldout_test_corpus_floors():
+    """Floors for the h9-h16 TEST corpus (authored blind after the
+    round-3 fixes; see eval/heldout.py amendment log)."""
+    from pikes_spark.eval.heldout import (load_heldout_gold,
+                                          build_heldout_spark_graphs,
+                                          HELDOUT_TEST)
+    from pikes_spark.eval.evaluate import evaluate
+    totals = evaluate(load_heldout_gold(HELDOUT_TEST),
+                      build_heldout_spark_graphs(HELDOUT_TEST),
+                      symmetric_sameas=True)
+    assert totals["instances"].f1 >= 0.95
+    assert totals["types_pb"].f1 >= 0.95
+    assert totals["roles_pb"].f1 >= 0.85
+    assert totals["types_nb"].f1 >= 0.80
+    assert totals["roles_nb"].f1 >= 0.75
+    assert totals["edges"].f1 >= 0.80
