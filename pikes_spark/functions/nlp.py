@@ -1288,11 +1288,14 @@ def extract_predicates(tokens: List[Token], tags: List[Tagged],
                     if tags[child].pos == "V":
                         # clausal complement ("sensing that time may be
                         # running out", "said he helped"): A1 is the
-                        # embedded content verb
+                        # embedded content verb — distributed over verb
+                        # conjuncts ("found that the fire destroyed X
+                        # AND injured Y" -> a1 both events)
                         ch = clause_content(child)
-                        roles.append({"sem_role": "A1",
-                                      "term_ids": role_span(ch),
-                                      "head_id": ch, "refs": []})
+                        for ch2 in sorted(_coordination_set(graph, ch)):
+                            roles.append({"sem_role": "A1",
+                                          "term_ids": role_span(ch2),
+                                          "head_id": ch2, "refs": []})
                     else:
                         obj = child
                 elif lab in ("OPRD", "PRP"):

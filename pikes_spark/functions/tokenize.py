@@ -573,7 +573,12 @@ def tag_tokens(tokens: List[Token]) -> List[Tagged]:
             else:
                 t = _verb_tagged(low)
         elif low.endswith(("ous", "ful", "ive", "able", "ible", "al", "ic", "ish")) \
-                and len(low) > 4 and low not in _SUFFIX_NOT_ADJ:
+                and len(low) > 4 and low not in _SUFFIX_NOT_ADJ \
+                and not (idx + 1 < len(tokens)
+                         and tokens[idx + 1].form.lower() in ("who", "whom")):
+            # "the official WHO stole" — a relative pronoun can only
+            # attach to a nominal head, so the -al/-ic adjective
+            # reading is impossible there
             t = Tagged("JJ", "G", low)
         elif form[0].isupper() and sent_initial and idx + 1 < len(tokens) and tokens[idx + 1].form[0].islower() and low not in _COMMON_VERBS:
             # sentence-initial capitalized common word: noun by default
