@@ -327,3 +327,79 @@ def broad_roleset_inventory() -> Optional[Set[str]]:
         _INVENTORY = ids
     _INVENTORY_TRIED = True
     return _INVENTORY
+
+
+# --- SUMO / YAGO taxonomies (F2 sense-completion breadth) -------------------
+
+@dataclass
+class SumoData:
+    """Sumo.tsv (Sumo.java:40-70): name \\t parents(|) \\t children(|)
+    \\t synsets(| of offset-pos ids)."""
+    synset_to_concept: Dict[str, str] = field(default_factory=dict)
+    parents: Dict[str, List[str]] = field(default_factory=dict)
+
+    def is_subclass_of(self, concept: str, ancestor: str,
+                       max_depth: int = 32) -> bool:
+        seen = set()
+        frontier = [concept]
+        for _ in range(max_depth):
+            nxt: List[str] = []
+            for c in frontier:
+                if c == ancestor:
+                    return True
+                if c in seen:
+                    continue
+                seen.add(c)
+                nxt.extend(self.parents.get(c, ()))
+            if not nxt:
+                return False
+            frontier = nxt
+        return False
+
+
+def parse_sumo_tsv(text: str) -> SumoData:
+    d = SumoData()
+    for line in text.splitlines():
+        tokens = (line.split("\t") + ["", "", "", ""])[:4]
+        name = tokens[0].strip()
+        if not name:
+            continue
+        d.parents[name] = [p.strip() for p in tokens[1].split("|")
+                           if p.strip()]
+        for syn in tokens[3].split("|"):
+            syn = syn.strip()
+            if syn:
+                d.synset_to_concept.setdefault(syn, name)
+    return d
+
+
+def parse_yago_tsv(text: str) -> Dict[int, str]:
+    """YagoTaxonomy.tsv (YagoTaxonomy.java:54-75): class id per line
+    (trailing 8 digits = WordNet offset); -> offset -> class id."""
+    out: Dict[int, str] = {}
+    for line in text.splitlines():
+        cid = line.split("\t", 1)[0]
+        if len(cid) > 9 and cid[-8:].isdigit():
+            out.setdefault(int(cid[-8:]), cid)
+    return out
+
+
+_SUMO: Optional[SumoData] = None
+_YAGO: Optional[Dict[int, str]] = None
+_SUMO_TRIED = _YAGO_TRIED = False
+
+
+def sumo_data() -> Optional[SumoData]:
+    global _SUMO, _SUMO_TRIED
+    if not _SUMO_TRIED:
+        _SUMO = _load("PIKES_SUMO_TSV", "Sumo.tsv", parse_sumo_tsv)
+        _SUMO_TRIED = True
+    return _SUMO
+
+
+def yago_offsets() -> Optional[Dict[int, str]]:
+    global _YAGO, _YAGO_TRIED
+    if not _YAGO_TRIED:
+        _YAGO = _load("PIKES_YAGO_TSV", "YagoTaxonomy.tsv", parse_yago_tsv)
+        _YAGO_TRIED = True
+    return _YAGO

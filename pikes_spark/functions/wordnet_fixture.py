@@ -89,7 +89,10 @@ def most_frequent_sense(lemma: str, pos: str) -> Optional[str]:
 
 
 def synset_to_sumo(synset: str, max_climb: int = 8) -> Optional[Tuple[str, bool]]:
-    """Hypernym climb until a SUMO-mapped synset (NAFFilter.java:450-478)."""
+    """Hypernym climb until a SUMO-mapped synset (NAFFilter.java:450-478).
+    Fixture rows first (curated for the gold corpus), then the real
+    Sumo.tsv index at full breadth (4.5k concepts; Process-ness via
+    the loaded concept hierarchy, Sumo.isSubClassOf semantics)."""
     seen = set()
     cur = synset
     for _ in range(max_climb):
@@ -102,9 +105,20 @@ def synset_to_sumo(synset: str, max_climb: int = 8) -> Optional[Tuple[str, bool]
         if not parents:
             break
         cur = parents[0]
+    from .resource_loaders import sumo_data
+    sd = sumo_data()
+    if sd is not None:
+        concept = sd.synset_to_concept.get(synset)
+        if concept:
+            return (concept, sd.is_subclass_of(concept, "Process"))
     return None
 
 
 def synset_to_yago(synset: str) -> Optional[str]:
     local = YAGO.get(synset)
+    if local is None and len(synset) > 2 and synset[:8].isdigit():
+        from .resource_loaders import yago_offsets
+        yo = yago_offsets()
+        if yo is not None:
+            local = yo.get(int(synset[:8]))
     return YAGO_NS + local if local else None

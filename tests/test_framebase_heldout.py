@@ -189,3 +189,24 @@ def test_heldout_test_corpus_floors():
     assert totals["types_nb"].f1 >= 0.80
     assert totals["roles_nb"].f1 >= 0.75
     assert totals["edges"].f1 >= 0.80
+
+
+def test_sumo_yago_breadth_loaders():
+    """Real Sumo.tsv / YagoTaxonomy.tsv loaders (F2 breadth); skip when
+    the reference resources are absent."""
+    import pytest
+    from pikes_spark.functions.resource_loaders import sumo_data, yago_offsets
+    sd, yo = sumo_data(), yago_offsets()
+    if sd is None or yo is None:
+        pytest.skip("Sumo/Yago resources not available")
+    assert len(sd.synset_to_concept) > 50_000
+    assert len(yo) > 50_000
+    from pikes_spark.functions.wordnet_fixture import (synset_to_sumo,
+                                                       synset_to_yago)
+    # war synset: real index (not a fixture row), Process subclass
+    concept, is_process = synset_to_sumo("00973077-n")
+    assert concept == "War" and is_process
+    assert synset_to_yago("08544813-n") == \
+        "http://dbpedia.org/class/yago/Country108544813"
+    # fixture rows still take precedence
+    assert synset_to_sumo("09820263-n") == ("Human", False)
