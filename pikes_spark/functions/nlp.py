@@ -57,6 +57,48 @@ _NOMINAL = {"N", "R", "Q", "O"}  # O covers CD tokens
 # the engine: flip it off for a production corpus.
 EVAL_COMPAT = True
 
+# F14 srlSenseMapping (reference default: off; its RDF runner leaves
+# the property unset)
+ENABLE_SENSE_MAPPING = False
+
+
+def apply_sense_mappings(predicates: List[dict]) -> None:
+    """F14: add FrameNet refs from the shipped pb/nb->fn mapping
+    tables to predicates/roles that lack them."""
+    from .resource_loaders import sense_mappings
+    sm = sense_mappings()
+    if sm is None:
+        return
+    for pred in predicates:
+        refs = pred.get("refs") or []
+        has_fn = any((r.get("resource") or "").lower() == "framenet"
+                     for r in refs)
+        keys = [(("pb:" if (r.get("resource") or "").lower() == "propbank"
+                  else "nb:") + r["reference"])
+                for r in refs
+                if (r.get("resource") or "").lower() in ("propbank",
+                                                         "nombank")]
+        if not has_fn:
+            for key in keys:
+                for to in sm.predicates.get(key, []):
+                    refs.append({"resource": "FrameNet",
+                                 "reference": to[3:],
+                                 "confidence": 1.0, "source": "f14"})
+        for role in pred.get("roles") or []:
+            sem = role.get("sem_role") or ""
+            if not (sem.startswith("A") and sem[1:].isdigit()):
+                continue
+            rrefs = role.get("refs") or []
+            if any((r.get("resource") or "").lower() == "framenet"
+                   for r in rrefs):
+                continue
+            for key in keys:
+                for to in sm.arguments.get(f"{key}@{sem[1:]}", []):
+                    frame, _, fe = to[3:].partition("@")
+                    rrefs.append({"resource": "FrameNet",
+                                  "reference": f"{frame}@{fe}"})
+            role["refs"] = rrefs
+
 _VERB_PREPS = {"prompt": {"from"}, "fight": {"with", "on"},
                "flow": {"to", "from"}, "pose": {"to"}, "return": {"to"},
                "give": {"to"}, "send": {"to"}, "sell": {"to"},
@@ -2109,6 +2151,13 @@ def annotate_document(text: str) -> dict:
     # mapping after all SRL fixes)
     from .framebase import apply_framebase_mapping
     apply_framebase_mapping(predicates, tagged)
+    # F14 srlSenseMapping (opt-in, like the reference's srlSenseMapping
+    # property): pb/nb roleset -> FrameNet frame / frame-element from
+    # the shipped mappings-frames/roles.tsv (NAFFilter.java:121-148,
+    # applied at :1314,:1372 "Apply specific mappings"); only fills
+    # predicates/roles that have NO FrameNet ref yet
+    if ENABLE_SENSE_MAPPING:
+        apply_sense_mappings(predicates)
     # F17/F18 coref fixes (off by default, like the reference)
     from . import coref_fixes
     _doc_for_fixes = None

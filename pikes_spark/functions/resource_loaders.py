@@ -403,3 +403,79 @@ def yago_offsets() -> Optional[Dict[int, str]]:
         _YAGO = _load("PIKES_YAGO_TSV", "YagoTaxonomy.tsv", parse_yago_tsv)
         _YAGO_TRIED = True
     return _YAGO
+
+
+# --- linking stopwords + F14 sense mappings ---------------------------------
+
+_STOPWORDS: Optional[Set[str]] = None
+_STOPWORDS_TRIED = False
+
+
+def linking_stopwords() -> Optional[Set[str]]:
+    """The reference's real F6 linking stop-list (NAFFilter.java:107-119:
+    1,470 lowercased surfaces, mostly first names), or None."""
+    global _STOPWORDS, _STOPWORDS_TRIED
+    if not _STOPWORDS_TRIED:
+        _STOPWORDS = _load(
+            "PIKES_LINKING_STOPWORDS", "linking_stopwords",
+            lambda t: {w.strip().lower() for w in t.splitlines()
+                       if w.strip()})
+        _STOPWORDS_TRIED = True
+    return _STOPWORDS
+
+
+@dataclass
+class SenseMappings:
+    """F14 srlSenseMapping data (NAFFilter.java:121-148): pb:/nb:
+    roleset -> fn:Frame, and pb:/nb: roleset@argN -> fn:Frame@Fe."""
+    predicates: Dict[str, List[str]] = field(default_factory=dict)
+    arguments: Dict[str, List[str]] = field(default_factory=dict)
+
+
+def parse_sense_mappings(frames_text: str, roles_text: str) -> SenseMappings:
+    sm = SenseMappings()
+    for line in frames_text.splitlines():
+        tokens = [t.strip() for t in line.split("\t")]
+        if len(tokens) < 3 or not tokens[2]:
+            continue
+        from_key = tokens[0][:2].lower() + ":" + tokens[1]
+        to_key = "fn:" + tokens[2][0].upper() + tokens[2][1:]
+        arr = sm.predicates.setdefault(from_key, [])
+        if to_key not in arr:  # HashMultimap set semantics
+            arr.append(to_key)
+    for line in roles_text.splitlines():
+        tokens = [t.strip() for t in line.split("\t")]
+        if len(tokens) < 3 or "@" not in tokens[2]:
+            continue
+        from_key = tokens[0][:2].lower() + ":" + tokens[1]
+        fn_role = tokens[2]
+        idx = fn_role.index("@")
+        to_key = ("fn:" + fn_role[0].upper() + fn_role[1:idx + 1]
+                  + fn_role[idx + 1].upper() + fn_role[idx + 2:])
+        arr = sm.arguments.setdefault(from_key, [])
+        if to_key not in arr:
+            arr.append(to_key)
+    return sm
+
+
+_SENSE_MAP: Optional[SenseMappings] = None
+_SENSE_MAP_TRIED = False
+
+
+def sense_mappings() -> Optional[SenseMappings]:
+    global _SENSE_MAP, _SENSE_MAP_TRIED
+    if not _SENSE_MAP_TRIED:
+        try:
+            f = os.environ.get("PIKES_MAPPINGS_FRAMES") \
+                or os.path.join(_REF_RES, "mappings-frames.tsv")
+            r = os.environ.get("PIKES_MAPPINGS_ROLES") \
+                or os.path.join(_REF_RES, "mappings-roles.tsv")
+            with open(f, encoding="utf-8") as fh:
+                ft = fh.read()
+            with open(r, encoding="utf-8") as fh:
+                rt = fh.read()
+            _SENSE_MAP = parse_sense_mappings(ft, rt)
+        except OSError:
+            _SENSE_MAP = None
+        _SENSE_MAP_TRIED = True
+    return _SENSE_MAP

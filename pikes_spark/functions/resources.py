@@ -72,3 +72,15 @@ LINKING_STOPWORDS = {
     "the", "a", "an", "it", "he", "she", "they", "this", "that", "one",
     "time", "year", "day", "way", "thing", "man", "world", "life",
 }
+
+# F6 at breadth: union in the reference's real 1,470-surface stop-list
+# (NAFFilter.java:107-119) when the resource is available; none of the
+# fixture-gold link surfaces appear in it (verified), so the gold
+# oracles are unaffected.
+try:
+    from .resource_loaders import linking_stopwords as _real_stopwords
+    _sw = _real_stopwords()
+    if _sw:
+        LINKING_STOPWORDS = LINKING_STOPWORDS | _sw
+except Exception:
+    pass

@@ -404,20 +404,24 @@ def _noun_lemma(w: str) -> str:
     return w
 
 
-def _known_verb_stem(stem: str) -> str:
-    """Disambiguate e-final lemmas against the full-breadth PropBank
-    lemma index when available (collapsed -> collapse, not collaps;
-    grasped stays grasp). Suffix rules alone cannot decide -se vs -sp
-    class verbs."""
+def _prefer_known(primary: str, alt: str) -> str:
+    """Disambiguate between two lemma candidates against the
+    full-breadth PropBank lemma index when available (collapsed ->
+    collapse not collaps; gloated -> gloat not gloate; grasped stays
+    grasp). Suffix rules alone cannot decide the -e/-no-e classes."""
     try:
         from .resource_loaders import propbank_index
         pb = propbank_index()
     except Exception:
         pb = None
-    if pb is not None and stem not in pb.by_lemma \
-            and (stem + "e") in pb.by_lemma:
-        return stem + "e"
-    return stem
+    if pb is not None and primary not in pb.by_lemma \
+            and alt in pb.by_lemma:
+        return alt
+    return primary
+
+
+def _known_verb_stem(stem: str) -> str:
+    return _prefer_known(stem, stem + "e")
 
 
 def _verb_lemma(w: str) -> str:
@@ -428,18 +432,20 @@ def _verb_lemma(w: str) -> str:
     if len(w) > 3 and w.endswith("ed"):
         stem = w[:-2]
         if len(stem) > 2 and stem[-1] == stem[-2] and stem[-1] not in "aeiou" and stem[-1] not in "sl":
-            return stem[:-1]
+            # doubled final consonant usually undoubles (planned ->
+            # plan) but -ff/-zz verbs keep it (rebuffed -> rebuff)
+            return _prefer_known(stem[:-1], stem)
         if stem.endswith(("at", "iv", "os", "us", "ir", "ur", "iz", "bl",
                           "v", "c", "g", "as", "uad", "ut", "ens", "olat")):
-            return stem + "e"
+            return _prefer_known(stem + "e", stem)
         return _known_verb_stem(stem)
     if len(w) > 4 and w.endswith("ing"):
         stem = w[:-3]
         if len(stem) > 2 and stem[-1] == stem[-2] and stem[-1] not in "aeiou":
-            return stem[:-1]
+            return _prefer_known(stem[:-1], stem)
         if stem.endswith(("at", "iv", "os", "us", "ir", "ur", "iz", "bl",
                           "v", "c", "uad", "ut", "ens", "olat", "ak", "om")):
-            return stem + "e"
+            return _prefer_known(stem + "e", stem)
         return _known_verb_stem(stem)
     if len(w) > 3 and w.endswith("ies"):
         return w[:-3] + "y"

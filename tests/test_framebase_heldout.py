@@ -210,3 +210,33 @@ def test_sumo_yago_breadth_loaders():
         "http://dbpedia.org/class/yago/Country108544813"
     # fixture rows still take precedence
     assert synset_to_sumo("09820263-n") == ("Human", False)
+
+
+def test_f14_sense_mapping_optin():
+    """F14 srlSenseMapping (off by default like the reference): the
+    shipped pb/nb->fn tables fill missing FrameNet refs when enabled."""
+    import pytest
+    import pikes_spark.functions.nlp as N
+    from pikes_spark.functions.resource_loaders import sense_mappings
+    if sense_mappings() is None:
+        pytest.skip("mappings-frames/roles.tsv not available")
+    assert N.ENABLE_SENSE_MAPPING is False
+    # rebuff.01 has NO FrameNet frame in PropBank.tsv; the F14 table
+    # maps it to Respond_to_proposal
+    text = "They rebuffed the offer."
+    base = N.annotate_document(text)
+    try:
+        N.ENABLE_SENSE_MAPPING = True
+        mapped = N.annotate_document(text)
+    finally:
+        N.ENABLE_SENSE_MAPPING = False
+
+    def fn_of(doc, lemma):
+        for p in doc["predicates"]:
+            h = p.get("head_id", p["term_ids"][0])
+            if doc["terms"][h]["lemma"] == lemma:
+                return [r["reference"] for r in p["refs"]
+                        if (r.get("resource") or "").lower() == "framenet"]
+        return None
+    assert fn_of(base, "rebuff") == []
+    assert "Respond_to_proposal" in (fn_of(mapped, "rebuff") or [])
