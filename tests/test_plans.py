@@ -64,3 +64,33 @@ def test_entry_smoke(spark):
     rows = df.limit(5).collect()
     assert df.columns and rows is not None
     assert set(["subject", "predicate", "object"]) <= set(df.columns)
+
+
+def test_canonicalize_single_shuffle(spark):
+    """J4 scale guard: the canonicalize output plan carries exactly ONE
+    shuffle (the final merge-dedupe) — composite dissolution is
+    broadcast+explode (narrow) and the canonical-map rewrites are
+    broadcast joins. A second Exchange here is the regression that made
+    J4 the non-scaling stage in round 3."""
+    from pikes_spark.operators.canonicalize import canonicalize_triples
+    rows = [
+        ("u", "e:a", "http://www.w3.org/2002/07/owl#sameAs", "e:b", "", "sameas"),
+        ("u", "e:a", "p", "o1", "g1", "edge"),
+        ("u", "e:b", "p", "o2", "g2", "edge"),
+        ("u", "comp:1", "http://dkm.fbk.eu/ontologies/knowledgestore#include",
+         "e:a", "", "edge"),
+        ("u", "comp:1", "q", "o3", "g3", "edge"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, subject string, predicate string, object string, "
+              "graph string, component string")
+    out = canonicalize_triples(df, max_iter=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+    # shuffles over the TRIPLE TABLE (keys mention subject/object/url);
+    # the include-map's own tiny groupBy/distinct exchanges (_comp/
+    # _member keys) are fine at scale
+    big_shuffles = [m for m in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+                    if "subject#" in m or "object#" in m or "url#" in m]
+    assert len(big_shuffles) <= 1, plan
+    assert "CartesianProduct" not in plan
