@@ -366,11 +366,11 @@ def _normalize_sameas(g: ConvertedGraph) -> ConvertedGraph:
     return g
 
 
-def load_heldout_gold(corpus=None) -> Dict[str, ConvertedGraph]:
+def load_heldout_gold(corpus=None, preamble=None) -> Dict[str, ConvertedGraph]:
     out: Dict[str, ConvertedGraph] = {}
     for hid, text, body in (corpus if corpus is not None else HELDOUT):
         sent_iri = f"file:///heldout.{hid}.ttl/"
-        ttl = (_PREAMBLE + f"@prefix : <{sent_iri}> .\n"
+        ttl = ((preamble or _PREAMBLE) + f"@prefix : <{sent_iri}> .\n"
                + f"<{sent_iri}> rdfs:label \"\"\"{text}\"\"\" .\n" + body)
         quads = parse_ttl(ttl)
         graphs = convert(quads, "gold", {sent_iri: text})

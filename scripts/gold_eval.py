@@ -174,6 +174,36 @@ the post-change state; the one remaining zero is linking (Brazil is
 outside the fixture EL candidate dictionary — the documented
 resource-breadth gap).""")
 
+    # --- example-doc independent check (reference-authored gold) ------
+    from pikes_spark.eval.example_doc import (load_example_gold,
+                                              build_example_spark_graphs,
+                                              EXAMPLE_COMPONENTS)
+    ex_gold = load_example_gold()
+    ex_spark = build_example_spark_graphs()
+    parts.append("")
+    parts.append(report(evaluate(ex_gold, ex_spark, symmetric_sameas=True),
+                        "EXAMPLE-DOC corpus (reference-authored sentence "
+                        "AND gold — src/site/markdown/example.md)",
+                        EXAMPLE_COMPONENTS))
+    parts.append("""
+Example-doc protocol: the one corpus where BOTH the sentence and the
+expected KG were authored by the reference team (example.md:7,83-104),
+removing the held-out corpora's authorship conflict. Frozen as the
+first commit of round 4 and scored BLIND before any engine change.
+The verbatim blind record (2026-08-17, pre-change engine): instances
+P .833/R 1.0; types_nb 1.0/1.0; roles_nb 1.0/.5 (a2->White House
+missed); linking 0/3 (Trump, Clinton, White House all outside the
+fixture EL dictionary — the round-3 verdict's #1 gap, measured);
+types_fb/roles_fb 0 (engine emits PredicateMatrix-derived
+`fe-competition-participant_1` + lowercase IRIs where the reference's
+FrameBase mapping emits `fe-Competition-Participants`); one pb-twin
+FP each in types_pb/roles_pb (the eval-pm gold convention types
+nominalizations nb+pb; example.md's simplified KG lists nb only);
+one sameas FP + include-edge gap from coordination handling. The
+table above is the post-round-4 state; changes between the two are
+round-4 resource work (EL dictionary, WordNet index) plus any
+documented convention amendments in eval/example_doc.py.""")
+
     # --- ablation: fixture lexicons emptied ---------------------------
     import pikes_spark.functions.nlp as N
     ablate = ("NOMINAL_SELF_ARGS", "NOMINAL_MOD_ARGS", "NOMINAL_ADJ_ARGS",
