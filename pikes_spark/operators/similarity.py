@@ -108,11 +108,19 @@ def ivf_topk(spark: SparkSession, sf_dir: str, query_vec_id: int = 0,
 
     e = emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
     sim = _dot(F.col("v"), F.col("cv")) / (_norm(F.col("v")) * _norm(F.col("cv")))
-    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
+    # centroid assignment is an argmax per vec_id: max_by with a
+    # (sim, -cid) tie-break runs as ONE partial-then-final aggregation
+    # (map-side combine shrinks the exchange to one row per vec_id); a
+    # row_number window here would shuffle the full ×nlist expansion —
+    # nlist× the table — before discarding all but one row per key
     assigned = (e.crossJoin(F.broadcast(cdf))
                 .withColumn("sim", sim)
-                .withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") == 1)
+                .groupBy("vec_id")
+                .agg(F.max_by(
+                        "cid", F.struct(F.col("sim").alias("s"),
+                                        (-F.col("cid")).alias("tb")))
+                     .alias("cid"),
+                     F.any_value("v").alias("v"))
                 .select("vec_id", "v", "cid"))
 
     qv = assigned.filter(F.col("vec_id") == query_vec_id).collect()[0]["v"]
