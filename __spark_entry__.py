@@ -157,6 +157,26 @@ def _q_annotations(spark, sf_dir):
         .orderBy("url"))
 
 
+def _q_annotations_stats(spark, sf_dir):
+    """Value-checked digest twin of kg_annotations (the one raw dump
+    without one, VERDICT r3 item 6): corpus-wide layer totals plus an
+    order-insensitive xxhash64 checksum over the per-url count rows —
+    any drift in any NLP layer on any document flips the checksum."""
+    ann = _q_annotations(spark, sf_dir)
+    h = F.xxhash64("url", "n_sentences", "n_tokens", "n_deps",
+                   "n_entities", "n_timexes", "n_predicates", "n_corefs")
+    return (ann.withColumn("h", h)
+            .agg(F.count("*").alias("n_urls"),
+                 F.sum("n_sentences").alias("sum_sentences"),
+                 F.sum("n_tokens").alias("sum_tokens"),
+                 F.sum("n_deps").alias("sum_deps"),
+                 F.sum("n_entities").alias("sum_entities"),
+                 F.sum("n_timexes").alias("sum_timexes"),
+                 F.sum("n_predicates").alias("sum_predicates"),
+                 F.sum("n_corefs").alias("sum_corefs"),
+                 F.expr("bit_xor(h)").alias("checksum")))
+
+
 def _q_linking(spark, sf_dir):
     """N11 broadcast-dictionary entity linking + window argmax."""
     ann = annotate_pages(pages_from_documents(spark, sf_dir))
@@ -308,6 +328,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pages_table": _q_pages,
         "kg_extract_text": _q_extract,
         "kg_annotations": _q_annotations,
+        "kg_annotations_stats": _q_annotations_stats,
         "kg_linking": _q_linking,
         "kg_triples": _q_triples,
         "kg_triples_by_component": _q_triples_by_component,
@@ -418,6 +439,12 @@ def oracle_sql() -> dict[str, str]:
         "kg_gold_canonicalize": _gold_triples_values_sql(
             "EXPECTED_CANONICAL_STATS", ["component", "n", "n_subjects"],
             order="component"),
+        "kg_annotations_stats": _corpus_values_sql(
+            "ANNOTATION_STATS",
+            ["n_urls", "sum_sentences", "sum_tokens", "sum_deps",
+             "sum_entities", "sum_timexes", "sum_predicates",
+             "sum_corefs", "checksum"],
+            order="n_urls"),
         "kg_triples_by_component": _corpus_values_sql(
             "TRIPLES_BY_COMPONENT", ["component", "n"], order="component"),
         "kg_canonicalize": _corpus_values_sql(
