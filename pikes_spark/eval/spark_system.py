@@ -15,7 +15,8 @@ from __future__ import annotations
 from typing import Dict, List, Tuple
 
 from ..functions.nlp import annotate_document
-from ..functions.resources import EL_CANDIDATES, LINKING_STOPWORDS
+from ..functions.el_dict import el_candidates
+from ..functions.resources import LINKING_STOPWORDS
 from ..operators.distill import Distiller
 from ..sources.gold import GOLD_PAGES
 from .convert import ConvertedGraph, convert
@@ -38,7 +39,7 @@ def _python_links(doc: dict) -> List[dict]:
         begin = tokens[tids[0]]["begin"]
         end = tokens[tids[-1]]["begin"] + tokens[tids[-1]]["len"]
         best = None
-        for uri, prior in EL_CANDIDATES.get(surface, []):
+        for uri, prior in el_candidates().get(surface, []):
             ctx = [w.lower() for w in
                    uri.rsplit("/", 1)[-1].replace("_", " ").replace(",", " ").split()]
             overlap = sum(1 for w in set(ctx) if w in doc_tokens) / len(set(ctx))

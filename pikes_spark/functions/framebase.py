@@ -29,6 +29,7 @@ repo's SRL layers can emit (~1,200 names). At deployment the full
 from __future__ import annotations
 
 import os
+import re
 from typing import Dict, List, Optional, Set
 
 FRAMEBASE_NS = "http://framebase.org/ns/"
@@ -146,9 +147,13 @@ def default_index() -> FrameBaseIndex:
     optional resource)."""
     global _DEFAULT
     if _DEFAULT is None:
-        path = os.environ.get("PIKES_FRAMEBASE_TSV")
+        from .resource_loaders import resolve_resource
+        path = resolve_resource("PIKES_FRAMEBASE_TSV", "FrameBase.tsv")
         try:
             if path:
+                # real breadth: the reference's shipped inverse index
+                # (~8.2k microframes, ~9.6k fe properties, LU alias
+                # keys like competition#competitor.n)
                 _DEFAULT = load_framebase_tsv(path)
             else:
                 from importlib.resources import files
@@ -158,6 +163,11 @@ def default_index() -> FrameBaseIndex:
         except Exception:
             _DEFAULT = FrameBaseIndex({}, {}, set())
     return _DEFAULT
+
+
+def reset_default_index() -> None:
+    global _DEFAULT
+    _DEFAULT = None
 
 
 def apply_framebase_mapping(predicates: List[dict], tagged,
@@ -186,13 +196,41 @@ def apply_framebase_mapping(predicates: List[dict], tagged,
                                      "confidence": 1.0, "source": "fb"})
         for role in pred.get("roles") or []:
             rseen: Set[str] = set()
+            head_id = role.get("head_id")
+            # collective-FE trigger: the role is the PLURAL self-arg of
+            # an argument nominalization — the filler is the group the
+            # nominal itself denotes ("competitorS" -> Participants),
+            # not merely any plural filler (the fixture corpus shows
+            # the reference keeps Participant_1 for ordinary plurals)
+            plural = (head_id is not None and head_id == head
+                      and (tagged[head_id].morphofeat or "")
+                      in ("NNS", "NNPS"))
             for ref in list(role.get("refs") or []):
                 if (ref.get("resource") or "").lower() != "framenet":
                     continue
                 frame, sep, fe = (ref.get("reference") or "").partition("@")
                 if not sep or not fe:
                     continue
+                hint = (role.get("fn_fe_hint") or "").strip()
+                if hint:
+                    # description-derived FE for preposition-cued args
+                    # (nlp._NOMINAL_PREP_CUES): validated against the
+                    # fe- inventory before it may replace the
+                    # PM-derived FE ("prize" -> fe-Competition-Prize)
+                    hinted = index.property_for(frame, hint)
+                    if hinted:
+                        fe = hint
                 name = index.property_for(frame, fe)
+                if name and plural:
+                    # collective FE: a PLURAL filler of a paired FE
+                    # ("Participant_1") maps to the frame's collective
+                    # variant when the FrameBase inventory has one
+                    # ("Participants") — data-driven off the fe- name
+                    # set, matching the reference's own output for
+                    # group arguments (example.md:48,87)
+                    m = re.fullmatch(r"(.*?)_\d", name)
+                    if m and (m.group(1) + "s") in index.names:
+                        name = m.group(1) + "s"
                 if name and name not in rseen:
                     rseen.add(name)
                     role["refs"].append({"resource": "FrameBase",

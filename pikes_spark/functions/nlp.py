@@ -928,6 +928,15 @@ NOMINAL_SELF_ARGS = {
 # forces a3 uprising per the NomBank force.01 descriptor slot)
 NOMINAL_MOD_ARGS = {"force": "A3"}
 
+# preposition -> NomBank arg-DESCRIPTION cue nouns: a for-/against-PP
+# on a nominal predicate fills the argnum whose description contains a
+# cue (resource-driven, works for any roleset the NomBank index holds)
+_NOMINAL_PREP_CUES = {
+    "for": ("prize", "purpose", "goal", "benefactive", "beneficiary",
+            "aim", "position"),
+    "against": ("opponent", "co-agent", "defendant", "adversary"),
+}
+
 # noun lemma -> argnum an ADJECTIVE modifier receives; None blocks the
 # default ("a stark challenge" -> am-mnr; "the lone group" -> a3)
 NOMINAL_ADJ_ARGS = {"group": "A3", "way": "A2", "minority": None}
@@ -1740,6 +1749,35 @@ def extract_predicates(tokens: List[Token], tags: List[Tagged],
                         roles.append({"sem_role": "AM-LOC",
                                       "term_ids": role_span(pm[0]),
                                       "head_id": pm[0], "refs": []})
+                    elif pl in _NOMINAL_PREP_CUES and nb_broad is not None:
+                        # preposition-cued roleset arguments: the PP
+                        # object fills the argnum whose NomBank arg
+                        # DESCRIPTION matches the preposition's cue
+                        # nouns ("competitors FOR the White House" ->
+                        # competitor.01 arg2 "prize"; "case AGAINST the
+                        # minister" -> the opponent/defendant slot).
+                        # Resource-general: keyed by the real NomBank
+                        # row's descriptions, not by lemma.
+                        cues = _NOMINAL_PREP_CUES[pl]
+                        argn = next(
+                            (j for j, d in enumerate(nb_broad.arg_descr)
+                             if d and any(c in d.lower() for c in cues)),
+                            None)
+                        if argn is not None:
+                            roles.append({"sem_role": f"A{argn}",
+                                          "term_ids": role_span(pm[0]),
+                                          "head_id": pm[0], "refs": [],
+                                          # the preposition evidence
+                                          # picked this arg BY its
+                                          # description, so the FN FE
+                                          # is the description itself
+                                          # when the frame has that FE
+                                          # (validated downstream
+                                          # against the FrameBase
+                                          # fe- inventory)
+                                          "fn_fe_hint":
+                                              nb_broad.arg_descr[argn]
+                                              .strip().lower()})
             if t.lemma in NOMINAL_NB_SHIFT:
                 for role in roles:
                     sem0 = role["sem_role"]

@@ -510,6 +510,18 @@ def tag_tokens(tokens: List[Token]) -> List[Tagged]:
             t = Tagged("IN" if low != "to" else "TO", "P", low)
         elif low in _SUBORD:
             t = Tagged("IN", "P", low)
+        elif (form[:1].isupper() and not sent_initial
+                and low in _ADJECTIVES
+                and idx + 1 < len(tokens)
+                and tokens[idx + 1].sent == tok.sent
+                and tokens[idx + 1].form[:1].isupper()
+                and tokens[idx + 1].form[:1].isalpha()):
+            # capitalized run start mid-sentence whose lowercase form is
+            # a common adjective ("New York", "White House"): the
+            # capitalization + capitalized successor outweigh the
+            # lexicon — proper noun (standard NERC heuristic; fixes
+            # NNP-run starts the adjective branch below would swallow)
+            t = Tagged("NNP", "R", form)
         elif low in _ADJECTIVES or prev_tag == "RB" and low not in _COMMON_VERBS \
                 and form[0].islower() and not low.endswith("ly"):
             t = Tagged("JJ", "G", low)

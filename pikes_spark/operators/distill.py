@@ -834,14 +834,37 @@ class Distiller:
         owl:sameAs between them instead of an event (RDFGenerator.java:533-567
         emits nothing for the predicate; the coreference between the arg
         instances is handled by coref — we additionally link them when the
-        copula explicitly equates two instances)."""
-        o1 = self.ann_obj.get(a1_head) or self.ann_pred.get(a1_head)
+        copula explicitly equates two instances).
+
+        Coordinated subject ("X and Y are Zs"): the predicative nominal
+        denotes the GROUP, so instead of equating its instance with the
+        coordination HEAD alone, emit ks:include edges from the
+        predicative instance to every coordinated member — the same
+        group treatment D6 gives coreference compounds
+        (RDFGenerator.java:1195-1240; the reference's worked example
+        `src/site/markdown/example.md:104` shows exactly this output:
+        `instance:competitors ks:includes instance:trump,
+        instance:clinton`)."""
         o2 = self.ann_obj.get(a2_head) or self.ann_pred.get(a2_head)
-        if o1 and o2 and o1 != o2:
-            tids = sorted(pred["term_ids"])
+        if o2 is None:
+            return False
+        coords = [(t, self.ann_obj.get(t) or self.ann_pred.get(t))
+                  for t in sorted(self.graph.descendants_matching(
+                      [a1_head], "(COORD CONJ?)*"))]
+        coords = [(t, iri) for t, iri in coords if iri and iri != o2]
+        tids = sorted(pred["term_ids"])
+        sent = self.tokens[tids[0]]["sent"]
+        if len(coords) >= 2:
+            extent = sorted({t for t, _i in coords})
+            mention = self.emit_mention(sorted(set(
+                extent + self.ann_extent.get(a2_head, []))))
+            for _t, iri in coords:
+                self.emit_fact(o2, KS_INCLUDE, iri, mention, "include", sent)
+            return True
+        o1 = self.ann_obj.get(a1_head) or self.ann_pred.get(a1_head)
+        if o1 and o1 != o2:
             mention = self.emit_mention(sorted(set(
                 self.ann_extent.get(a1_head, []) + self.ann_extent.get(a2_head, []))))
-            sent = self.tokens[tids[0]]["sent"]
             self.emit_fact(o1, OWL_SAMEAS, o2, mention, "sameas", sent)
             return True
         return False

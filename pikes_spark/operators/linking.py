@@ -28,14 +28,16 @@ from typing import List
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..functions.resources import EL_CANDIDATES, LINKING_STOPWORDS
+from ..functions.resources import LINKING_STOPWORDS
+from ..functions.el_dict import el_candidates
 
 
 def candidates_df(spark: SparkSession) -> DataFrame:
-    """The broadcast dictionary as a DataFrame (at deployment: read from
-    a curated parquet; here: the deterministic fixture)."""
+    """The broadcast dictionary as a DataFrame: fixture rows + the
+    bundled base dictionary + any $PIKES_EL_DICT deployment file
+    (functions/el_dict.py — the Spotlight-lexicalizations layering)."""
     rows = []
-    for surface, cands in EL_CANDIDATES.items():
+    for surface, cands in el_candidates().items():
         for uri, prior in cands:
             # context tokens = URI localname words, the deterministic
             # stand-in for an entity-description embedding
@@ -66,8 +68,29 @@ def entity_mentions(annotations: DataFrame) -> DataFrame:
             .select("url", "begin", "end", "surface", "doc_tokens"))
 
 
-def link_entities(annotations: DataFrame, candidates: DataFrame) -> DataFrame:
-    """-> links(url, begin, end, uri, score): best candidate per span."""
+OPEN_VOCAB_PRIOR = 0.15  # below every dictionary prior: dict rows win
+_DBR = "http://dbpedia.org/resource/"
+
+
+def minted_uri(surface_col):
+    """Deterministic open-vocabulary candidate: DBpedia IRIs are
+    minted from the title-cased, underscore-joined surface (the
+    Wikipedia article-naming convention Spotlight's open vocabulary
+    rests on): "white house" -> dbr:White_House. Pure Catalyst."""
+    return F.concat(F.lit(_DBR),
+                    F.regexp_replace(F.initcap(surface_col), " ", "_"))
+
+
+def link_entities(annotations: DataFrame, candidates: DataFrame,
+                  open_vocab: bool = False) -> DataFrame:
+    """-> links(url, begin, end, uri, score): best candidate per span.
+
+    open_vocab=True adds the Spotlight-style backstop: named mentions
+    with NO dictionary surface get a minted dbr: candidate at a low
+    fixed prior (left_anti against the broadcast surface set — still
+    no shuffle on the mention side). Off by default: the backstop
+    links every named mention, which costs precision on corpora whose
+    gold links only well-known entities (measured in EVAL.md)."""
     mentions = entity_mentions(annotations)
     stop = F.array(*[F.lit(s) for s in sorted(LINKING_STOPWORDS)])
     mentions = mentions.filter(~F.array_contains(stop, F.col("surface")))
@@ -77,6 +100,15 @@ def link_entities(annotations: DataFrame, candidates: DataFrame) -> DataFrame:
     scored = joined.withColumn("score", F.col("prior") * (1.0 + overlap))
     w = Window.partitionBy("url", "begin", "end").orderBy(
         F.desc("score"), F.asc("uri"))
-    return (scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("url", "begin", "end", "uri", "score"))
+    linked = (scored.withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") == 1)
+              .select("url", "begin", "end", "uri", "score"))
+    if not open_vocab:
+        return linked
+    surfaces = candidates.select("surface").distinct()
+    minted = (mentions
+              .join(F.broadcast(surfaces), "surface", "left_anti")
+              .select("url", "begin", "end",
+                      minted_uri(F.col("surface")).alias("uri"),
+                      F.lit(float(OPEN_VOCAB_PRIOR)).alias("score")))
+    return linked.unionByName(minted)
