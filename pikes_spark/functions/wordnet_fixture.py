@@ -80,12 +80,17 @@ YAGO_NS = "http://dbpedia.org/class/yago/"
 
 
 def most_frequent_sense(lemma: str, pos: str) -> Optional[str]:
-    """N4 stand-in: deterministic MFS lookup by KAF pos char."""
-    if pos == "N":
-        return MFS_NOUN.get(lemma)
-    if pos == "V":
-        return MFS_VERB.get(lemma)
-    return None
+    """N4 MFS lookup by KAF pos char: curated fixture rows first (they
+    pin the gold-corpus senses), then the real WordNet index at full
+    breadth when a dict dir is configured (wordnet_real.py — the same
+    first-offset-in-index.<pos> semantics JWNL gives the reference,
+    WordNet.java:159-167)."""
+    if pos == "N" and lemma in MFS_NOUN:
+        return MFS_NOUN[lemma]
+    if pos == "V" and lemma in MFS_VERB:
+        return MFS_VERB[lemma]
+    from .wordnet_real import most_frequent_sense_real
+    return most_frequent_sense_real(lemma, pos)
 
 
 def synset_to_sumo(synset: str, max_climb: int = 8) -> Optional[Tuple[str, bool]]:
