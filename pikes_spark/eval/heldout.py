@@ -397,3 +397,99 @@ def build_heldout_spark_graphs(corpus=None) -> Dict[str, ConvertedGraph]:
                          multi_term="last", skip_unmappable=True)
         out[sent_iri] = _normalize_sameas(graphs[sent_iri])
     return out
+
+
+# --- derived VN/FN gold layers (round 4, VERDICT r3 item 5) ----------------
+
+RESOURCE_COMPONENTS = ["types_vn", "types_fn", "roles_vn", "roles_fn"]
+
+
+def derive_resource_layers(graphs: Dict[str, ConvertedGraph]
+                           ) -> Dict[str, ConvertedGraph]:
+    """Augment the HAND-GOLD pb/nb layers with resource-derived VN/FN
+    gold: every gold `X a pb:rs` gains the VN class / FN frame the
+    public PropBank/PredicateMatrix data assigns that roleset, and
+    every gold `X pb:aN Y` role gains the mapped VN theta / FN frame
+    element (nb rolesets route through their NomBank pbId source verb
+    with the real argnum translation, like the engine and like the
+    eval-pm annotation practice).
+
+    Honest scoping: the MAPPING function here is the engine's own
+    (functions/predicate_matrix.py), so this does NOT measure mapping
+    correctness — that is measured separately by the fixture corpus
+    (roles_vn/fn .99) and the fb calibration. What it DOES measure on
+    held-out text is whether the engine finds the right predicates and
+    arguments at the vn/fn layer too: every engine roleset/arg miss or
+    spurious hit surfaces as a vn/fn FN/FP, and an engine that emitted
+    the right roleset but failed to run the breadth mapping would
+    score zero here. Mutates and returns `graphs`."""
+    from ..functions.predicate_matrix import map_roleset, map_role
+    from ..functions.resource_loaders import nombank_index
+    from .convert import PB_NS, NB_NS, VN_NS, FN_NS, RDF_TYPE
+
+    nb_index = nombank_index()
+
+    def vn_class_iri(vc: str) -> str:
+        i = vc.find("-")
+        return VN_NS + (vc[i + 1:] if i > 0 else vc)
+
+    def pb_source(ns: str, rs: str):
+        """-> (verb roleset, nb row or None) for mapping purposes."""
+        if ns == PB_NS:
+            return rs, None
+        row = nb_index.roleset(rs) if nb_index else None
+        return (row.pb_id if row and row.pb_id else None), row
+
+    for g in graphs.values():
+        add = set()
+        for (s, p, o) in list(g.triples):
+            if p == RDF_TYPE and isinstance(o, str) \
+                    and (o.startswith(PB_NS) or o.startswith(NB_NS)):
+                ns = PB_NS if o.startswith(PB_NS) else NB_NS
+                verb_rs, _row = pb_source(ns, o[len(ns):])
+                if not verb_rs:
+                    continue
+                vn, fn, _eso = map_roleset(verb_rs)
+                for vc in vn:
+                    add.add((s, RDF_TYPE, vn_class_iri(vc)))
+                for f in fn:
+                    add.add((s, RDF_TYPE, FN_NS + f))
+            elif isinstance(o, str) and (p.startswith(PB_NS)
+                                         or p.startswith(NB_NS)):
+                ns = PB_NS if p.startswith(PB_NS) else NB_NS
+                arg = p[len(ns):]
+                if not (arg.startswith("a") and arg[1:].isdigit()):
+                    continue
+                num = arg[1:]
+                # the arg property itself does not name the roleset:
+                # find the subject's pb/nb typing in this graph
+                for (s2, p2, o2) in g.triples:
+                    if s2 != s or p2 != RDF_TYPE \
+                            or not isinstance(o2, str):
+                        continue
+                    if not (o2.startswith(PB_NS) or o2.startswith(NB_NS)):
+                        continue
+                    tns = PB_NS if o2.startswith(PB_NS) else NB_NS
+                    if tns != ns:
+                        continue  # map pb roles via pb typing, nb via nb
+                    verb_rs, row = pb_source(tns, o2[len(tns):])
+                    if not verb_rs:
+                        continue
+                    n2 = num
+                    if row is not None and row.arg_pb_nums:
+                        try:
+                            pbn = row.arg_pb_nums[int(num)]
+                            if pbn < 0:
+                                continue
+                            n2 = str(pbn)
+                        except (IndexError, ValueError):
+                            pass
+                    vn_role, fn_fe = map_role(verb_rs, n2)
+                    if vn_role:
+                        theta = vn_role.rsplit("@", 1)[-1]
+                        add.add((s, VN_NS + theta.lower(), o))
+                    if fn_fe:
+                        fe = fn_fe.rsplit("@", 1)[-1]
+                        add.add((s, FN_NS + fe.lower(), o))
+        g.triples |= add
+    return graphs

@@ -329,4 +329,8 @@ def map_role(roleset: str, arg: str) -> Tuple[Optional[str], Optional[str]]:
     num = int(arg)
     vn = rs.arg_vn_roles.get(num) or []
     fn = rs.arg_fn_roles.get(num) or []
-    return (vn[0].lower() if vn else None, fn[0] if fn else None)
+    # FEs lowercased like the fixture-slice rows: the eval-pm gold's
+    # fn role properties are lowercase (fn:agent, fn:donor), so the
+    # breadth fallback must not emit a different case for the same
+    # role depending on which resource served it
+    return (vn[0].lower() if vn else None, fn[0].lower() if fn else None)

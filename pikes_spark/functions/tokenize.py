@@ -637,12 +637,54 @@ def _verb_tagged(low: str) -> Tagged:
     return Tagged(tag, "V", lemma)
 
 
+# Penn tag prefix -> KAF pos letter (KAFDocument term pos alphabet,
+# same mapping the rule tagger emits)
+_KAF_FOR_PENN = [("NNP", "R"), ("NN", "N"), ("VB", "V"), ("MD", "V"),
+                 ("JJ", "G"), ("RB", "A"), ("DT", "D"), ("PRP", "Q"),
+                 ("WP", "Q"), ("IN", "P"), ("TO", "P"), ("RP", "P"),
+                 ("CC", "C"), ("CD", "O"), ("POS", "O")]
+
+
+def tagged_from_penn(tokens: List[Token],
+                     penn_tags: List[str]) -> List[Tagged]:
+    """Model-predicted Penn tags -> Tagged tuples (KAF pos letter via
+    _KAF_FOR_PENN; lemmas from the rule lemmatizer keyed by the
+    predicted tag). This is how a registered BatchTagger's output
+    re-enters the deterministic pipeline."""
+    out: List[Tagged] = []
+    for tok, tag in zip(tokens, penn_tags):
+        low = tok.form.lower()
+        pos = next((p for pre, p in _KAF_FOR_PENN
+                    if tag.startswith(pre)), "O")
+        if tag.startswith("VB") or tag == "MD":
+            lemma = _IRREGULAR_LEMMA.get(low) or _verb_lemma(low)
+        elif tag in ("NNS", "NNPS"):
+            lemma = _noun_lemma(low)
+        elif tag.startswith("NNP"):
+            lemma = tok.form
+        else:
+            lemma = low
+        out.append(Tagged(tag, pos, lemma))
+    return out
+
+
 def annotate_text(text: str):
-    """text -> (sentences, tokens, tagged) — the full deterministic
-    tokenize/ssplit/pos/lemma front-end."""
+    """text -> (sentences, tokens, tagged). POS layer: the registered
+    batched model if one is installed (functions/model_slot.py — the
+    pluggable Arrow-batch slot), else the deterministic rule tagger."""
     sents = split_sentences(text)
     tokens: List[Token] = []
     for s_idx, (b, e) in enumerate(sents):
         tokens.extend(tokenize_sentence(text, b, e, s_idx, len(tokens)))
-    tagged = tag_tokens(tokens)
+    from .model_slot import active_tagger
+    model = active_tagger()
+    if model is not None:
+        by_sent: List[List[str]] = [[] for _ in sents]
+        for tok in tokens:
+            by_sent[tok.sent].append(tok.form)
+        penn = model.tag(by_sent)
+        flat = [t for sent_tags in penn for t in sent_tags]
+        tagged = tagged_from_penn(tokens, flat)
+    else:
+        tagged = tag_tokens(tokens)
     return sents, tokens, tagged

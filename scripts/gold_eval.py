@@ -127,14 +127,17 @@ lookup has no parenthetical-stripping).""")
     # --- held-out generalization measurement --------------------------
     from pikes_spark.eval.heldout import (load_heldout_gold,
                                           build_heldout_spark_graphs,
-                                          HELDOUT_COMPONENTS)
-    ho_gold = load_heldout_gold()
+                                          derive_resource_layers,
+                                          HELDOUT_COMPONENTS,
+                                          RESOURCE_COMPONENTS)
+    ho_gold = derive_resource_layers(load_heldout_gold())
     ho_spark = build_heldout_spark_graphs()
     ho_totals = evaluate(ho_gold, ho_spark, symmetric_sameas=True)
     parts.append("")
     parts.append(report(ho_totals,
                         "HELD-OUT corpus (8 new sentences, author-annotated "
-                        "gold — eval/heldout.py)", HELDOUT_COMPONENTS))
+                        "gold — eval/heldout.py)",
+                        HELDOUT_COMPONENTS + RESOURCE_COMPONENTS))
     parts.append("""
 Held-out protocol: sentences the rule lexicons were never tuned on
 (novel constructions over mostly in-inventory lemmas); gold authored
@@ -149,14 +152,25 @@ relative-clause objects/subjects, clause coordination, speech-verb
 complements, temporal-PP attachment), so it is now a dev set too;
 no sentence-keyed or lexicon-vendored change was made for it.""")
 
+    parts.append("""
+VN/FN rows (round 4): the types_vn/fn and roles_vn/fn gold here is
+DERIVED — the hand-gold pb/nb rolesets/args mapped through the public
+PropBank/PredicateMatrix data by eval/heldout.derive_resource_layers.
+It measures predicate+argument correctness propagated to the vn/fn
+layer at full breadth (an engine that missed the roleset, the arg, or
+failed to run the breadth mapping scores zero); mapping-table
+correctness itself is measured separately by the fixture corpus and
+the fb calibration, so these rows are NOT evidence about the mapping
+tables.""")
+
     # --- TEST-held-out (h9-h16) ---------------------------------------
     from pikes_spark.eval.heldout import HELDOUT_TEST
-    t_gold = load_heldout_gold(HELDOUT_TEST)
+    t_gold = derive_resource_layers(load_heldout_gold(HELDOUT_TEST))
     t_spark = build_heldout_spark_graphs(HELDOUT_TEST)
     parts.append("")
     parts.append(report(evaluate(t_gold, t_spark, symmetric_sameas=True),
                         "TEST-held-out corpus (8 further sentences, "
-                        "h9-h16)", HELDOUT_COMPONENTS))
+                        "h9-h16)", HELDOUT_COMPONENTS + RESOURCE_COMPONENTS))
     parts.append("""
 TEST-held-out protocol: authored after all round-3 engine fixes were
 frozen and first scored BLIND. The as-authored blind score (recorded

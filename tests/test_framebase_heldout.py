@@ -161,7 +161,7 @@ def test_breadth_fallback_mapping():
     from pikes_spark.functions.predicate_matrix import map_roleset, map_role
     vn, fn, _eso = map_roleset("abandon.01")  # not in the fixture slice
     assert vn == ["leave-51.2"] and fn == ["Departing"]
-    assert map_role("abandon.01", "0") == ("theme", "Theme")
+    assert map_role("abandon.01", "0") == ("theme", "theme")  # FEs lowercased to the gold style (r4)
     # unaccusative subject (occur.01 has no arg0 in PropBank):
     # 'The eruption occurred in March.' -> occur a1, never a0
     from pikes_spark.functions.nlp import annotate_document
