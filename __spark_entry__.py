@@ -186,6 +186,18 @@ def _q_linking(spark, sf_dir):
             .orderBy("url", "begin"))
 
 
+def _q_linking_stats(spark, sf_dir):
+    """Value-checked digest twin of kg_linking: corpus-wide link count
+    + per-(uri) histogram checksum (order-insensitive)."""
+    links = _q_linking(spark, sf_dir)
+    h = F.xxhash64("url", "begin", "end", "uri", "score_x1000")
+    return (links.withColumn("h", h)
+            .agg(F.count("*").alias("n_links"),
+                 F.countDistinct("uri").alias("n_uris"),
+                 F.countDistinct("url").alias("n_urls"),
+                 F.expr("bit_xor(h)").alias("checksum")))
+
+
 def _q_triples(spark, sf_dir):
     """F*/D* distillation: mention-level triples (pre-canonicalization)."""
     return (pages_to_triples(pages_from_documents(spark, sf_dir))
@@ -330,6 +342,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_annotations": _q_annotations,
         "kg_annotations_stats": _q_annotations_stats,
         "kg_linking": _q_linking,
+        "kg_linking_stats": _q_linking_stats,
         "kg_triples": _q_triples,
         "kg_triples_by_component": _q_triples_by_component,
         "kg_canonicalize": _q_canonical,
@@ -439,6 +452,10 @@ def oracle_sql() -> dict[str, str]:
         "kg_gold_canonicalize": _gold_triples_values_sql(
             "EXPECTED_CANONICAL_STATS", ["component", "n", "n_subjects"],
             order="component"),
+        "kg_linking_stats": _corpus_values_sql(
+            "LINKING_STATS",
+            ["n_links", "n_uris", "n_urls", "checksum"],
+            order="n_links"),
         "kg_annotations_stats": _corpus_values_sql(
             "ANNOTATION_STATS",
             ["n_urls", "sum_sentences", "sum_tokens", "sum_deps",
