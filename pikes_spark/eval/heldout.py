@@ -401,7 +401,8 @@ def build_heldout_spark_graphs(corpus=None) -> Dict[str, ConvertedGraph]:
 
 # --- derived VN/FN gold layers (round 4, VERDICT r3 item 5) ----------------
 
-RESOURCE_COMPONENTS = ["types_vn", "types_fn", "roles_vn", "roles_fn"]
+RESOURCE_COMPONENTS = ["types_vn", "types_fn", "roles_vn", "roles_fn",
+                       "types_fb", "roles_fb", "all_fb"]
 
 
 def derive_resource_layers(graphs: Dict[str, ConvertedGraph]
@@ -425,9 +426,11 @@ def derive_resource_layers(graphs: Dict[str, ConvertedGraph]
     score zero here. Mutates and returns `graphs`."""
     from ..functions.predicate_matrix import map_roleset, map_role
     from ..functions.resource_loaders import nombank_index
-    from .convert import PB_NS, NB_NS, VN_NS, FN_NS, RDF_TYPE
+    from ..functions.framebase import default_index
+    from .convert import PB_NS, NB_NS, VN_NS, FN_NS, FRB_NS, RDF_TYPE
 
     nb_index = nombank_index()
+    fb_index = default_index()
 
     def vn_class_iri(vc: str) -> str:
         i = vc.find("-")
@@ -454,6 +457,17 @@ def derive_resource_layers(graphs: Dict[str, ConvertedGraph]
                     add.add((s, RDF_TYPE, vn_class_iri(vc)))
                 for f in fn:
                     add.add((s, RDF_TYPE, FN_NS + f))
+                # fb microframe: the roleset's own lemma + its source
+                # pos (the engine uses the TEXT lemma, which equals the
+                # roleset lemma exactly when the roleset is right —
+                # divergence surfaces as an fb FP/FN pair)
+                rs_id = o[len(ns):]
+                fb_lemma = rs_id.split(".")[0]
+                fb_pos = "v" if ns == PB_NS else "n"
+                for f in fn:
+                    name = fb_index.class_for(f, fb_lemma, fb_pos)
+                    if name:
+                        add.add((s, RDF_TYPE, FRB_NS + name.lower()))
             elif isinstance(o, str) and (p.startswith(PB_NS)
                                          or p.startswith(NB_NS)):
                 ns = PB_NS if p.startswith(PB_NS) else NB_NS
@@ -491,5 +505,10 @@ def derive_resource_layers(graphs: Dict[str, ConvertedGraph]
                     if fn_fe:
                         fe = fn_fe.rsplit("@", 1)[-1]
                         add.add((s, FN_NS + fe.lower(), o))
+                        frames = map_roleset(verb_rs)[1]
+                        if frames:
+                            name = fb_index.property_for(frames[0], fe)
+                            if name:
+                                add.add((s, FRB_NS + name.lower(), o))
         g.triples |= add
     return graphs

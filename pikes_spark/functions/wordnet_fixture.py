@@ -24,6 +24,9 @@ MFS_NOUN: Dict[str, str] = {
     "war": "00973077-n", "city": "08524735-n", "country": "08544813-n",
     "weapon": "04565375-n", "fighter": "10088390-n", "donor": "10025730-n",
     "program": "05898568-n", "sanction": "01139104-n", "official": "10372373-n",
+    # offset documented by the reference itself (example.md:21
+    # `ks:synset wn30:10533013-n` for "competitors")
+    "competitor": "10533013-n",
 }
 MFS_VERB: Dict[str, str] = {
     "meet": "02023107-v", "fight": "01090335-v", "support": "02556126-v",
@@ -34,6 +37,7 @@ MFS_VERB: Dict[str, str] = {
 # synset -> hypernym chain (one parent each, fixture)
 HYPERNYMS: Dict[str, List[str]] = {
     "10677713-n": ["09820263-n"],           # supporter -> person
+    "10533013-n": ["09820263-n"],           # competitor/rival -> person
     "00958896-n": ["00952963-n"],           # fight -> conflict
     "00952963-n": ["00030358-n"],           # conflict -> act/process
     "08310389-n": ["07975026-n"],           # meeting -> social gathering

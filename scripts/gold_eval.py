@@ -145,23 +145,27 @@ from the text in the fixture gold's own conventions BEFORE scoring
 (three convention corrections documented in `eval/heldout.py`);
 direction-insensitive owl:sameAs (symmetric relation; the published
 eval-pm path stays direction-sensitive for calibration fidelity).
-VN/FN/FrameBase are not annotated here — resource-inventory breadth
-is a known, separately-documented partial. The held-out set also
+VN/FN/FrameBase rows are the round-4 DERIVED layers (next note).
+The held-out set also
 drove five GENERAL engine fixes this round (complementizer tagging,
 relative-clause objects/subjects, clause coordination, speech-verb
 complements, temporal-PP attachment), so it is now a dev set too;
 no sentence-keyed or lexicon-vendored change was made for it.""")
 
     parts.append("""
-VN/FN rows (round 4): the types_vn/fn and roles_vn/fn gold here is
+VN/FN/fb rows (round 4): the types/roles gold for those layers is
 DERIVED — the hand-gold pb/nb rolesets/args mapped through the public
-PropBank/PredicateMatrix data by eval/heldout.derive_resource_layers.
+PropBank/PredicateMatrix data (and the FrameBase inverse index, keyed
+by the roleset's own lemma) by eval/heldout.derive_resource_layers.
 It measures predicate+argument correctness propagated to the vn/fn
 layer at full breadth (an engine that missed the roleset, the arg, or
 failed to run the breadth mapping scores zero); mapping-table
 correctness itself is measured separately by the fixture corpus and
 the fb calibration, so these rows are NOT evidence about the mapping
-tables.""")
+tables. Residual fb FP/FN pairs are microframe-ALIAS choices (the
+engine keys the FrameBase lookup by the text lemma, the derivation by
+the roleset lemma — e.g. leadership-official.n vs leadership-head.v),
+surfacing real lexical-unit ambiguity, not machinery failures.""")
 
     # --- TEST-held-out (h9-h16) ---------------------------------------
     from pikes_spark.eval.heldout import HELDOUT_TEST
