@@ -370,6 +370,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup.simhash_pairs,
         "dedup_simhash_stats": _q_simhash_stats,
         "dedup_embedding_cosine": dedup.embedding_neardup_pairs,
+        # pairs -> groups -> keep/drop representative per group (CC
+        # over the LSH pair graph via the canonicalization operator)
+        "dedup_group_representatives": dedup.dedup_group_representatives,
         # similarity search
         "sim_brute_force_topk": lambda s, d: similarity.brute_force_topk(s, d, 0, 10),
         "sim_ivf_topk": _q_sim_ivf,
@@ -381,6 +384,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # event-stream operators (batch form; streaming uses same exprs)
         "evt_sessionize": events.sessionize,
         "evt_windowed_counts": events.windowed_counts,
+        # point-in-time as-of join (kdb aj / DuckDB ASOF semantics):
+        # one user_id shuffle + running last() — no range self-join
+        "evt_asof_join": events.asof_join,
         # custom STATEFUL streaming operator (applyInPandasWithState):
         # driven end-to-end through Structured Streaming, flushed via a
         # watermark sentinel, and value-checked against the same SQL
@@ -495,6 +501,7 @@ def oracle_sql() -> dict[str, str]:
         # legitimately fail this oracle (documented bound, accepted risk).
         "dedup_minhash_lsh": dedup.NGRAM_JACCARD_SQL,
         "dedup_embedding_cosine": dedup.EMB_NEARDUP_SQL,
+        "dedup_group_representatives": dedup.DEDUP_GROUPS_SQL,
         "sim_brute_force_topk": similarity.brute_force_topk_sql(0, 10),
         "rel_filter_agg": """
             SELECT l_returnflag, l_linestatus,
@@ -511,6 +518,7 @@ def oracle_sql() -> dict[str, str]:
         # the sentinel flush, so the complete-session SQL is its oracle
         "evt_sessionize_stateful": events.SESSIONIZE_SQL,
         "evt_windowed_counts": events.WINDOWED_COUNTS_SQL,
+        "evt_asof_join": events.ASOF_JOIN_SQL,
         "rel_join_window_topk": """
             WITH j AS (
               SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,

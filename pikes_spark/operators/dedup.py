@@ -411,3 +411,61 @@ FROM e x JOIN e y ON x.vec_id < y.vec_id
 WHERE floor(list_cosine_similarity(x.v, y.v) * 1000000) >= 350000
 ORDER BY a, b
 """
+
+
+# ---------------------------------------------------------------------------
+# Duplicate groups -> representatives (the keep/drop decision)
+# ---------------------------------------------------------------------------
+
+def dedup_group_representatives(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """The training-pipeline stage AFTER pair finding: near-dup PAIRS ->
+    duplicate GROUPS (connected components over the pair graph) -> one
+    kept representative per group (the smallest doc_id) and the
+    keep/drop verdict for every grouped document.
+
+    Pairs come from the LSH scale path (minhash_lsh_pairs); components
+    reuse the canonicalization CC operator — alternating
+    large-star/small-star at corpus scale, driver union-find below the
+    adaptive threshold — so a 10^12-doc dedup inherits the same
+    O(log n)-round shuffle bound as entity smushing. Doc ids are
+    zero-padded so the CC min-label (lexicographic) equals numeric min.
+    Returns (doc_id, rep_id, keep) for every document in some group.
+    """
+    from .canonicalize import connected_components
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    pad = lambda c: F.lpad(F.col(c).cast("string"), 20, "0")  # noqa: E731
+    edges = pairs.select(pad("a").alias("src"), pad("b").alias("dst"))
+    # connected_components returns the REWRITE map (root nodes map to
+    # themselves and are omitted) — restore the identity rows so every
+    # grouped doc gets a verdict, including the kept representative
+    nodes = (edges.select(F.col("src").alias("node"))
+             .unionByName(edges.select(F.col("dst").alias("node")))
+             .distinct())
+    cc = nodes.join(connected_components(edges), "node", "left") \
+              .withColumn("component",
+                          F.coalesce("component", "node"))
+    return (cc.select(F.col("node").cast("bigint").alias("doc_id"),
+                      F.col("component").cast("bigint").alias("rep_id"))
+            .withColumn("keep", (F.col("doc_id") == F.col("rep_id"))
+                        .cast("int"))
+            .orderBy("doc_id"))
+
+
+# oracle: transitive closure by recursive CTE over the exact-Jaccard
+# pair set (LSH == exact is its own checked invariant); rep = min
+# reachable node (symmetric closure), keep = doc is its own rep
+DEDUP_GROUPS_SQL = f"""
+WITH RECURSIVE pairs AS ({NGRAM_JACCARD_SQL.replace("ORDER BY a, b", "")}),
+edges AS (
+  SELECT a AS s, b AS d FROM pairs UNION SELECT b, a FROM pairs
+), tc(s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT tc.s, e.d FROM tc JOIN edges e ON tc.d = e.s
+)
+SELECT s AS doc_id,
+       least(s, min(d)) AS rep_id,
+       CAST(s = least(s, min(d)) AS INT) AS keep
+FROM tc GROUP BY s ORDER BY doc_id
+"""

@@ -75,3 +75,63 @@ SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS win_st
 FROM events
 GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+def asof_join(spark: SparkSession, sf_dir: str,
+              left_type: str = "click",
+              right_type: str = "purchase") -> DataFrame:
+    """Point-in-time-correct AS-OF join (the operator Spark's DataFrame
+    API lacks natively; kdb aj / DuckDB ASOF JOIN semantics): for every
+    ``left_type`` event, the same user's most recent ``right_type``
+    event at-or-before its timestamp.
+
+    Plan: union-tag both sides, ONE shuffle on user_id, then an
+    event-time-ordered running ``last(..., ignorenulls)`` window carries
+    the right side forward — no range self-join, no per-row probe. This
+    is the standard scalable shape for feature-store point-in-time
+    joins; at 10^12 rows the only exchange is the user_id hash
+    partition both sides share, and skewed users cost only window
+    sort, not join fanout.
+
+    Equal timestamps: the right side sorts FIRST (side 0 < 1), so
+    at-or-before is inclusive — exactly DuckDB's ``ON l.ts >= r.ts``.
+    Non-matching left rows are dropped (inner as-of).
+    """
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = (ev.filter(F.col("event_type") == left_type)
+            .select("user_id", "ts", "event_id",
+                    F.lit(None).cast("timestamp").alias("r_ts"),
+                    F.lit(None).cast("double").alias("r_value"),
+                    F.lit(1).alias("side")))
+    right = (ev.filter(F.col("event_type") == right_type)
+             .select("user_id", "ts",
+                     F.lit(None).cast("bigint").alias("event_id"),
+                     F.col("ts").alias("r_ts"),
+                     F.col("value").alias("r_value"),
+                     F.lit(0).alias("side")))
+    w = (Window.partitionBy("user_id")
+         .orderBy("ts", "side", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = (right.unionByName(left)
+               .withColumn("p_ts", F.last("r_ts", ignorenulls=True).over(w))
+               .withColumn("p_value",
+                           F.last("r_value", ignorenulls=True).over(w)))
+    return (carried.filter((F.col("side") == 1) & F.col("p_ts").isNotNull())
+            .select("event_id", "user_id",
+                    F.floor(F.col("p_value") * 1000).cast("bigint")
+                    .alias("purchase_value_x1000"),
+                    (F.col("ts").cast("timestamp").cast("long")
+                     - F.col("p_ts").cast("timestamp").cast("long"))
+                    .alias("gap_s"))
+            .orderBy("event_id"))
+
+
+ASOF_JOIN_SQL = """
+SELECT c.event_id, c.user_id,
+       CAST(floor(p.value * 1000) AS BIGINT) AS purchase_value_x1000,
+       CAST(date_diff('second', p.ts, c.ts) AS BIGINT) AS gap_s
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+ORDER BY c.event_id
+"""

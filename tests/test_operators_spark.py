@@ -166,3 +166,34 @@ def test_multimodal_codecs_roundtrip_and_real_features(spark):
     rms = feats[1]["feat"][0]
     expect = float(np.sqrt(np.mean((samples / 32768.0) ** 2)))
     assert abs(rms - expect) < 1e-6
+
+
+def test_asof_join_semantics(spark):
+    """Every matched click joins its user's most recent purchase
+    at-or-before the click time (inner as-of)."""
+    from pikes_spark.operators.events import asof_join
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    out = asof_join(spark, SF).collect()
+    assert out
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    clicks = {r["event_id"]: r for r in ev if r["event_type"] == "click"}
+    purch = [r for r in ev if r["event_type"] == "purchase"]
+    for r in out[:50]:
+        c = clicks[r["event_id"]]
+        best = max((p for p in purch
+                    if p["user_id"] == c["user_id"] and p["ts"] <= c["ts"]),
+                   key=lambda p: p["ts"])
+        assert r["purchase_value_x1000"] == int(best["value"] * 1000 // 1)
+
+
+def test_dedup_groups_cover_all_pair_members(spark):
+    from pikes_spark.operators.dedup import (dedup_group_representatives,
+                                             minhash_lsh_pairs)
+    groups = dedup_group_representatives(spark, SF).collect()
+    by_doc = {r["doc_id"]: r for r in groups}
+    pairs = minhash_lsh_pairs(spark, SF).collect()
+    for p in pairs:
+        ra, rb = by_doc[p["a"]], by_doc[p["b"]]
+        assert ra["rep_id"] == rb["rep_id"]        # same component
+        assert by_doc[ra["rep_id"]]["keep"] == 1   # rep kept
+        assert ra["rep_id"] <= p["a"]              # min-id representative
