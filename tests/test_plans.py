@@ -105,3 +105,14 @@ def test_ivf_assignment_has_no_window_exchange(spark):
         .executedPlan().toString()
     assert "Window" not in plan
     assert "partial_max_by" in plan or "HashAggregate" in plan
+
+
+def test_asof_join_single_hash_exchange(spark):
+    # the as-of join claims ONE user_id hash shuffle (union-tag +
+    # running window), not a range join or per-row probe
+    from pikes_spark.operators import events
+    plan = events.asof_join(spark, SF)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
