@@ -387,6 +387,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # point-in-time as-of join (kdb aj / DuckDB ASOF semantics):
         # one user_id shuffle + running last() — no range self-join
         "evt_asof_join": events.asof_join,
+        # event-time RANGE-frame sliding count (burst detection)
+        "evt_sliding_count": events.sliding_window_count,
         # custom STATEFUL streaming operator (applyInPandasWithState):
         # driven end-to-end through Structured Streaming, flushed via a
         # watermark sentinel, and value-checked against the same SQL
@@ -519,6 +521,7 @@ def oracle_sql() -> dict[str, str]:
         "evt_sessionize_stateful": events.SESSIONIZE_SQL,
         "evt_windowed_counts": events.WINDOWED_COUNTS_SQL,
         "evt_asof_join": events.ASOF_JOIN_SQL,
+        "evt_sliding_count": events.SLIDING_COUNT_SQL,
         "rel_join_window_topk": """
             WITH j AS (
               SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,

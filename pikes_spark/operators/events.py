@@ -135,3 +135,37 @@ ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
   ON c.user_id = p.user_id AND c.ts >= p.ts
 ORDER BY c.event_id
 """
+
+
+def sliding_window_count(spark: SparkSession, sf_dir: str,
+                         minutes: int = 5) -> DataFrame:
+    """Per-event burst metric: how many events the same user fired in
+    the preceding ``minutes`` (inclusive of this one) — the
+    rate-limit / burst-detection primitive of an ingest pipeline.
+
+    Uses a true event-time RANGE frame (rangeBetween over epoch
+    seconds), not a row frame: ties and uneven spacing are handled by
+    time, and Spark evaluates it in the same single user_id exchange
+    as any other window — no self-join. DuckDB oracle uses the
+    equivalent RANGE BETWEEN INTERVAL frame.
+    """
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    secs = F.col("ts").cast("timestamp").cast("long")
+    w = (Window.partitionBy("user_id").orderBy(F.col("ts_s"))
+         .rangeBetween(-minutes * 60, 0))
+    return (ev.withColumn("ts_s", secs)
+            .withColumn("n_burst", F.count("*").over(w))
+            .select("event_id", "user_id", F.col("n_burst").cast("bigint")
+                    .alias("n_burst"))
+            .orderBy("event_id"))
+
+
+SLIDING_COUNT_SQL = """
+SELECT event_id, user_id,
+       CAST(count(*) OVER (
+         PARTITION BY user_id ORDER BY date_trunc('second', ts)
+         RANGE BETWEEN INTERVAL 5 MINUTE PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS n_burst
+FROM events
+ORDER BY event_id
+"""
