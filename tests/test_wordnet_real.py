@@ -65,8 +65,10 @@ def test_no_dir_degrades_to_none(monkeypatch):
     wr.reset_wordnet_cache()
     try:
         assert wr.mfs_index("N") is None
-        assert wf.most_frequent_sense("competitor", "N") is None
-        # fixture layer still serves curated lemmas
+        assert wf.most_frequent_sense("bank", "N") is None
+        # fixture layer still serves curated lemmas (incl. the
+        # reference-documented competitor synset added in r4)
         assert wf.most_frequent_sense("fight", "N") == "00958896-n"
+        assert wf.most_frequent_sense("competitor", "N") == "10533013-n"
     finally:
         wr.reset_wordnet_cache()
