@@ -99,10 +99,11 @@ def murmur3_id(parts: Sequence[str]) -> str:
     return "".join(out)
 
 
-def fact_graph_iri(subject: str, predicate: str, obj: str, obj_is_literal: bool = False,
-                   obj_datatype: str = "") -> str:
-    """fact:<murmur3(s,p,o)> with the reference's type markers
-    (RDFGenerator.java:1993-2015)."""
+def fact_hash_key(subject: str, predicate: str, obj: str, obj_is_literal: bool = False,
+                  obj_datatype: str = "") -> bytes:
+    """The exact byte string murmur3_id hashes for a fact graph — type
+    markers per RDFGenerator.java:1993-2015, \\u0000-joined like
+    rdfpro's Hash.murmur3(String...)."""
     parts: List[str] = ["\u0001", subject, "\u0001", predicate]
     if obj_is_literal:
         parts += ["\u0003", obj]
@@ -110,7 +111,101 @@ def fact_graph_iri(subject: str, predicate: str, obj: str, obj_is_literal: bool 
             parts.append(obj_datatype)
     else:
         parts += ["\u0001", obj]
-    return "fact:" + murmur3_id(parts)
+    return "\u0000".join(parts).encode("utf-8", "surrogatepass")
+
+
+def fact_graph_iri(subject: str, predicate: str, obj: str, obj_is_literal: bool = False,
+                   obj_datatype: str = "") -> str:
+    """fact:<murmur3(s,p,o)> with the reference's type markers
+    (RDFGenerator.java:1993-2015)."""
+    h1, h2 = murmur3_x64_128(fact_hash_key(subject, predicate, obj,
+                                           obj_is_literal, obj_datatype))
+    value = (h1 << 64) | h2
+    out: List[str] = []
+    for _ in range(22):
+        out.append(_B64[value & 63])
+        value >>= 6
+    return "fact:" + "".join(out)
+
+
+def murmur3_ids_batch(inputs: Sequence[bytes]) -> List[str]:
+    """Vectorized murmur3 x64 128 over a batch of byte strings — one
+    numpy pass per 16-byte block position across ALL strings in the
+    batch (lanes that have exhausted their blocks are masked out), so
+    per-hash cost amortizes to the numpy op cost instead of the
+    ~21 us/hash pure-Python loop. Bit-identical to murmur3_x64_128 +
+    the 22-char base-64 render (differential test in
+    test_core_functions.py); the frozen fixture checksums pin it.
+
+    Used by the distiller to mint every fact-graph IRI of a document
+    in one deferred call (the r4 profile's top single cost, ~25% of
+    per-document Python time)."""
+    import numpy as np
+
+    n = len(inputs)
+    if n == 0:
+        return []
+    U = np.uint64
+    lengths = np.fromiter((len(b) for b in inputs), dtype=np.int64, count=n)
+    nblocks = lengths // 16
+    maxb = int(nblocks.max())
+    width = (maxb + 1) * 16  # zero tail padding doubles as ljust(8, \0)
+    buf = np.zeros((n, width), dtype=np.uint8)
+    for i, b in enumerate(inputs):
+        buf[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+    words = buf.view("<u8")  # (n, 2*(maxb+1)) little-endian lanes
+    c1 = U(0x87C37B91114253D5)
+    c2 = U(0x4CF5AD432745937F)
+    h1 = np.zeros(n, dtype=np.uint64)
+    h2 = np.zeros(n, dtype=np.uint64)
+    for j in range(maxb):
+        active = nblocks > j
+        k1 = words[:, 2 * j] * c1
+        k1 = (k1 << U(31)) | (k1 >> U(33))
+        nh1 = h1 ^ (k1 * c2)
+        nh1 = (nh1 << U(27)) | (nh1 >> U(37))
+        nh1 = (nh1 + h2) * U(5) + U(0x52DCE729)
+        k2 = words[:, 2 * j + 1] * c2
+        k2 = (k2 << U(33)) | (k2 >> U(31))
+        nh2 = h2 ^ (k2 * c1)
+        nh2 = (nh2 << U(31)) | (nh2 >> U(33))
+        nh2 = (nh2 + nh1) * U(5) + U(0x38495AB5)
+        h1 = np.where(active, nh1, h1)
+        h2 = np.where(active, nh2, h2)
+    rows = np.arange(n)
+    t1 = words[rows, 2 * nblocks]
+    t2 = words[rows, 2 * nblocks + 1]
+    tail_len = lengths % 16
+    k2 = t2 * c2
+    k2 = (k2 << U(33)) | (k2 >> U(31))
+    h2 = np.where(tail_len > 8, h2 ^ (k2 * c1), h2)
+    k1 = t1 * c1
+    k1 = (k1 << U(31)) | (k1 >> U(33))
+    h1 = np.where(tail_len > 0, h1 ^ (k1 * c2), h1)
+    ulen = lengths.astype(np.uint64)
+    h1 = h1 ^ ulen
+    h2 = h2 ^ ulen
+    h1 = h1 + h2
+    h2 = h2 + h1
+    for h in (h1, h2):  # fmix64, in place on both lanes
+        h ^= h >> U(33)
+        h *= U(0xFF51AFD7ED558CCD)
+        h ^= h >> U(33)
+        h *= U(0xC4CEB9FE1A85EC53)
+        h ^= h >> U(33)
+    h1 = h1 + h2
+    h2 = h2 + h1
+    # 22 six-bit groups of (h1 << 64 | h2), little-endian like the
+    # scalar render: chars 0-9 from h2, char 10 straddles, 11-21 from h1
+    idx = np.empty((n, 22), dtype=np.uint8)
+    for k in range(10):
+        idx[:, k] = ((h2 >> U(6 * k)) & U(63)).astype(np.uint8)
+    idx[:, 10] = (((h2 >> U(60)) | ((h1 & U(3)) << U(4))) & U(63)).astype(np.uint8)
+    for k in range(11, 22):
+        idx[:, k] = ((h1 >> U(6 * k - 64)) & U(63)).astype(np.uint8)
+    alpha = np.frombuffer(_B64.encode("ascii"), dtype=np.uint8)
+    flat = alpha[idx].tobytes()
+    return [flat[i: i + 22].decode("ascii") for i in range(0, 22 * n, 22)]
 
 
 # ---------------------------------------------------------------------------

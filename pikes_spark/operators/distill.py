@@ -34,7 +34,7 @@ from typing import Dict, List, Optional, Sequence, Set, Tuple
 
 from ..functions.deptree import DepGraph
 from ..functions.numbers import parse_spelled_number, ordinal_rank
-from ..functions.hashing import fact_graph_iri, murmur3_id
+from ..functions.hashing import fact_hash_key, murmur3_id, murmur3_ids_batch
 
 # namespace table (RDFGenerator.java:128-144 DEFAULT_NAMESPACE_MAP)
 NS = {
@@ -202,6 +202,11 @@ class Distiller:
         self.terms = doc["terms"]
         self.graph = DepGraph([(d["from"], d["to"], d["rfunc"]) for d in doc["deps"]])
         self.triples: List[dict] = []
+        # deferred fact-graph hash inputs: emit_fact stores an int index
+        # into this list as the graph (or mention-link subject) and
+        # run() patches all of them with ONE numpy-vectorized murmur3
+        # batch — the r4 profile's top per-document cost (~25%)
+        self._hash_keys: List[bytes] = []
         # head term id -> (object_iri, predicate_iri) (RDFGenerator annotations map :2019-2036)
         self.ann_obj: Dict[int, str] = {}
         self.ann_pred: Dict[int, str] = {}
@@ -317,11 +322,13 @@ class Distiller:
                 and o not in TYPE_MAP and not o.startswith("http"):
             objects = []  # unmapped string type key -> nothing (extract() map miss)
         for obj in objects:
-            g = fact_graph_iri(s, p, obj, o_literal, o_datatype)
-            self._emit(s, p, obj, g, component, sent, mb, me, conf,
+            hid = len(self._hash_keys)
+            self._hash_keys.append(
+                fact_hash_key(s, p, obj, o_literal, o_datatype))
+            self._emit(s, p, obj, hid, component, sent, mb, me, conf,
                        o_literal, o_datatype)
             if mention:
-                self._emit(g, KS_EXPRESSED_BY, mention, "", "mention_link",
+                self._emit(hid, KS_EXPRESSED_BY, mention, "", "mention_link",
                            sent, mb, me, conf)
 
     # ------------------------------------------------------------------
@@ -468,6 +475,15 @@ class Distiller:
         self.process_corefs()     # D6
         self.process_modifiers()  # D5
         self.process_roles()      # D7
+        # patch deferred fact-graph ids in one vectorized murmur3 batch
+        ids = murmur3_ids_batch(self._hash_keys)
+        for t in self.triples:
+            g = t["graph"]
+            if type(g) is int:
+                t["graph"] = "fact:" + ids[g]
+            s = t["subject"]
+            if type(s) is int:
+                t["subject"] = "fact:" + ids[s]
         return self.triples
 
     # D0 (RDFGenerator.java:721-798)

@@ -111,6 +111,32 @@ def test_fact_iri_deterministic():
     assert a != fact_graph_iri("s", "p", "o", obj_is_literal=True)
 
 
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.text(min_size=0, max_size=120), min_size=1, max_size=20))
+def test_murmur3_batch_matches_scalar(parts_list):
+    """The numpy-vectorized batch hasher must be bit-identical to the
+    scalar murmur3_id across arbitrary lengths (block boundaries, empty
+    strings, multi-byte UTF-8) — the frozen gold checksums depend on it."""
+    from pikes_spark.functions.hashing import murmur3_ids_batch
+    keys = [chr(0).join(["", s]).encode("utf-8", "surrogatepass")
+            for s in parts_list]
+    assert murmur3_ids_batch(keys) == [murmur3_id(["", s]) for s in parts_list]
+
+
+def test_murmur3_batch_block_boundaries():
+    from pikes_spark.functions.hashing import murmur3_ids_batch
+    cases = ["x" * n for n in (0, 1, 7, 8, 9, 15, 16, 17, 23, 24, 31, 32, 33,
+                               47, 48, 63, 64, 65, 127, 128, 129)]
+    keys = [c.encode() for c in cases]
+    import struct
+    from pikes_spark.functions.hashing import murmur3_x64_128, _B64
+    def scalar_render(b):
+        h1, h2 = murmur3_x64_128(b)
+        v = (h1 << 64) | h2
+        return "".join(_B64[(v >> (6 * i)) & 63] for i in range(22))
+    assert murmur3_ids_batch(keys) == [scalar_render(k) for k in keys]
+
+
 def test_fingerprint_matches_sql_definition():
     # acc = (acc*131 + ord(ch)) % 1e9+7
     assert fingerprint("") == 0
