@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pikes_spark.sources.pages import pages_from_documents, PAGES_ORACLE_CTE
 from pikes_spark.operators.annotate import (
     annotate_pages, distill_annotations, extract_pages_text, pages_to_triples)
-from pikes_spark.operators import textstats, dedup, similarity, events
+from pikes_spark.operators import textstats, dedup, similarity, events, kgquery
 from pikes_spark.operators.linking import candidates_df, link_entities
 from pikes_spark.operators.canonicalize import canonicalize_triples
 
@@ -252,6 +252,35 @@ def _q_compaction(spark, sf_dir):
             .orderBy("component"))
 
 
+GOLD_SPARQL = """
+PREFIX sem: <http://semanticweb.cs.vu.nl/2009/11/sem/>
+PREFIX nwr: <http://www.newsreader-project.eu/ontologies/>
+PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+SELECT DISTINCT ?event ?actor ?name WHERE {
+  ?event sem:hasActor ?actor .
+  ?event rdf:type sem:Event .
+  ?actor rdf:type nwr:PERSON .
+  ?actor foaf:name ?name .
+}
+ORDER BY ?event ?actor ?name
+"""
+
+
+def _q_sparql_rel(spark, sf_dir):
+    """SPARQL BGP compiler over a relational triple view — semantic
+    oracle: DuckDB runs the same BGP as explicit SQL joins
+    (kgquery.SPARQL_REL_SQL), two independent formulations."""
+    return kgquery.sparql_query(kgquery.rel_triples(spark, sf_dir),
+                                kgquery.REL_BGP)
+
+
+def _q_sparql_gold(spark, sf_dir):
+    """SPARQL BGP over the engine's own gold KG: events with PERSON
+    actors and their foaf:names — a 4-pattern join through the triple
+    table, value-checked against frozen expectations."""
+    return kgquery.sparql_query(_gold_triples(spark), GOLD_SPARQL)
+
+
 def _q_media(spark, sf_dir):
     from pikes_spark.operators.multimodal import synthetic_media, extract_features
     feats = extract_features(synthetic_media(spark, 64))
@@ -354,6 +383,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_gold_triples": _q_gold_triples,
         "kg_gold_canonicalize": _q_gold_canonicalize,
         "kg_gold_compaction": _q_gold_compaction,
+        "kg_sparql_rel": _q_sparql_rel,
+        "kg_sparql_gold": _q_sparql_gold,
         # text analysis
         "txt_token_counts": textstats.token_counts,
         "txt_lang_id": textstats.lang_id,
@@ -490,6 +521,10 @@ def oracle_sql() -> dict[str, str]:
         "kg_gold_compaction": _gold_triples_values_sql(
             "EXPECTED_COMPACTION_STATS", ["component", "n", "n_graphs"],
             order="component"),
+        "kg_sparql_rel": kgquery.SPARQL_REL_SQL,
+        "kg_sparql_gold": _gold_triples_values_sql(
+            "EXPECTED_SPARQL_GOLD", ["event", "actor", "name"],
+            order="event, actor, name"),
         "txt_token_counts": textstats.TOKEN_COUNTS_SQL,
         "txt_lang_id": textstats.LANG_ID_SQL,
         "txt_quality": textstats.QUALITY_SQL,

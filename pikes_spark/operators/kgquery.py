@@ -1,0 +1,429 @@
+"""SPARQL basic-graph-pattern queries over the materialized triple table.
+
+The reference emits RDF that users query downstream with SPARQL (its
+TQL/Turtle dumps feed triple stores; cf. SURVEY §2.1 S4). This module
+closes that loop inside the engine: a small SPARQL subset —
+PREFIX, SELECT [DISTINCT], WHERE { triple patterns + FILTER },
+ORDER BY, LIMIT — compiled straight to DataFrame operations over the
+(subject, predicate, object) table the distiller materializes.
+
+Spark-first compilation:
+- each triple pattern becomes a filtered projection of the triple
+  scan — constant terms turn into equality predicates that Catalyst
+  pushes down to the parquet scan (PushedFilters), variables become
+  column aliases;
+- shared variables between patterns become equi-join keys (shuffle
+  hash join; AQE picks broadcast when one side is small at runtime).
+  Patterns are joined most-constrained-first (more constants = more
+  selective) so intermediate results stay small without a cost model;
+- a pattern whose predicate AND object are constants is a
+  high-selectivity dimension probe: it is explicitly broadcast()
+  so a 10^12-triple join plan never shuffles the big side on it;
+- FILTER expressions apply as soon as all their variables are bound.
+
+No driver-side evaluation: the query plan is fully declarative, so a
+BGP over a 100 TB triple table distributes exactly like any relational
+join DAG.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Optional, Tuple
+
+from pyspark.sql import DataFrame, functions as F
+
+
+class SparqlError(ValueError):
+    pass
+
+
+_TERM_RE = re.compile(
+    r"""\s*(?:
+        (?P<var>\?[A-Za-z_][A-Za-z0-9_]*)
+      | (?P<iri><[^>\s]+>)
+      | (?P<pname>[A-Za-z_][A-Za-z0-9_.-]*:[A-Za-z0-9_.%-]*)
+      | (?P<lit>"(?:[^"\\]|\\.)*")
+      | (?P<num>-?\d+(?:\.\d+)?)
+      | (?P<a>\ba\b)
+    )\s*""",
+    re.VERBOSE,
+)
+
+_DEFAULT_PREFIXES = {
+    "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+    "rdfs": "http://www.w3.org/2000/01/rdf-schema#",
+    "owl": "http://www.w3.org/2002/07/owl#",
+    "xsd": "http://www.w3.org/2001/XMLSchema#",
+}
+
+
+class _Term:
+    __slots__ = ("kind", "value")
+
+    def __init__(self, kind: str, value: str):
+        self.kind = kind    # 'var' | 'iri' | 'lit'
+        self.value = value  # var name without '?', absolute IRI, or literal text
+
+
+def _parse_term(tok: str, prefixes: Dict[str, str]) -> _Term:
+    m = _TERM_RE.match(tok)
+    if not m or m.end() != len(tok):
+        raise SparqlError(f"bad term: {tok!r}")
+    if m.group("var"):
+        return _Term("var", m.group("var")[1:])
+    if m.group("iri"):
+        return _Term("iri", m.group("iri")[1:-1])
+    if m.group("a"):
+        return _Term("iri", _DEFAULT_PREFIXES["rdf"] + "type")
+    if m.group("pname"):
+        pfx, local = m.group("pname").split(":", 1)
+        if pfx not in prefixes:
+            raise SparqlError(f"unknown prefix: {pfx}")
+        return _Term("iri", prefixes[pfx] + local)
+    if m.group("lit"):
+        return _Term("lit", re.sub(r"\\(.)", r"\1", m.group("lit")[1:-1]))
+    return _Term("lit", m.group("num"))
+
+
+_FILTER_RE = re.compile(
+    r"""^(?:
+        regex\(\s*\?(?P<rvar>\w+)\s*,\s*"(?P<rpat>(?:[^"\\]|\\.)*)"\s*\)
+      | \?(?P<lvar>\w+)\s*(?P<op>!=|<=|>=|=|<|>)\s*(?P<rhs>.+)
+    )$""",
+    re.VERBOSE,
+)
+
+
+def _split_patterns(body: str) -> List[str]:
+    """Split the WHERE body on '.' separators that sit outside quotes
+    and outside <IRI> brackets (IRIs and literals may contain dots)."""
+    parts: List[str] = []
+    buf: List[str] = []
+    in_quote = in_iri = False
+    i = 0
+    while i < len(body):
+        ch = body[i]
+        if in_quote:
+            buf.append(ch)
+            if ch == "\\" and i + 1 < len(body):
+                buf.append(body[i + 1])
+                i += 1
+            elif ch == '"':
+                in_quote = False
+        elif in_iri:
+            buf.append(ch)
+            if ch == ">":
+                in_iri = False
+        elif ch == '"':
+            in_quote = True
+            buf.append(ch)
+        elif ch == "<":
+            in_iri = True
+            buf.append(ch)
+        elif ch == ".":
+            nxt = body[i + 1] if i + 1 < len(body) else " "
+            if nxt.isspace() or nxt == "}" or i + 1 == len(body):
+                parts.append("".join(buf))
+                buf = []
+            else:
+                buf.append(ch)
+        else:
+            buf.append(ch)
+        i += 1
+    parts.append("".join(buf))
+    return [p.strip() for p in parts if p.strip()]
+
+
+class SparqlQuery:
+    """Parsed representation of the supported SPARQL subset."""
+
+    def __init__(self, text: str):
+        self.prefixes = dict(_DEFAULT_PREFIXES)
+        self.distinct = False
+        self.projection: List[str] = []
+        self.patterns: List[Tuple[_Term, _Term, _Term]] = []
+        self.filters: List[str] = []
+        self.order_by: List[Tuple[str, bool]] = []  # (var, descending)
+        self.limit: Optional[int] = None
+        self._parse(text)
+
+    def _parse(self, text: str) -> None:
+        text = text.strip()
+        for m in re.finditer(r"PREFIX\s+(\w+):\s*<([^>]*)>", text, re.I):
+            self.prefixes[m.group(1)] = m.group(2)
+        m = re.search(
+            r"SELECT\s+(DISTINCT\s+)?(?P<proj>.*?)\s*WHERE\s*\{(?P<body>.*)\}"
+            r"\s*(?P<tail>[^}]*)$",
+            text, re.I | re.S)
+        if not m:
+            raise SparqlError("expected SELECT ... WHERE { ... }")
+        self.distinct = bool(m.group(1))
+        proj = m.group("proj").strip()
+        if proj == "*":
+            self.projection = []
+        else:
+            self.projection = [v[1:] for v in re.findall(r"\?\w+", proj)]
+            if not self.projection:
+                raise SparqlError(f"bad projection: {proj!r}")
+        for part in _split_patterns(m.group("body")):
+            fm = re.match(r"FILTER\s*\((?P<e>.*)\)\s*$", part, re.I | re.S)
+            if fm:
+                self.filters.append(fm.group("e").strip())
+                continue
+            toks: List[_Term] = []
+            pos = 0
+            while pos < len(part):
+                tm = _TERM_RE.match(part, pos)
+                if not tm:
+                    raise SparqlError(f"bad triple pattern: {part!r}")
+                toks.append(_parse_term(part[tm.start(): tm.end()].strip(),
+                                        self.prefixes))
+                pos = tm.end()
+            if len(toks) != 3:
+                raise SparqlError(f"pattern needs 3 terms: {part!r}")
+            self.patterns.append((toks[0], toks[1], toks[2]))
+        tail = m.group("tail") or ""
+        om = re.search(r"ORDER\s+BY\s+(?P<keys>.+?)(?:LIMIT|$)", tail, re.I | re.S)
+        if om:
+            for km in re.finditer(r"(DESC|ASC)?\s*\(?\s*\?(\w+)\s*\)?", om.group("keys"), re.I):
+                self.order_by.append((km.group(2),
+                                      (km.group(1) or "").upper() == "DESC"))
+        lm = re.search(r"LIMIT\s+(\d+)", tail, re.I)
+        if lm:
+            self.limit = int(lm.group(1))
+        if not self.patterns:
+            raise SparqlError("empty WHERE clause")
+
+
+def _pattern_df(triples: DataFrame, pat: Tuple[_Term, _Term, _Term],
+                idx: int) -> Tuple[DataFrame, Dict[str, str]]:
+    """One triple pattern -> filtered projection; returns (df, var->col)."""
+    s, p, o = pat
+    df = triples
+    binds: Dict[str, str] = {}
+    first_col: Dict[str, str] = {}  # var -> source column of first use
+    cols = []
+    for term, col in ((s, "subject"), (p, "predicate"), (o, "object")):
+        if term.kind == "var":
+            if term.value in binds:  # repeated var within one pattern
+                df = df.filter(F.col(col) == F.col(first_col[term.value]))
+            else:
+                alias = f"_v{idx}_{term.value}"
+                binds[term.value] = alias
+                first_col[term.value] = col
+                cols.append(F.col(col).alias(alias))
+        elif term.kind == "iri":
+            df = df.filter(F.col(col) == term.value)
+            if col == "object" and "object_is_literal" in triples.columns:
+                df = df.filter(~F.col("object_is_literal"))
+        else:  # literal
+            df = df.filter(F.col(col) == term.value)
+            if col == "object" and "object_is_literal" in triples.columns:
+                df = df.filter(F.col("object_is_literal"))
+    out = df.select(*cols) if cols else df.select(F.lit(1).alias(f"_m{idx}"))
+    n_const = 3 - len(binds)
+    if n_const >= 2:
+        # predicate+object (or subject+...) both fixed: a dimension-probe
+        # sized result — broadcast so the big fact side never shuffles
+        out = F.broadcast(out)
+    return out, binds
+
+
+def _filter_expr(expr: str, bound: Dict[str, str], prefixes: Dict[str, str]):
+    m = _FILTER_RE.match(expr.strip())
+    if not m:
+        raise SparqlError(f"unsupported FILTER: {expr!r}")
+    if m.group("rvar"):
+        var = m.group("rvar")
+        if var not in bound:
+            return None
+        return F.col(bound[var]).rlike(m.group("rpat"))
+    lvar = m.group("lvar")
+    if lvar not in bound:
+        return None
+    lhs = F.col(bound[lvar])
+    rhs_txt = m.group("rhs").strip()
+    if rhs_txt.startswith("?"):
+        rv = rhs_txt[1:]
+        if rv not in bound:
+            return None
+        rhs = F.col(bound[rv])
+    else:
+        t = _parse_term(rhs_txt, prefixes)
+        rhs = F.lit(t.value)
+    op = m.group("op")
+    return {"=": lhs == rhs, "!=": lhs != rhs, "<": lhs < rhs,
+            ">": lhs > rhs, "<=": lhs <= rhs, ">=": lhs >= rhs}[op]
+
+
+def sparql_query(triples: DataFrame, query: str) -> DataFrame:
+    """Run a SPARQL BGP query against a triple DataFrame with columns
+    (subject, predicate, object[, object_is_literal]).
+
+    Returns a DataFrame with one column per projected variable."""
+    q = SparqlQuery(query)
+    # greedy connected ordering: seed with the most-constrained pattern,
+    # then always extend with a pattern sharing a bound variable (most
+    # constants wins among candidates) — a cross join only happens when
+    # the BGP itself is disconnected
+    def n_const(i: int) -> int:
+        return sum(t.kind != "var" for t in q.patterns[i])
+
+    def pat_vars(i: int) -> set:
+        return {t.value for t in q.patterns[i] if t.kind == "var"}
+
+    remaining = sorted(range(len(q.patterns)), key=lambda i: (-n_const(i), i))
+    order: List[int] = []
+    seen_vars: set = set()
+    while remaining:
+        connected = [i for i in remaining if pat_vars(i) & seen_vars]
+        nxt = connected[0] if connected else remaining[0]
+        remaining.remove(nxt)
+        order.append(nxt)
+        seen_vars |= pat_vars(nxt)
+    acc: Optional[DataFrame] = None
+    bound: Dict[str, str] = {}
+    pending = list(q.filters)
+    for i in order:
+        df, binds = _pattern_df(triples, q.patterns[i], i)
+        if acc is None:
+            acc = df
+            bound.update(binds)
+        else:
+            shared = [(bound[v], binds[v]) for v in binds if v in bound]
+            if shared:
+                cond = None
+                for a, b in shared:
+                    c = F.col(a) == F.col(b)
+                    cond = c if cond is None else (cond & c)
+                acc = acc.join(df, cond)
+                acc = acc.drop(*[b for _, b in shared])
+                for v in binds:
+                    if v not in bound:
+                        bound[v] = binds[v]
+            else:
+                acc = acc.crossJoin(df)
+                bound.update(binds)
+        # apply any filter whose variables are now all bound
+        still: List[str] = []
+        for fx in pending:
+            cond = _filter_expr(fx, bound, q.prefixes)
+            if cond is None:
+                still.append(fx)
+            else:
+                acc = acc.filter(cond)
+        pending = still
+    if pending:
+        raise SparqlError(f"FILTER uses unbound variable: {pending[0]!r}")
+    assert acc is not None
+    proj = q.projection or sorted(bound)
+    missing = [v for v in proj if v not in bound]
+    if missing:
+        raise SparqlError(f"projected variable never bound: ?{missing[0]}")
+    out = acc.select(*[F.col(bound[v]).alias(v) for v in proj])
+    if q.distinct:
+        out = out.distinct()
+    if q.order_by:
+        keys = [F.col(v).desc() if d else F.col(v).asc()
+                for v, d in q.order_by if v in bound]
+        out = out.orderBy(*keys)
+    if q.limit is not None:
+        out = out.limit(q.limit)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Relational-view triple derivation (driver oracle surface)
+# ---------------------------------------------------------------------------
+# A deterministic triple view over the TPC-H-ish tables lets DuckDB
+# compute the SAME BGP as explicit SQL joins — a semantic oracle (two
+# independent engines, two independent formulations), unlike the
+# frozen-checksum oracles the rule-NLP queries need.
+
+_EX = "http://example.org/"
+
+REL_TRIPLES_SQL = f"""
+    SELECT 'cust:' || c_custkey AS subject,
+           '{_EX}inNation' AS predicate,
+           'nat:' || c_nationkey AS object, FALSE AS object_is_literal
+    FROM customer
+    UNION ALL
+    SELECT 'nat:' || n_nationkey, '{_EX}inRegion', 'reg:' || n_regionkey, FALSE
+    FROM nation
+    UNION ALL
+    SELECT 'nat:' || n_nationkey, '{_EX}name', n_name, TRUE FROM nation
+    UNION ALL
+    SELECT 'reg:' || r_regionkey, '{_EX}name', r_name, TRUE FROM region
+    UNION ALL
+    SELECT 'cust:' || c_custkey, '{_EX}segment', c_mktsegment, TRUE
+    FROM customer
+"""
+
+
+def rel_triples(spark, sf_dir: str) -> DataFrame:
+    """Materialize the relational triple view in Spark (same derivation
+    as REL_TRIPLES_SQL runs in DuckDB)."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    ex = _EX
+    t1 = c.select(F.concat(F.lit("cust:"), "c_custkey").alias("subject"),
+                  F.lit(ex + "inNation").alias("predicate"),
+                  F.concat(F.lit("nat:"), "c_nationkey").alias("object"),
+                  F.lit(False).alias("object_is_literal"))
+    t2 = n.select(F.concat(F.lit("nat:"), "n_nationkey").alias("subject"),
+                  F.lit(ex + "inRegion").alias("predicate"),
+                  F.concat(F.lit("reg:"), "n_regionkey").alias("object"),
+                  F.lit(False).alias("object_is_literal"))
+    t3 = n.select(F.concat(F.lit("nat:"), "n_nationkey").alias("subject"),
+                  F.lit(ex + "name").alias("predicate"),
+                  F.col("n_name").alias("object"),
+                  F.lit(True).alias("object_is_literal"))
+    t4 = r.select(F.concat(F.lit("reg:"), "r_regionkey").alias("subject"),
+                  F.lit(ex + "name").alias("predicate"),
+                  F.col("r_name").alias("object"),
+                  F.lit(True).alias("object_is_literal"))
+    t5 = c.select(F.concat(F.lit("cust:"), "c_custkey").alias("subject"),
+                  F.lit(ex + "segment").alias("predicate"),
+                  F.col("c_mktsegment").alias("object"),
+                  F.lit(True).alias("object_is_literal"))
+    return t1.unionAll(t2).unionAll(t3).unionAll(t4).unionAll(t5)
+
+
+# the driver BGP: customers in the AMERICA region with BUILDING
+# segment, joined through nation, nation name projected — 4 patterns,
+# 2 of them broadcast dimension probes, 1 literal FILTER
+REL_BGP = """
+PREFIX ex: <http://example.org/>
+SELECT ?cust ?nname WHERE {
+  ?cust ex:inNation ?nat .
+  ?cust ex:segment "BUILDING" .
+  ?nat ex:inRegion ?reg .
+  ?reg ex:name "AMERICA" .
+  ?nat ex:name ?nname .
+  FILTER (?nname != "CANADA")
+}
+ORDER BY ?cust LIMIT 500
+"""
+
+SPARQL_REL_SQL = f"""
+    WITH triples AS ({REL_TRIPLES_SQL}),
+    p1 AS (SELECT subject AS cust, object AS nat FROM triples
+           WHERE predicate = '{_EX}inNation'),
+    p2 AS (SELECT subject AS cust FROM triples
+           WHERE predicate = '{_EX}segment' AND object = 'BUILDING'
+             AND object_is_literal),
+    p3 AS (SELECT subject AS nat, object AS reg FROM triples
+           WHERE predicate = '{_EX}inRegion'),
+    p4 AS (SELECT subject AS reg FROM triples
+           WHERE predicate = '{_EX}name' AND object = 'AMERICA'
+             AND object_is_literal),
+    p5 AS (SELECT subject AS nat, object AS nname FROM triples
+           WHERE predicate = '{_EX}name' AND object_is_literal)
+    SELECT p1.cust, p5.nname
+    FROM p1 JOIN p2 USING (cust) JOIN p3 USING (nat)
+            JOIN p4 USING (reg) JOIN p5 ON p5.nat = p1.nat
+    WHERE p5.nname <> 'CANADA'
+    ORDER BY p1.cust LIMIT 500
+"""

@@ -1,0 +1,165 @@
+"""SPARQL BGP compiler (operators/kgquery): parser, join semantics,
+filters, and plan shape."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pikes_spark.operators.kgquery import (
+    SparqlError, SparqlQuery, sparql_query)
+
+
+TRIPLES = [
+    # (subject, predicate, object, object_is_literal)
+    ("e:ev1", "sem:hasActor", "e:alice", False),
+    ("e:ev1", "rdf:type", "sem:Event", False),
+    ("e:ev2", "sem:hasActor", "e:bob", False),
+    ("e:ev2", "sem:hasActor", "e:alice", False),
+    ("e:ev2", "rdf:type", "sem:Event", False),
+    ("e:ev3", "sem:hasActor", "e:carol", False),   # not typed Event
+    ("e:alice", "foaf:name", "Alice", True),
+    ("e:bob", "foaf:name", "Bob", True),
+    ("e:alice", "rdf:type", "nwr:PERSON", False),
+    ("e:bob", "rdf:type", "nwr:PERSON", False),
+    # literal with same text as an IRI object, to test the
+    # literal/IRI distinction
+    ("e:x", "p:val", "sem:Event", True),
+    ("e:loop", "p:self", "e:loop", False),
+]
+
+PFX = """PREFIX sem: <sem:>
+PREFIX rdf: <rdf:>
+PREFIX foaf: <foaf:>
+PREFIX nwr: <nwr:>
+PREFIX p: <p:>
+PREFIX e: <e:>
+"""
+
+
+@pytest.fixture(scope="module")
+def triples(spark):
+    return spark.createDataFrame(
+        TRIPLES, "subject string, predicate string, object string, "
+                 "object_is_literal boolean")
+
+
+def q(triples_df, text):
+    return [tuple(r) for r in sparql_query(triples_df, PFX + text).collect()]
+
+
+def test_parse_rejects_garbage():
+    with pytest.raises(SparqlError):
+        SparqlQuery("FNORD ?x WHERE { ?x ?y ?z }")
+    with pytest.raises(SparqlError):
+        SparqlQuery("SELECT ?x WHERE { }")
+    with pytest.raises(SparqlError):
+        SparqlQuery("SELECT ?x WHERE { ?x unknownpfx:p ?y . }")
+
+
+def test_single_pattern_constant_predicate(triples):
+    rows = q(triples, "SELECT ?s ?o WHERE { ?s sem:hasActor ?o . } "
+                      "ORDER BY ?s ?o")
+    assert rows == [("e:ev1", "e:alice"), ("e:ev2", "e:alice"),
+                    ("e:ev2", "e:bob"), ("e:ev3", "e:carol")]
+
+
+def test_join_on_shared_variable(triples):
+    rows = q(triples, """SELECT ?ev ?a WHERE {
+        ?ev sem:hasActor ?a .
+        ?ev rdf:type sem:Event .
+    } ORDER BY ?ev ?a""")
+    # ev3 drops: not typed Event
+    assert rows == [("e:ev1", "e:alice"), ("e:ev2", "e:alice"),
+                    ("e:ev2", "e:bob")]
+
+
+def test_three_hop_join_with_literal_object(triples):
+    rows = q(triples, """SELECT ?ev ?name WHERE {
+        ?ev sem:hasActor ?a .
+        ?a rdf:type nwr:PERSON .
+        ?a foaf:name ?name .
+    } ORDER BY ?ev ?name""")
+    assert rows == [("e:ev1", "Alice"), ("e:ev2", "Alice"),
+                    ("e:ev2", "Bob")]
+
+
+def test_literal_vs_iri_distinction(triples):
+    # quoted "sem:Event" matches ONLY the literal row
+    rows = q(triples, 'SELECT ?s WHERE { ?s p:val "sem:Event" . }')
+    assert rows == [("e:x",)]
+    # IRI sem:Event as object matches only non-literal rows
+    rows = q(triples, "SELECT ?s WHERE { ?s rdf:type sem:Event . } ORDER BY ?s")
+    assert rows == [("e:ev1",), ("e:ev2",)]
+
+
+def test_repeated_variable_in_one_pattern(triples):
+    rows = q(triples, "SELECT ?x WHERE { ?x p:self ?x . }")
+    assert rows == [("e:loop",)]
+
+
+def test_filter_neq_and_regex(triples):
+    rows = q(triples, """SELECT ?ev ?a WHERE {
+        ?ev sem:hasActor ?a .
+        FILTER (?a != e:alice)
+    } ORDER BY ?ev""")
+    assert rows == [("e:ev2", "e:bob"), ("e:ev3", "e:carol")]
+    rows = q(triples, """SELECT ?a WHERE {
+        ?a foaf:name ?n .
+        FILTER (regex(?n, "^A"))
+    }""")
+    assert rows == [("e:alice",)]
+
+
+def test_filter_unbound_variable_raises(triples):
+    with pytest.raises(SparqlError):
+        sparql_query(triples, PFX + "SELECT ?s WHERE { ?s foaf:name ?n . "
+                                    "FILTER (?missing != ?n) }")
+
+
+def test_distinct_and_limit(triples):
+    rows = q(triples, "SELECT DISTINCT ?a WHERE { ?ev sem:hasActor ?a . } "
+                      "ORDER BY ?a LIMIT 2")
+    assert rows == [("e:alice",), ("e:bob",)]
+
+
+def test_projection_unbound_raises(triples):
+    with pytest.raises(SparqlError):
+        sparql_query(triples, PFX + "SELECT ?nope WHERE { ?s foaf:name ?n . }")
+
+
+def test_disconnected_bgp_cross_joins(triples):
+    # disconnected patterns are legal SPARQL: cartesian of both match sets
+    rows = q(triples, """SELECT ?n1 ?n2 WHERE {
+        e:alice foaf:name ?n1 .
+        e:bob foaf:name ?n2 .
+    }""")
+    assert rows == [("Alice", "Bob")]
+
+
+def test_connected_bgp_plan_has_no_cartesian(triples):
+    """Greedy connected ordering: a chain BGP must compile to equi-joins
+    only, even when the most-constrained patterns don't share vars."""
+    plan = sparql_query(triples, PFX + """SELECT ?ev ?name WHERE {
+        ?ev rdf:type sem:Event .
+        ?a rdf:type nwr:PERSON .
+        ?ev sem:hasActor ?a .
+        ?a foaf:name ?name .
+    }""")._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_rel_bgp_matches_duckdb(spark):
+    """Semantic oracle: the compiled BGP over the relational triple view
+    equals DuckDB's explicit-join formulation of the same query."""
+    import duckdb
+
+    from pikes_spark.operators.kgquery import (
+        REL_BGP, SPARQL_REL_SQL, rel_triples)
+    sf_dir = "/root/testdata/sf0.001"
+    out = sparql_query(rel_triples(spark, sf_dir), REL_BGP)
+    got = [tuple(r) for r in out.collect()]
+    con = duckdb.connect()
+    for tab in ("customer", "nation", "region"):
+        con.sql(f"CREATE VIEW {tab} AS SELECT * "
+                f"FROM '{sf_dir}/{tab}.parquet'")
+    assert got == [tuple(r) for r in con.sql(SPARQL_REL_SQL).fetchall()]
