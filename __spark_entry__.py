@@ -19,7 +19,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pikes_spark.sources.pages import pages_from_documents, PAGES_ORACLE_CTE
 from pikes_spark.operators.annotate import (
     annotate_pages, distill_annotations, extract_pages_text, pages_to_triples)
-from pikes_spark.operators import textstats, dedup, similarity, events, kgquery
+from pikes_spark.operators import (
+    textstats, dedup, similarity, events, kgquery, graph)
 from pikes_spark.operators.linking import candidates_df, link_entities
 from pikes_spark.operators.canonicalize import canonicalize_triples
 
@@ -390,6 +391,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_lang_id": textstats.lang_id,
         "txt_quality": textstats.quality_scores,
         "txt_fingerprint": textstats.fingerprints,
+        "txt_top_terms": textstats.top_terms,
+        "txt_postings": textstats.postings,
+        "kg_bfs_reach": graph.bfs_reach,
         # dedup family
         "dedup_exact": dedup.exact_duplicates,
         # ngram_jaccard is the exact all-pairs VERIFIER/oracle path —
@@ -529,6 +533,9 @@ def oracle_sql() -> dict[str, str]:
         "txt_lang_id": textstats.LANG_ID_SQL,
         "txt_quality": textstats.QUALITY_SQL,
         "txt_fingerprint": textstats.FINGERPRINT_SQL,
+        "txt_top_terms": textstats.TOP_TERMS_SQL,
+        "txt_postings": textstats.POSTINGS_SQL,
+        "kg_bfs_reach": graph.BFS_REACH_SQL,
         "dedup_exact": dedup.EXACT_DUP_SQL,
         "dedup_ngram_jaccard": dedup.NGRAM_JACCARD_SQL,
         # LSH candidates are exact-Jaccard verified, so output ⊆ exact set

@@ -1,0 +1,107 @@
+"""Iterative graph traversal over DataFrame edge lists.
+
+The north-star design calls for "iterative DataFrame self-join with
+checkpointed frontiers" (BASELINE.json); canonicalize.py uses that
+pattern for connected components — this module exposes it as a
+general operator: multi-source BFS hop distances over an edge table.
+
+Scale design (100 TB / 10^12-edge graph):
+- one shuffle join per hop (frontier ⋈ edges on src), frontier and
+  visited set partitioned by node id;
+- the visited set is maintained with a left-anti join, so each node
+  enters the frontier exactly once (first arrival = minimal hop count
+  — BFS invariant), keeping frontier size monotone in reachable-set
+  growth, not path count;
+- localCheckpoint() per hop truncates lineage, the known failure mode
+  of iterative DataFrame jobs (same rationale as canonicalize.py);
+- the only driver-side action per hop is an isEmpty() probe on the
+  new frontier, bounded by max_hops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def bfs_hops(edges: DataFrame, seeds, max_hops: int = 6,
+             src: str = "src", dst: str = "dst",
+             undirected: bool = False) -> DataFrame:
+    """Minimum hop count from any seed to every reachable node.
+
+    edges: DataFrame with columns (src, dst). seeds: list of node ids
+    or a single-column DataFrame. Returns (node, hops), hops = 0 for
+    the seeds themselves, traversal capped at max_hops.
+    """
+    spark = edges.sparkSession
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if undirected:
+        e = e.unionAll(e.select(F.col("dst").alias("src"),
+                                F.col("src").alias("dst")))
+    e = e.distinct()
+    if isinstance(seeds, DataFrame):
+        frontier = seeds.toDF("node").distinct()
+    else:
+        node_type = dict(e.dtypes)["src"]
+        frontier = spark.createDataFrame(
+            [(s,) for s in seeds], f"node {node_type}").distinct()
+    frontier = frontier.withColumn("hops", F.lit(0))
+    visited = frontier.localCheckpoint()
+    frontier = visited
+    for h in range(1, max_hops + 1):
+        nxt = (frontier.join(e, frontier.node == e.src)
+               .select(F.col("dst").alias("node"))
+               .distinct()
+               .join(visited, "node", "left_anti")
+               .withColumn("hops", F.lit(h))
+               .localCheckpoint())
+        if nxt.isEmpty():
+            break
+        visited = visited.unionAll(nxt).localCheckpoint()
+        frontier = nxt
+    return visited
+
+
+# ---------------------------------------------------------------------------
+# Driver surface: deterministic graph derived from the orders table
+# ---------------------------------------------------------------------------
+# nodes = residues mod 997, edges custkey->orderkey residues: an
+# arbitrary sparse digraph whose BFS the oracle recomputes with a
+# recursive CTE (UNION recursion = per-iteration dedup, so the oracle
+# is path-explosion-safe).
+
+_MOD = 997
+_SEED = 0
+_MAX_HOPS = 4
+
+
+def orders_graph(spark, sf_dir: str) -> DataFrame:
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (o.select((F.col("o_custkey") % _MOD).alias("src"),
+                     (F.col("o_orderkey") % _MOD).alias("dst"))
+            .distinct())
+
+
+def bfs_reach(spark, sf_dir: str) -> DataFrame:
+    """Driver query: hop distances from node 0 over the orders-derived
+    digraph, ≤ 4 hops."""
+    out = bfs_hops(orders_graph(spark, sf_dir), [_SEED], max_hops=_MAX_HOPS)
+    return (out.select(F.col("node").cast("bigint").alias("node"),
+                       F.col("hops").cast("bigint").alias("hops"))
+            .orderBy("node"))
+
+
+BFS_REACH_SQL = f"""
+    WITH RECURSIVE edges AS (
+      SELECT DISTINCT o_custkey % {_MOD} AS src, o_orderkey % {_MOD} AS dst
+      FROM orders
+    ),
+    bfs (node, dist) AS (
+      SELECT CAST({_SEED} AS BIGINT) AS node, 0 AS dist
+      UNION
+      SELECT e.dst, b.dist + 1
+      FROM bfs b JOIN edges e ON e.src = b.node
+      WHERE b.dist < {_MAX_HOPS}
+    )
+    SELECT node, CAST(MIN(dist) AS BIGINT) AS hops
+    FROM bfs GROUP BY node ORDER BY node
+"""

@@ -160,3 +160,88 @@ SELECT doc_id,
                    (acc, ch) -> (acc * {FP_BASE} + ch) % {FP_MOD}) AS fp
 FROM documents ORDER BY doc_id
 """
+
+def top_terms(spark: SparkSession, sf_dir: str, k: int = 3,
+              min_len: int = 4) -> DataFrame:
+    """Per-document top-k distinguishing terms, tf-idf-style but with
+    EXACT integer semantics so two engines agree bit-for-bit: rank by
+    term frequency DESC, then document frequency ASC (rarer term wins
+    the tie — the idf signal), then term ASC.
+
+    Plan shape (scale): one explode + two shuffles — partial-aggregated
+    groupBy (doc_id, term) for tf, a window over term for df (df could
+    equivalently come from a term-level aggregate + shuffle join; the
+    window reuses the same exchange), then the per-doc top-k window.
+    All JVM-side; no Python."""
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = (docs.select("doc_id", F.explode(
+        F.split(F.lower("text"), "[^a-z]+")).alias("term"))
+        .filter(F.length("term") >= min_len))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_w = Window.partitionBy("term")
+    rank_w = (Window.partitionBy("doc_id")
+              .orderBy(F.desc("tf"), F.asc("df"), F.asc("term")))
+    return (tf.withColumn("df", F.count("*").over(df_w))
+            .withColumn("rn", F.row_number().over(rank_w))
+            .filter(F.col("rn") <= k)
+            .select("doc_id", F.col("rn").cast("bigint").alias("rn"),
+                    "term", "tf", "df")
+            .orderBy("doc_id", "rn"))
+
+
+TOP_TERMS_SQL = """
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM documents,
+       unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS t(term)
+  WHERE length(t.term) >= 4
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+), dfc AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), ranked AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfc.df,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf DESC, dfc.df ASC, tf.term ASC) AS rn
+  FROM tf JOIN dfc USING (term)
+)
+SELECT doc_id, CAST(rn AS BIGINT) AS rn, term, tf, df
+FROM ranked WHERE rn <= 3 ORDER BY doc_id, rn
+"""
+
+
+def postings(spark: SparkSession, sf_dir: str, min_len: int = 4) -> DataFrame:
+    """Inverted index: every term with its document frequency and the
+    full sorted posting list, comma-joined so the value oracle is
+    exact. One explode + distinct + one groupBy(term) — the standard
+    index-build plan. At web scale a heavy term's posting list must be
+    sharded ((term, bucket) composite key, bucket = doc_id hash band)
+    before the collect_list; the synthetic corpus's vocabulary is tiny
+    and shared (df ≈ 0.8·N for every term), so the unsharded plan is
+    the honest one here and the skew note lives in this docstring."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = (docs.select("doc_id", F.explode(
+        F.split(F.lower("text"), "[^a-z]+")).alias("term"))
+        .filter(F.length("term") >= min_len)
+        .distinct())
+    return (toks.groupBy("term")
+            .agg(F.count("*").alias("df"),
+                 F.array_join(F.array_sort(F.collect_list(
+                     F.col("doc_id").cast("string"))), ",").alias("posting"))
+            .orderBy("term"))
+
+
+POSTINGS_SQL = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, t.term
+  FROM documents,
+       unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS t(term)
+  WHERE length(t.term) >= 4
+)
+SELECT term, count(*) AS df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY CAST(doc_id AS VARCHAR)) AS posting
+FROM toks GROUP BY term
+ORDER BY term
+"""

@@ -1,0 +1,73 @@
+"""BFS frontier operator + inverted-index/top-terms text operators."""
+
+import duckdb
+import pytest
+
+from pikes_spark.operators.graph import (
+    BFS_REACH_SQL, bfs_hops, bfs_reach)
+from pikes_spark.operators import textstats
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def edges(spark):
+    # chain 0->1->2->3, branch 1->4, cycle back 3->0, island 9->10
+    return spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (1, 4), (3, 0), (9, 10)],
+        "src int, dst int")
+
+
+def test_bfs_basic_min_distance(edges):
+    out = {(r.node, r.hops) for r in bfs_hops(edges, [0], max_hops=10).collect()}
+    # cycle 3->0 must not revisit; distances are minimal
+    assert out == {(0, 0), (1, 1), (2, 2), (4, 2), (3, 3)}
+
+
+def test_bfs_hop_cap(edges):
+    out = {(r.node, r.hops) for r in bfs_hops(edges, [0], max_hops=1).collect()}
+    assert out == {(0, 0), (1, 1)}
+
+
+def test_bfs_multi_seed_undirected(edges):
+    out = {(r.node, r.hops)
+           for r in bfs_hops(edges, [10, 4], max_hops=2,
+                             undirected=True).collect()}
+    assert out == {(10, 0), (4, 0), (9, 1), (1, 1), (0, 2), (2, 2)}
+
+
+def test_bfs_seed_dataframe(spark, edges):
+    seeds = spark.createDataFrame([(0,)], "node int")
+    out = {(r.node, r.hops) for r in bfs_hops(edges, seeds, max_hops=1).collect()}
+    assert out == {(0, 0), (1, 1)}
+
+
+def test_bfs_reach_matches_recursive_cte(spark):
+    got = [(r.node, r.hops) for r in bfs_reach(spark, SF).collect()]
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW orders AS SELECT * FROM '{SF}/orders.parquet'")
+    assert got == [tuple(r) for r in con.sql(BFS_REACH_SQL).fetchall()]
+
+
+def _duck():
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    return con
+
+
+def test_top_terms_matches_duckdb(spark):
+    got = [tuple(r) for r in textstats.top_terms(spark, SF).collect()]
+    con = _duck()
+    want = [tuple(r) for r in con.sql(textstats.TOP_TERMS_SQL).fetchall()]
+    assert got == want and len(got) > 0
+
+
+def test_postings_matches_duckdb(spark):
+    got = [tuple(r) for r in textstats.postings(spark, SF).collect()]
+    con = _duck()
+    want = [tuple(r) for r in con.sql(textstats.POSTINGS_SQL).fetchall()]
+    assert got == want and len(got) > 0
+    # posting lists are sorted and df-consistent
+    for term, df, posting in got:
+        ids = posting.split(",")
+        assert len(ids) == df and ids == sorted(ids)
