@@ -3,9 +3,11 @@
 The reference emits RDF that users query downstream with SPARQL (its
 TQL/Turtle dumps feed triple stores; cf. SURVEY §2.1 S4). This module
 closes that loop inside the engine: a small SPARQL subset —
-PREFIX, SELECT [DISTINCT], WHERE { triple patterns + FILTER },
-ORDER BY, LIMIT — compiled straight to DataFrame operations over the
-(subject, predicate, object) table the distiller materializes.
+PREFIX, SELECT [DISTINCT], WHERE { triple patterns + FILTER +
+OPTIONAL { ... } }, ORDER BY, LIMIT — compiled straight to DataFrame
+operations over the (subject, predicate, object) table the distiller
+materializes. OPTIONAL groups become left-outer joins on the shared
+variables (unbound optional vars surface as NULL, SPARQL's unbound).
 
 Spark-first compilation:
 - each triple pattern becomes a filtered projection of the triple
@@ -144,9 +146,33 @@ class SparqlQuery:
         self.projection: List[str] = []
         self.patterns: List[Tuple[_Term, _Term, _Term]] = []
         self.filters: List[str] = []
+        # OPTIONAL groups: each a (patterns, filters) pair, left-joined
+        self.optionals: List[Tuple[List[Tuple[_Term, _Term, _Term]], List[str]]] = []
         self.order_by: List[Tuple[str, bool]] = []  # (var, descending)
         self.limit: Optional[int] = None
         self._parse(text)
+
+    def _parse_group(self, body: str):
+        patterns: List[Tuple[_Term, _Term, _Term]] = []
+        filters: List[str] = []
+        for part in _split_patterns(body):
+            fm = re.match(r"FILTER\s*\((?P<e>.*)\)\s*$", part, re.I | re.S)
+            if fm:
+                filters.append(fm.group("e").strip())
+                continue
+            toks: List[_Term] = []
+            pos = 0
+            while pos < len(part):
+                tm = _TERM_RE.match(part, pos)
+                if not tm:
+                    raise SparqlError(f"bad triple pattern: {part!r}")
+                toks.append(_parse_term(part[tm.start(): tm.end()].strip(),
+                                        self.prefixes))
+                pos = tm.end()
+            if len(toks) != 3:
+                raise SparqlError(f"pattern needs 3 terms: {part!r}")
+            patterns.append((toks[0], toks[1], toks[2]))
+        return patterns, filters
 
     def _parse(self, text: str) -> None:
         text = text.strip()
@@ -166,23 +192,15 @@ class SparqlQuery:
             self.projection = [v[1:] for v in re.findall(r"\?\w+", proj)]
             if not self.projection:
                 raise SparqlError(f"bad projection: {proj!r}")
-        for part in _split_patterns(m.group("body")):
-            fm = re.match(r"FILTER\s*\((?P<e>.*)\)\s*$", part, re.I | re.S)
-            if fm:
-                self.filters.append(fm.group("e").strip())
-                continue
-            toks: List[_Term] = []
-            pos = 0
-            while pos < len(part):
-                tm = _TERM_RE.match(part, pos)
-                if not tm:
-                    raise SparqlError(f"bad triple pattern: {part!r}")
-                toks.append(_parse_term(part[tm.start(): tm.end()].strip(),
-                                        self.prefixes))
-                pos = tm.end()
-            if len(toks) != 3:
-                raise SparqlError(f"pattern needs 3 terms: {part!r}")
-            self.patterns.append((toks[0], toks[1], toks[2]))
+        body = m.group("body")
+
+        def _grab_optional(om2):
+            self.optionals.append(self._parse_group(om2.group(1)))
+            return " "
+
+        body = re.sub(r"OPTIONAL\s*\{([^{}]*)\}", _grab_optional, body,
+                      flags=re.I | re.S)
+        self.patterns, self.filters = self._parse_group(body)
         tail = m.group("tail") or ""
         om = re.search(r"ORDER\s+BY\s+(?P<keys>.+?)(?:LIMIT|$)", tail, re.I | re.S)
         if om:
@@ -257,23 +275,20 @@ def _filter_expr(expr: str, bound: Dict[str, str], prefixes: Dict[str, str]):
             ">": lhs > rhs, "<=": lhs <= rhs, ">=": lhs >= rhs}[op]
 
 
-def sparql_query(triples: DataFrame, query: str) -> DataFrame:
-    """Run a SPARQL BGP query against a triple DataFrame with columns
-    (subject, predicate, object[, object_is_literal]).
-
-    Returns a DataFrame with one column per projected variable."""
-    q = SparqlQuery(query)
-    # greedy connected ordering: seed with the most-constrained pattern,
-    # then always extend with a pattern sharing a bound variable (most
-    # constants wins among candidates) — a cross join only happens when
-    # the BGP itself is disconnected
+def _compile_bgp(triples: DataFrame, patterns, filters, prefixes,
+                 idx_offset: int = 0):
+    """Compile a pattern group to (df, var->col). Greedy connected
+    ordering: seed with the most-constrained pattern, then always
+    extend with a pattern sharing a bound variable (most constants
+    wins among candidates) — a cross join only happens when the group
+    itself is disconnected."""
     def n_const(i: int) -> int:
-        return sum(t.kind != "var" for t in q.patterns[i])
+        return sum(t.kind != "var" for t in patterns[i])
 
     def pat_vars(i: int) -> set:
-        return {t.value for t in q.patterns[i] if t.kind == "var"}
+        return {t.value for t in patterns[i] if t.kind == "var"}
 
-    remaining = sorted(range(len(q.patterns)), key=lambda i: (-n_const(i), i))
+    remaining = sorted(range(len(patterns)), key=lambda i: (-n_const(i), i))
     order: List[int] = []
     seen_vars: set = set()
     while remaining:
@@ -284,9 +299,9 @@ def sparql_query(triples: DataFrame, query: str) -> DataFrame:
         seen_vars |= pat_vars(nxt)
     acc: Optional[DataFrame] = None
     bound: Dict[str, str] = {}
-    pending = list(q.filters)
+    pending = list(filters)
     for i in order:
-        df, binds = _pattern_df(triples, q.patterns[i], i)
+        df, binds = _pattern_df(triples, patterns[i], idx_offset + i)
         if acc is None:
             acc = df
             bound.update(binds)
@@ -308,7 +323,7 @@ def sparql_query(triples: DataFrame, query: str) -> DataFrame:
         # apply any filter whose variables are now all bound
         still: List[str] = []
         for fx in pending:
-            cond = _filter_expr(fx, bound, q.prefixes)
+            cond = _filter_expr(fx, bound, prefixes)
             if cond is None:
                 still.append(fx)
             else:
@@ -316,7 +331,34 @@ def sparql_query(triples: DataFrame, query: str) -> DataFrame:
         pending = still
     if pending:
         raise SparqlError(f"FILTER uses unbound variable: {pending[0]!r}")
-    assert acc is not None
+    return acc, bound
+
+
+def sparql_query(triples: DataFrame, query: str) -> DataFrame:
+    """Run a SPARQL BGP query against a triple DataFrame with columns
+    (subject, predicate, object[, object_is_literal]).
+
+    Returns a DataFrame with one column per projected variable;
+    variables bound only inside an unmatched OPTIONAL come back NULL."""
+    q = SparqlQuery(query)
+    acc, bound = _compile_bgp(triples, q.patterns, q.filters, q.prefixes)
+    off = len(q.patterns)
+    for gpats, gfilters in q.optionals:
+        gdf, gbound = _compile_bgp(triples, gpats, gfilters, q.prefixes,
+                                   idx_offset=off)
+        off += len(gpats)
+        shared = [(bound[v], gbound[v]) for v in gbound if v in bound]
+        if not shared:
+            raise SparqlError(
+                "OPTIONAL group shares no variable with the required part")
+        cond = None
+        for a, b in shared:
+            c = F.col(a) == F.col(b)
+            cond = c if cond is None else (cond & c)
+        acc = acc.join(gdf, cond, "left").drop(*[b for _, b in shared])
+        for v in gbound:
+            if v not in bound:
+                bound[v] = gbound[v]
     proj = q.projection or sorted(bound)
     missing = [v for v in proj if v not in bound]
     if missing:
@@ -426,4 +468,49 @@ SPARQL_REL_SQL = f"""
             JOIN p4 USING (reg) JOIN p5 ON p5.nat = p1.nat
     WHERE p5.nname <> 'CANADA'
     ORDER BY p1.cust LIMIT 500
+"""
+
+# OPTIONAL driver query: Asian nations, each with its MACHINERY
+# customers whose id ends in 7 — nations without one keep a NULL ?cust
+# (the left-join semantics under test)
+REL_BGP_OPTIONAL = """
+PREFIX ex: <http://example.org/>
+SELECT ?nat ?nname ?cust WHERE {
+  ?nat ex:name ?nname .
+  ?nat ex:inRegion ?reg .
+  ?reg ex:name "ASIA" .
+  OPTIONAL {
+    ?cust ex:inNation ?nat .
+    ?cust ex:segment "MACHINERY" .
+    FILTER (regex(?cust, "7$"))
+  }
+}
+ORDER BY ?nname ?cust
+"""
+
+SPARQL_OPTIONAL_SQL = f"""
+    WITH triples AS ({REL_TRIPLES_SQL}),
+    nm AS (SELECT subject AS nat, object AS nname FROM triples
+           WHERE predicate = '{_EX}name' AND object_is_literal),
+    nr AS (SELECT subject AS nat, object AS reg FROM triples
+           WHERE predicate = '{_EX}inRegion'),
+    rn AS (SELECT subject AS reg FROM triples
+           WHERE predicate = '{_EX}name' AND object = 'ASIA'
+             AND object_is_literal),
+    base AS (
+      SELECT nm.nat, nm.nname
+      FROM nm JOIN nr USING (nat) JOIN rn USING (reg)
+    ),
+    opt AS (
+      SELECT cn.subject AS cust, cn.object AS nat
+      FROM triples cn
+      JOIN triples cs ON cs.subject = cn.subject
+                     AND cs.predicate = '{_EX}segment'
+                     AND cs.object = 'MACHINERY' AND cs.object_is_literal
+      WHERE cn.predicate = '{_EX}inNation'
+        AND regexp_matches(cn.subject, '7$')
+    )
+    SELECT b.nat, b.nname, o.cust
+    FROM base b LEFT JOIN opt o ON o.nat = b.nat
+    ORDER BY b.nname, o.cust
 """

@@ -163,3 +163,48 @@ def test_rel_bgp_matches_duckdb(spark):
         con.sql(f"CREATE VIEW {tab} AS SELECT * "
                 f"FROM '{sf_dir}/{tab}.parquet'")
     assert got == [tuple(r) for r in con.sql(SPARQL_REL_SQL).fetchall()]
+
+
+def test_optional_left_join_nulls(triples):
+    # carol has no foaf:name -> NULL; alice/bob get theirs
+    rows = q(triples, """SELECT ?a ?n WHERE {
+        ?ev sem:hasActor ?a .
+        OPTIONAL { ?a foaf:name ?n . }
+    } ORDER BY ?a ?n""")
+    assert rows == [("e:alice", "Alice"), ("e:alice", "Alice"),
+                    ("e:bob", "Bob"), ("e:carol", None)]
+
+
+def test_optional_group_with_internal_filter(triples):
+    # filter inside OPTIONAL narrows the group, not the required part
+    rows = q(triples, """SELECT ?a ?n WHERE {
+        ?a rdf:type nwr:PERSON .
+        OPTIONAL { ?a foaf:name ?n . FILTER (regex(?n, "^B")) }
+    } ORDER BY ?a""")
+    assert rows == [("e:alice", None), ("e:bob", "Bob")]
+
+
+def test_optional_without_shared_var_raises(triples):
+    with pytest.raises(SparqlError):
+        sparql_query(triples, PFX + """SELECT ?a ?x WHERE {
+            ?a rdf:type nwr:PERSON .
+            OPTIONAL { ?x p:self ?x . }
+        }""")
+
+
+def test_optional_rel_matches_duckdb(spark):
+    import duckdb
+
+    from pikes_spark.operators.kgquery import (
+        REL_BGP_OPTIONAL, SPARQL_OPTIONAL_SQL, rel_triples)
+    sf_dir = "/root/testdata/sf0.001"
+    out = sparql_query(rel_triples(spark, sf_dir), REL_BGP_OPTIONAL)
+    got = sorted((tuple(r) for r in out.collect()),
+                 key=lambda t: tuple("" if v is None else v for v in t))
+    con = duckdb.connect()
+    for tab in ("customer", "nation", "region"):
+        con.sql(f"CREATE VIEW {tab} AS SELECT * "
+                f"FROM '{sf_dir}/{tab}.parquet'")
+    want = sorted((tuple(r) for r in con.sql(SPARQL_OPTIONAL_SQL).fetchall()),
+                  key=lambda t: tuple("" if v is None else v for v in t))
+    assert got == want
