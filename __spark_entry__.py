@@ -282,6 +282,12 @@ def _q_sparql_optional(spark, sf_dir):
                                 kgquery.REL_BGP_OPTIONAL)
 
 
+def _q_sparql_agg(spark, sf_dir):
+    """SPARQL GROUP BY + COUNT/COUNT DISTINCT — semantic DuckDB oracle."""
+    return kgquery.sparql_query(kgquery.rel_triples(spark, sf_dir),
+                                kgquery.REL_BGP_AGG)
+
+
 def _q_sparql_gold(spark, sf_dir):
     """SPARQL BGP over the engine's own gold KG: events with PERSON
     actors and their foaf:names — a 4-pattern join through the triple
@@ -393,6 +399,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_gold_compaction": _q_gold_compaction,
         "kg_sparql_rel": _q_sparql_rel,
         "kg_sparql_optional": _q_sparql_optional,
+        "kg_sparql_agg": _q_sparql_agg,
         "kg_sparql_gold": _q_sparql_gold,
         # text analysis
         "txt_token_counts": textstats.token_counts,
@@ -535,6 +542,7 @@ def oracle_sql() -> dict[str, str]:
             order="component"),
         "kg_sparql_rel": kgquery.SPARQL_REL_SQL,
         "kg_sparql_optional": kgquery.SPARQL_OPTIONAL_SQL,
+        "kg_sparql_agg": kgquery.SPARQL_AGG_SQL,
         "kg_sparql_gold": _gold_triples_values_sql(
             "EXPECTED_SPARQL_GOLD", ["event", "actor", "name"],
             order="event, actor, name"),

@@ -148,6 +148,9 @@ class SparqlQuery:
         self.filters: List[str] = []
         # OPTIONAL groups: each a (patterns, filters) pair, left-joined
         self.optionals: List[Tuple[List[Tuple[_Term, _Term, _Term]], List[str]]] = []
+        # (fn, distinct, arg('?v'|'*'), alias) projection aggregates
+        self.aggregates: List[Tuple[str, bool, str, str]] = []
+        self.group_by: List[str] = []
         self.order_by: List[Tuple[str, bool]] = []  # (var, descending)
         self.limit: Optional[int] = None
         self._parse(text)
@@ -186,11 +189,22 @@ class SparqlQuery:
             raise SparqlError("expected SELECT ... WHERE { ... }")
         self.distinct = bool(m.group(1))
         proj = m.group("proj").strip()
-        if proj == "*":
+        # aggregate entries: (FN([DISTINCT] ?v | *) AS ?alias)
+        agg_re = re.compile(
+            r"\(\s*(?P<fn>COUNT|SUM|MIN|MAX|AVG)\s*\(\s*"
+            r"(?P<dist>DISTINCT\s+)?(?P<arg>\?\w+|\*)\s*\)\s+"
+            r"AS\s+\?(?P<alias>\w+)\s*\)", re.I)
+        for am in agg_re.finditer(proj):
+            self.aggregates.append((am.group("fn").upper(),
+                                    bool(am.group("dist")),
+                                    am.group("arg"),
+                                    am.group("alias")))
+        proj = agg_re.sub(" ", proj)
+        if proj.strip() == "*" and not self.aggregates:
             self.projection = []
         else:
             self.projection = [v[1:] for v in re.findall(r"\?\w+", proj)]
-            if not self.projection:
+            if not self.projection and not self.aggregates:
                 raise SparqlError(f"bad projection: {proj!r}")
         body = m.group("body")
 
@@ -207,6 +221,11 @@ class SparqlQuery:
             for km in re.finditer(r"(DESC|ASC)?\s*\(?\s*\?(\w+)\s*\)?", om.group("keys"), re.I):
                 self.order_by.append((km.group(2),
                                       (km.group(1) or "").upper() == "DESC"))
+        gm = re.search(r"GROUP\s+BY\s+(?P<keys>(?:\?\w+\s*)+)", tail, re.I)
+        if gm:
+            self.group_by = [v[1:] for v in re.findall(r"\?\w+", gm.group("keys"))]
+        if self.aggregates and not self.group_by and self.projection:
+            raise SparqlError("non-aggregated projection needs GROUP BY")
         lm = re.search(r"LIMIT\s+(\d+)", tail, re.I)
         if lm:
             self.limit = int(lm.group(1))
@@ -359,16 +378,48 @@ def sparql_query(triples: DataFrame, query: str) -> DataFrame:
         for v in gbound:
             if v not in bound:
                 bound[v] = gbound[v]
-    proj = q.projection or sorted(bound)
-    missing = [v for v in proj if v not in bound]
-    if missing:
-        raise SparqlError(f"projected variable never bound: ?{missing[0]}")
-    out = acc.select(*[F.col(bound[v]).alias(v) for v in proj])
-    if q.distinct:
-        out = out.distinct()
+    if q.aggregates:
+        for v in q.group_by + [a[1:] for _, _, a, _ in q.aggregates
+                               if a != "*"]:
+            if v not in bound:
+                raise SparqlError(f"aggregate/group variable never bound: ?{v}")
+        extra = [v for v in q.projection if v not in q.group_by]
+        if extra:
+            raise SparqlError(
+                f"projected ?{extra[0]} is neither grouped nor aggregated")
+        # map-side partial aggregation is free here: groupBy compiles to
+        # HashAggregate(partial) -> exchange on the group keys -> final
+        agg_vars = sorted({a[1:] for _, _, a, _ in q.aggregates if a != "*"})
+        named = acc.select(
+            *[F.col(bound[v]).alias(v) for v in q.group_by],
+            *[F.col(bound[v]).alias(f"_agg_{v}") for v in agg_vars])
+        aggs = []
+        for fn, dist, arg, alias in q.aggregates:
+            if arg == "*":
+                expr = F.count(F.lit(1))
+            else:
+                col = F.col(f"_agg_{arg[1:]}")
+                if fn in ("SUM", "AVG"):
+                    col = col.cast("double")  # SPARQL numeric literals
+                if fn == "COUNT":
+                    expr = (F.countDistinct(col) if dist else F.count(col))
+                else:
+                    expr = getattr(F, fn.lower())(col)
+            aggs.append(expr.alias(alias))
+        out = (named.groupBy(*q.group_by).agg(*aggs) if q.group_by
+               else named.agg(*aggs))
+        out = out.select(*q.group_by, *[a[3] for a in q.aggregates])
+    else:
+        proj = q.projection or sorted(bound)
+        missing = [v for v in proj if v not in bound]
+        if missing:
+            raise SparqlError(f"projected variable never bound: ?{missing[0]}")
+        out = acc.select(*[F.col(bound[v]).alias(v) for v in proj])
+        if q.distinct:
+            out = out.distinct()
     if q.order_by:
         keys = [F.col(v).desc() if d else F.col(v).asc()
-                for v, d in q.order_by if v in bound]
+                for v, d in q.order_by if v in out.columns]
         out = out.orderBy(*keys)
     if q.limit is not None:
         out = out.limit(q.limit)
@@ -513,4 +564,39 @@ SPARQL_OPTIONAL_SQL = f"""
     SELECT b.nat, b.nname, o.cust
     FROM base b LEFT JOIN opt o ON o.nat = b.nat
     ORDER BY b.nname, o.cust
+"""
+
+# Aggregate driver query: customer count + distinct segment count per
+# AMERICA nation — GROUP BY compiles to partial-agg + one exchange
+REL_BGP_AGG = """
+PREFIX ex: <http://example.org/>
+SELECT ?nname (COUNT(?cust) AS ?ncust) (COUNT(DISTINCT ?seg) AS ?nseg) WHERE {
+  ?cust ex:inNation ?nat .
+  ?cust ex:segment ?seg .
+  ?nat ex:name ?nname .
+  ?nat ex:inRegion ?reg .
+  ?reg ex:name "AMERICA" .
+}
+GROUP BY ?nname
+ORDER BY ?nname
+"""
+
+SPARQL_AGG_SQL = f"""
+    WITH triples AS ({REL_TRIPLES_SQL}),
+    cn AS (SELECT subject AS cust, object AS nat FROM triples
+           WHERE predicate = '{_EX}inNation'),
+    cs AS (SELECT subject AS cust, object AS seg FROM triples
+           WHERE predicate = '{_EX}segment' AND object_is_literal),
+    nm AS (SELECT subject AS nat, object AS nname FROM triples
+           WHERE predicate = '{_EX}name' AND object_is_literal),
+    nr AS (SELECT subject AS nat, object AS reg FROM triples
+           WHERE predicate = '{_EX}inRegion'),
+    rn AS (SELECT subject AS reg FROM triples
+           WHERE predicate = '{_EX}name' AND object = 'AMERICA'
+             AND object_is_literal)
+    SELECT nm.nname, COUNT(cn.cust) AS ncust,
+           COUNT(DISTINCT cs.seg) AS nseg
+    FROM cn JOIN cs USING (cust) JOIN nm USING (nat)
+            JOIN nr ON nr.nat = cn.nat JOIN rn USING (reg)
+    GROUP BY nm.nname ORDER BY nm.nname
 """

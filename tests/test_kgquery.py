@@ -208,3 +208,53 @@ def test_optional_rel_matches_duckdb(spark):
     want = sorted((tuple(r) for r in con.sql(SPARQL_OPTIONAL_SQL).fetchall()),
                   key=lambda t: tuple("" if v is None else v for v in t))
     assert got == want
+
+
+def test_aggregate_count_group_by(triples):
+    rows = q(triples, """SELECT ?ev (COUNT(?a) AS ?n) WHERE {
+        ?ev sem:hasActor ?a .
+    } GROUP BY ?ev ORDER BY ?ev""")
+    assert rows == [("e:ev1", 1), ("e:ev2", 2), ("e:ev3", 1)]
+
+
+def test_aggregate_global_count_star(triples):
+    rows = q(triples, "SELECT (COUNT(*) AS ?n) WHERE { ?s sem:hasActor ?o . }")
+    assert rows == [(4,)]
+
+
+def test_aggregate_count_distinct(triples):
+    rows = q(triples, """SELECT (COUNT(DISTINCT ?a) AS ?n) WHERE {
+        ?ev sem:hasActor ?a .
+    }""")
+    assert rows == [(3,)]
+
+
+def test_aggregate_min_max(triples):
+    rows = q(triples, """SELECT ?ev (MIN(?a) AS ?lo) (MAX(?a) AS ?hi) WHERE {
+        ?ev sem:hasActor ?a .
+    } GROUP BY ?ev ORDER BY ?ev""")
+    assert rows == [("e:ev1", "e:alice", "e:alice"),
+                    ("e:ev2", "e:alice", "e:bob"),
+                    ("e:ev3", "e:carol", "e:carol")]
+
+
+def test_aggregate_rejects_ungrouped_projection(triples):
+    with pytest.raises(SparqlError):
+        sparql_query(triples, PFX + """SELECT ?a (COUNT(*) AS ?n) WHERE {
+            ?ev sem:hasActor ?a . } GROUP BY ?ev""")
+
+
+def test_aggregate_rel_matches_duckdb(spark):
+    import duckdb
+
+    from pikes_spark.operators.kgquery import (
+        REL_BGP_AGG, SPARQL_AGG_SQL, rel_triples)
+    sf_dir = "/root/testdata/sf0.001"
+    out = sparql_query(rel_triples(spark, sf_dir), REL_BGP_AGG)
+    got = [tuple(r) for r in out.collect()]
+    con = duckdb.connect()
+    for tab in ("customer", "nation", "region"):
+        con.sql(f"CREATE VIEW {tab} AS SELECT * "
+                f"FROM '{sf_dir}/{tab}.parquet'")
+    assert got == [tuple(r) for r in con.sql(SPARQL_AGG_SQL).fetchall()]
+    assert len(got) > 0
