@@ -600,3 +600,17 @@ SPARQL_AGG_SQL = f"""
             JOIN nr ON nr.nat = cn.nat JOIN rn USING (reg)
     GROUP BY nm.nname ORDER BY nm.nname
 """
+
+def query_snapshot(spark, out_root: str, query: str) -> DataFrame:
+    """Run a SPARQL query against a materialized KG produced by
+    pipeline.run_pipeline: loads the latest committed spo snapshot
+    (subject-sorted parquet — subject-constant patterns benefit from
+    min/max row-group pruning) and compiles the query against it."""
+    from ..sources.tables import SnapshotTable
+
+    spo = SnapshotTable(f"{out_root}/triples",
+                        ["subject", "predicate", "object"], name="triples")
+    triples = spo.read(spark)
+    if triples is None:
+        raise ValueError(f"no committed triples snapshot under {out_root}")
+    return sparql_query(triples, query)

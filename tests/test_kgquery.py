@@ -258,3 +258,30 @@ def test_aggregate_rel_matches_duckdb(spark):
                 f"FROM '{sf_dir}/{tab}.parquet'")
     assert got == [tuple(r) for r in con.sql(SPARQL_AGG_SQL).fetchall()]
     assert len(got) > 0
+
+
+def test_query_snapshot_end_to_end(spark, tmp_path):
+    """Full loop: distill gold pages -> commit spo/pos snapshots ->
+    SPARQL over the materialized table."""
+    from pikes_spark.pipeline import run_pipeline
+    from pikes_spark.operators.kgquery import query_snapshot
+
+    out_root = str(tmp_path / "kg")
+    run_pipeline(spark, "/root/testdata/sf0.001", out_root, resume=False)
+    # canonicalization smushed linked entities onto their DBpedia IRIs;
+    # those canonical subjects are queryable in the materialized KG
+    rows = query_snapshot(spark, out_root, """
+        PREFIX ks: <http://dkm.fbk.eu/ontologies/knowledgestore#>
+        SELECT DISTINCT ?s WHERE {
+            ?s rdf:type ks:Entity .
+            FILTER (regex(?s, "^http://dbpedia"))
+        } ORDER BY ?s""").collect()
+    assert len(rows) > 5
+    assert all(r.s.startswith("http://dbpedia.org/") for r in rows)
+    # aggregate over the snapshot: events per page
+    agg = query_snapshot(spark, out_root, """
+        PREFIX sem: <http://semanticweb.cs.vu.nl/2009/11/sem/>
+        SELECT (COUNT(DISTINCT ?ev) AS ?n) WHERE {
+            ?ev rdf:type sem:Event .
+        }""").collect()
+    assert agg[0].n > 50
