@@ -20,7 +20,7 @@ from pikes_spark.sources.pages import pages_from_documents, PAGES_ORACLE_CTE
 from pikes_spark.operators.annotate import (
     annotate_pages, distill_annotations, extract_pages_text, pages_to_triples)
 from pikes_spark.operators import (
-    textstats, dedup, similarity, events, kgquery, graph)
+    textstats, dedup, similarity, events, kgquery, graph, skew)
 from pikes_spark.operators.linking import candidates_df, link_entities
 from pikes_spark.operators.canonicalize import canonicalize_triples
 
@@ -351,6 +351,21 @@ def _q_rel_agg(spark, sf_dir):
             .orderBy("l_returnflag", "l_linestatus"))
 
 
+def _q_rel_salted_join(spark, sf_dir):
+    """Skew-mitigation salted join (orders fact x customer dim on
+    custkey, salt=8) aggregated per market segment — the oracle is the
+    UNSALTED join, proving result-equivalence of the rewrite."""
+    o = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+         .select(F.col("o_custkey").alias("c_custkey"), "o_totalprice"))
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    j = skew.salted_join(o, c.select("c_custkey", "c_mktsegment"),
+                         "c_custkey", salt=8)
+    return (j.groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n_orders"),
+                 F.floor(F.sum("o_totalprice")).cast("bigint").alias("rev_fl"))
+            .orderBy("c_mktsegment"))
+
+
 def _q_rel_join_window(spark, sf_dir):
     from pyspark.sql import Window
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -407,6 +422,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_quality": textstats.quality_scores,
         "txt_fingerprint": textstats.fingerprints,
         "txt_top_terms": textstats.top_terms,
+        "txt_length_quantiles": textstats.length_quantiles,
         "txt_postings": textstats.postings,
         "kg_bfs_reach": graph.bfs_reach,
         # dedup family
@@ -431,6 +447,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # relational layer
         "rel_filter_agg": _q_rel_agg,
         "rel_join_window_topk": _q_rel_join_window,
+        "rel_salted_join": _q_rel_salted_join,
         # event-stream operators (batch form; streaming uses same exprs)
         "evt_sessionize": events.sessionize,
         "evt_windowed_counts": events.windowed_counts,
@@ -551,6 +568,13 @@ def oracle_sql() -> dict[str, str]:
         "txt_quality": textstats.QUALITY_SQL,
         "txt_fingerprint": textstats.FINGERPRINT_SQL,
         "txt_top_terms": textstats.TOP_TERMS_SQL,
+        "txt_length_quantiles": textstats.LENGTH_QUANTILES_SQL,
+        "rel_salted_join": """
+            SELECT c.c_mktsegment, count(*) AS n_orders,
+                   CAST(floor(sum(o.o_totalprice)) AS BIGINT) AS rev_fl
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+        """,
         "txt_postings": textstats.POSTINGS_SQL,
         "kg_bfs_reach": graph.BFS_REACH_SQL,
         "dedup_exact": dedup.EXACT_DUP_SQL,

@@ -245,3 +245,48 @@ SELECT term, count(*) AS df,
 FROM toks GROUP BY term
 ORDER BY term
 """
+
+def length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language exact token-count quantiles with pure-integer index
+    semantics (p50 at rank ceil(n/2) = (n+1)//2, p90 at rank
+    ceil(9n/10) = (9n+9)//10, ties broken by doc_id) so two engines
+    agree exactly — no interpolated-percentile float drift.
+
+    Plan: one groupBy for per-lang counts + one rank window on the
+    same (lang) partitioning — the exchange is reused."""
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tc = docs.select(
+        "doc_id", "lang",
+        F.size(_tokens(F.col("text"))).alias("n_tokens"))
+    w = Window.partitionBy("lang").orderBy("n_tokens", "doc_id")
+    ranked = tc.withColumn("rn", F.row_number().over(w))
+    ranked = ranked.withColumn(
+        "n", F.count("*").over(Window.partitionBy("lang")))
+    return (ranked.groupBy("lang")
+            .agg(F.max("n").alias("n_docs"),
+                 F.max(F.when(F.col("rn") == F.floor((F.col("n") + 1) / 2),
+                              F.col("n_tokens"))).alias("p50_tokens"),
+                 F.max(F.when(
+                     F.col("rn") == F.floor((9 * F.col("n") + 9) / 10),
+                     F.col("n_tokens"))).alias("p90_tokens"))
+            .orderBy("lang"))
+
+
+LENGTH_QUANTILES_SQL = """
+WITH tc AS (
+  SELECT doc_id, lang,
+         len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS n_tokens
+  FROM documents
+), ranked AS (
+  SELECT lang, n_tokens,
+         row_number() OVER (PARTITION BY lang ORDER BY n_tokens, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM tc
+)
+SELECT lang, MAX(n) AS n_docs,
+       MAX(CASE WHEN rn = (n + 1) // 2 THEN n_tokens END) AS p50_tokens,
+       MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN n_tokens END) AS p90_tokens
+FROM ranked GROUP BY lang ORDER BY lang
+"""

@@ -71,3 +71,53 @@ def test_postings_matches_duckdb(spark):
     for term, df, posting in got:
         ids = posting.split(",")
         assert len(ids) == df and ids == sorted(ids)
+
+
+def test_length_quantiles_matches_duckdb(spark):
+    got = [tuple(r) for r in textstats.length_quantiles(spark, SF).collect()]
+    con = _duck()
+    want = [tuple(r) for r in con.sql(textstats.LENGTH_QUANTILES_SQL).fetchall()]
+    assert got == want and len(got) > 0
+    # quantiles are actual data values and ordered p50 <= p90
+    for lang, n, p50, p90 in got:
+        assert p50 is not None and p90 is not None and p50 <= p90
+
+
+def test_salted_join_equals_plain_join(spark):
+    from pikes_spark.operators.skew import salted_join
+    fact = spark.createDataFrame(
+        [(k, i) for i in range(50) for k in ("hot", f"k{i % 7}")],
+        "key string, val int")
+    dim = spark.createDataFrame(
+        [("hot", 1), ("k0", 2), ("k3", 3), ("nomatch", 9)],
+        "key string, attr int")
+    got = sorted(tuple(r) for r in
+                 salted_join(fact, dim, "key", salt=4).collect())
+    want = sorted(tuple(r) for r in fact.join(dim, "key").collect())
+    assert got == want and len(got) > 0
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    from pikes_spark.operators.skew import salted_join
+    fact = spark.createDataFrame([("a", 1), ("b", 2)], "key string, v int")
+    dim = spark.createDataFrame([("a", 10)], "key string, w int")
+    got = sorted(tuple(r) for r in
+                 salted_join(fact, dim, "key", salt=3, how="left").collect())
+    assert got == [("a", 1, 10), ("b", 2, None)]
+
+
+def test_salted_join_shuffles_on_salted_key(spark):
+    """The exchange must hash on (key, _salt), not key alone."""
+    from pikes_spark.operators.skew import salted_join
+    fact = spark.range(100).selectExpr("CAST(id % 3 AS STRING) AS key",
+                                       "id AS v")
+    dim = spark.range(3).selectExpr("CAST(id AS STRING) AS key",
+                                    "id AS w")
+    # defeat broadcast so the shuffle exchange is visible in the plan
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (salted_join(fact, dim, "key", salt=4)
+                ._jdf.queryExecution().executedPlan().toString())
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert "_salt" in plan and "hashpartitioning(key" in plan
