@@ -288,6 +288,18 @@ def _q_sparql_agg(spark, sf_dir):
                                 kgquery.REL_BGP_AGG)
 
 
+def _q_sparql_union(spark, sf_dir):
+    """SPARQL UNION — branch-aligned unionAll; semantic DuckDB oracle."""
+    return kgquery.sparql_query(kgquery.rel_triples(spark, sf_dir),
+                                kgquery.REL_BGP_UNION)
+
+
+def _q_sparql_values(spark, sf_dir):
+    """SPARQL VALUES inline bindings — broadcast literal table join."""
+    return kgquery.sparql_query(kgquery.rel_triples(spark, sf_dir),
+                                kgquery.REL_BGP_VALUES)
+
+
 def _q_sparql_gold(spark, sf_dir):
     """SPARQL BGP over the engine's own gold KG: events with PERSON
     actors and their foaf:names — a 4-pattern join through the triple
@@ -415,6 +427,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_rel": _q_sparql_rel,
         "kg_sparql_optional": _q_sparql_optional,
         "kg_sparql_agg": _q_sparql_agg,
+        "kg_sparql_union": _q_sparql_union,
+        "kg_sparql_values": _q_sparql_values,
         "kg_sparql_gold": _q_sparql_gold,
         # text analysis
         "txt_token_counts": textstats.token_counts,
@@ -560,6 +574,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_rel": kgquery.SPARQL_REL_SQL,
         "kg_sparql_optional": kgquery.SPARQL_OPTIONAL_SQL,
         "kg_sparql_agg": kgquery.SPARQL_AGG_SQL,
+        "kg_sparql_union": kgquery.SPARQL_UNION_SQL,
+        "kg_sparql_values": kgquery.SPARQL_VALUES_SQL,
         "kg_sparql_gold": _gold_triples_values_sql(
             "EXPECTED_SPARQL_GOLD", ["event", "actor", "name"],
             order="event, actor, name"),

@@ -88,6 +88,13 @@ def _parse_term(tok: str, prefixes: Dict[str, str]) -> _Term:
     return _Term("lit", m.group("num"))
 
 
+_VALUES_TOKEN_RE = re.compile(
+    "UNDEF"
+    r'|<[^>\s]+>'
+    r'|"(?:[^"\\]|\\.)*"'
+    r"|[A-Za-z_][\w.-]*:[\w.%-]*"
+    r"|-?\d+(?:\.\d+)?")
+
 _FILTER_RE = re.compile(
     r"""^(?:
         regex\(\s*\?(?P<rvar>\w+)\s*,\s*"(?P<rpat>(?:[^"\\]|\\.)*)"\s*\)
@@ -151,6 +158,10 @@ class SparqlQuery:
         # (fn, distinct, arg('?v'|'*'), alias) projection aggregates
         self.aggregates: List[Tuple[str, bool, str, str]] = []
         self.group_by: List[str] = []
+        # UNION blocks: each a list of branch (patterns, filters)
+        self.unions: List[List[Tuple[list, List[str]]]] = []
+        # VALUES blocks: (var names, rows of str-or-None)
+        self.values: List[Tuple[List[str], List[List[Optional[str]]]]] = []
         self.order_by: List[Tuple[str, bool]] = []  # (var, descending)
         self.limit: Optional[int] = None
         self._parse(text)
@@ -208,6 +219,45 @@ class SparqlQuery:
                 raise SparqlError(f"bad projection: {proj!r}")
         body = m.group("body")
 
+        def _values_terms(chunk):
+            out = []
+            for tok in _VALUES_TOKEN_RE.findall(chunk):
+                if tok.upper() == "UNDEF":
+                    out.append(None)
+                else:
+                    out.append(_parse_term(tok, self.prefixes).value)
+            return out
+
+        def _grab_values_multi(vm):
+            vs = [v[1:] for v in re.findall(r"\?\w+", vm.group(1))]
+            rows = [_values_terms(r) for r in re.findall(r"\(([^()]*)\)",
+                                                         vm.group(2))]
+            for r in rows:
+                if len(r) != len(vs):
+                    raise SparqlError("VALUES row arity mismatch")
+            self.values.append((vs, rows))
+            return " "
+
+        def _grab_values_single(vm):
+            var = vm.group(1)[1:]
+            rows = [[t] for t in _values_terms(vm.group(2))]
+            self.values.append(([var], rows))
+            return " "
+
+        body = re.sub(r"VALUES\s*\(((?:\s*\?\w+)+)\s*\)\s*\{([^{}]*)\}",
+                      _grab_values_multi, body, flags=re.I | re.S)
+        body = re.sub(r"VALUES\s+(\?\w+)\s*\{([^{}]*)\}",
+                      _grab_values_single, body, flags=re.I | re.S)
+
+        def _grab_union(um):
+            branches = [self._parse_group(b)
+                        for b in re.findall(r"\{([^{}]*)\}", um.group(0))]
+            self.unions.append(branches)
+            return " "
+
+        body = re.sub(r"\{[^{}]*\}(?:\s*UNION\s*\{[^{}]*\})+",
+                      _grab_union, body, flags=re.I | re.S)
+
         def _grab_optional(om2):
             self.optionals.append(self._parse_group(om2.group(1)))
             return " "
@@ -229,7 +279,7 @@ class SparqlQuery:
         lm = re.search(r"LIMIT\s+(\d+)", tail, re.I)
         if lm:
             self.limit = int(lm.group(1))
-        if not self.patterns:
+        if not self.patterns and not self.unions and not self.values:
             raise SparqlError("empty WHERE clause")
 
 
@@ -307,6 +357,8 @@ def _compile_bgp(triples: DataFrame, patterns, filters, prefixes,
     def pat_vars(i: int) -> set:
         return {t.value for t in patterns[i] if t.kind == "var"}
 
+    if not patterns:
+        return None, {}, list(filters)
     remaining = sorted(range(len(patterns)), key=lambda i: (-n_const(i), i))
     order: List[int] = []
     seen_vars: set = set()
@@ -348,36 +400,112 @@ def _compile_bgp(triples: DataFrame, patterns, filters, prefixes,
             else:
                 acc = acc.filter(cond)
         pending = still
-    if pending:
-        raise SparqlError(f"FILTER uses unbound variable: {pending[0]!r}")
-    return acc, bound
+    return acc, bound, pending
 
 
-def sparql_query(triples: DataFrame, query: str) -> DataFrame:
-    """Run a SPARQL BGP query against a triple DataFrame with columns
-    (subject, predicate, object[, object_is_literal]).
-
-    Returns a DataFrame with one column per projected variable;
-    variables bound only inside an unmatched OPTIONAL come back NULL."""
-    q = SparqlQuery(query)
-    acc, bound = _compile_bgp(triples, q.patterns, q.filters, q.prefixes)
-    off = len(q.patterns)
-    for gpats, gfilters in q.optionals:
-        gdf, gbound = _compile_bgp(triples, gpats, gfilters, q.prefixes,
-                                   idx_offset=off)
-        off += len(gpats)
-        shared = [(bound[v], gbound[v]) for v in gbound if v in bound]
-        if not shared:
-            raise SparqlError(
-                "OPTIONAL group shares no variable with the required part")
+def _join_on_shared(acc, bound, df, dbinds, how="inner"):
+    """Join df (with var->col map dbinds) into acc on shared vars;
+    extends bound with df's new vars. Returns (acc, had_shared)."""
+    shared = [(bound[v], dbinds[v]) for v in dbinds if v in bound]
+    if shared:
         cond = None
         for a, b in shared:
             c = F.col(a) == F.col(b)
             cond = c if cond is None else (cond & c)
-        acc = acc.join(gdf, cond, "left").drop(*[b for _, b in shared])
-        for v in gbound:
+        acc = acc.join(df, cond, how).drop(*[b for _, b in shared])
+    elif how == "inner":
+        acc = acc.crossJoin(df)
+    else:
+        return acc, False
+    for v in dbinds:
+        if v not in bound:
+            bound[v] = dbinds[v]
+    return acc, True
+
+
+def sparql_query(triples: DataFrame, query: str) -> DataFrame:
+    """Run a SPARQL query against a triple DataFrame with columns
+    (subject, predicate, object[, object_is_literal]).
+
+    Returns a DataFrame with one column per projected variable;
+    variables bound only inside an unmatched OPTIONAL (or an UNDEF /
+    non-binding UNION branch) come back NULL."""
+    q = SparqlQuery(query)
+    acc, bound, pending = _compile_bgp(triples, q.patterns, q.filters,
+                                       q.prefixes)
+    off = len(q.patterns)
+    uid = 0
+    # UNION blocks: each branch compiles independently; branches align
+    # on the union of their variables (missing -> NULL), then the block
+    # joins the accumulated solution on shared vars
+    for branches in q.unions:
+        allvars = sorted({t.value for pats, _ in branches
+                          for pat in pats for t in pat if t.kind == "var"})
+        parts = []
+        ubinds = {v: f"_u{uid}_{v}" for v in allvars}
+        for pats, filts in branches:
+            bdf, bb, bpend = _compile_bgp(triples, pats, filts, q.prefixes,
+                                          idx_offset=off)
+            off += len(pats)
+            if bpend:
+                raise SparqlError(
+                    f"FILTER uses unbound variable: {bpend[0]!r}")
+            parts.append(bdf.select(*[
+                (F.col(bb[v]) if v in bb
+                 else F.lit(None).cast("string")).alias(ubinds[v])
+                for v in allvars]))
+        udf = parts[0]
+        for extra_part in parts[1:]:
+            udf = udf.unionAll(extra_part)
+        uid += 1
+        if acc is None:
+            acc = udf
+            bound.update(ubinds)
+        else:
+            acc, _ = _join_on_shared(acc, bound, udf, ubinds)
+    # VALUES blocks: inline bindings -> broadcast literal table.
+    # UNDEF entries are NULL and must match ANY value of an
+    # already-bound variable (SPARQL's unbound-joins-all), so the join
+    # condition treats NULL on the VALUES side as a wildcard.
+    for vs, rows in q.values:
+        vbinds = {v: f"_val{uid}_{v}" for v in vs}
+        uid += 1
+        vdf = F.broadcast(triples.sparkSession.createDataFrame(
+            [tuple(r) for r in rows],
+            ", ".join(f"{vbinds[v]} string" for v in vs)))
+        if acc is None:
+            acc = vdf
+            bound.update(vbinds)
+            continue
+        shared = [v for v in vs if v in bound]
+        if shared:
+            cond = None
+            for v in shared:
+                c = (F.col(vbinds[v]).isNull()
+                     | (F.col(bound[v]) == F.col(vbinds[v])))
+                cond = c if cond is None else (cond & c)
+            acc = acc.join(vdf, cond).drop(*[vbinds[v] for v in shared])
+        else:
+            acc = acc.crossJoin(vdf)
+        for v in vs:
             if v not in bound:
-                bound[v] = gbound[v]
+                bound[v] = vbinds[v]
+    for gpats, gfilters in q.optionals:
+        gdf, gbound, gpend = _compile_bgp(triples, gpats, gfilters,
+                                          q.prefixes, idx_offset=off)
+        off += len(gpats)
+        if gpend:
+            raise SparqlError(f"FILTER uses unbound variable: {gpend[0]!r}")
+        acc, ok = _join_on_shared(acc, bound, gdf, gbound, how="left")
+        if not ok:
+            raise SparqlError(
+                "OPTIONAL group shares no variable with the required part")
+    # outer filters that waited for UNION/VALUES-bound variables
+    for fx in pending:
+        cond = _filter_expr(fx, bound, q.prefixes)
+        if cond is None:
+            raise SparqlError(f"FILTER uses unbound variable: {fx!r}")
+        acc = acc.filter(cond)
     if q.aggregates:
         for v in q.group_by + [a[1:] for _, _, a, _ in q.aggregates
                                if a != "*"]:
@@ -614,3 +742,46 @@ def query_snapshot(spark, out_root: str, query: str) -> DataFrame:
     if triples is None:
         raise ValueError(f"no committed triples snapshot under {out_root}")
     return sparql_query(triples, query)
+
+# UNION driver query: FURNITURE-segment subjects or NATION_1x-named
+# subjects — branch-aligned union, then DISTINCT
+REL_BGP_UNION = """
+PREFIX ex: <http://example.org/>
+SELECT DISTINCT ?x WHERE {
+  { ?x ex:segment "FURNITURE" . }
+  UNION
+  { ?x ex:name ?n . FILTER (regex(?n, "^NATION_1")) }
+}
+ORDER BY ?x LIMIT 300
+"""
+
+SPARQL_UNION_SQL = f"""
+    WITH triples AS ({REL_TRIPLES_SQL})
+    SELECT DISTINCT x FROM (
+      SELECT subject AS x FROM triples
+      WHERE predicate = '{_EX}segment' AND object = 'FURNITURE'
+        AND object_is_literal
+      UNION ALL
+      SELECT subject AS x FROM triples
+      WHERE predicate = '{_EX}name' AND object_is_literal
+        AND regexp_matches(object, '^NATION_1')
+    ) ORDER BY x LIMIT 300
+"""
+
+# VALUES driver query: customers whose segment is in an inline list
+REL_BGP_VALUES = """
+PREFIX ex: <http://example.org/>
+SELECT ?cust ?seg WHERE {
+  ?cust ex:segment ?seg .
+  VALUES ?seg { "BUILDING" "AUTOMOBILE" }
+}
+ORDER BY ?cust ?seg LIMIT 400
+"""
+
+SPARQL_VALUES_SQL = f"""
+    WITH triples AS ({REL_TRIPLES_SQL})
+    SELECT subject AS cust, object AS seg FROM triples
+    WHERE predicate = '{_EX}segment' AND object_is_literal
+      AND object IN ('BUILDING', 'AUTOMOBILE')
+    ORDER BY cust, seg LIMIT 400
+"""

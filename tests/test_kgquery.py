@@ -285,3 +285,58 @@ def test_query_snapshot_end_to_end(spark, tmp_path):
             ?ev rdf:type sem:Event .
         }""").collect()
     assert agg[0].n > 50
+
+
+def test_union_branches_align_vars(triples):
+    rows = q(triples, """SELECT ?x ?n WHERE {
+        { ?x rdf:type nwr:PERSON . ?x foaf:name ?n . }
+        UNION
+        { ?x rdf:type sem:Event . }
+    } ORDER BY ?x ?n""")
+    assert rows == [("e:alice", "Alice"), ("e:bob", "Bob"),
+                    ("e:ev1", None), ("e:ev2", None)]
+
+
+def test_union_joined_with_required_pattern(triples):
+    rows = q(triples, """SELECT ?ev ?a WHERE {
+        ?ev sem:hasActor ?a .
+        { ?a rdf:type nwr:PERSON . } UNION { ?a foaf:name "Carol" . }
+    } ORDER BY ?ev ?a""")
+    assert rows == [("e:ev1", "e:alice"), ("e:ev2", "e:alice"),
+                    ("e:ev2", "e:bob")]
+
+
+def test_values_single_var(triples):
+    rows = q(triples, """SELECT ?a ?n WHERE {
+        ?a foaf:name ?n .
+        VALUES ?n { "Alice" "Nobody" }
+    }""")
+    assert rows == [("e:alice", "Alice")]
+
+
+def test_values_multi_var_with_undef(triples):
+    # UNDEF on ?n = wildcard: second row admits every name of e:bob
+    rows = q(triples, """SELECT ?a ?n WHERE {
+        ?a foaf:name ?n .
+        VALUES (?a ?n) { (e:alice "Alice") (e:bob UNDEF) }
+    } ORDER BY ?a""")
+    assert rows == [("e:alice", "Alice"), ("e:bob", "Bob")]
+
+
+def test_union_rel_matches_duckdb(spark):
+    import duckdb
+
+    from pikes_spark.operators.kgquery import (
+        REL_BGP_UNION, REL_BGP_VALUES, SPARQL_UNION_SQL, SPARQL_VALUES_SQL,
+        rel_triples)
+    sf_dir = "/root/testdata/sf0.001"
+    t = rel_triples(spark, sf_dir)
+    con = duckdb.connect()
+    for tab in ("customer", "nation", "region"):
+        con.sql(f"CREATE VIEW {tab} AS SELECT * "
+                f"FROM '{sf_dir}/{tab}.parquet'")
+    got = [tuple(r) for r in sparql_query(t, REL_BGP_UNION).collect()]
+    assert got == [tuple(r) for r in con.sql(SPARQL_UNION_SQL).fetchall()]
+    got = [tuple(r) for r in sparql_query(t, REL_BGP_VALUES).collect()]
+    assert got == [tuple(r) for r in con.sql(SPARQL_VALUES_SQL).fetchall()]
+    assert len(got) > 0
