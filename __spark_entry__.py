@@ -300,6 +300,21 @@ def _q_sparql_values(spark, sf_dir):
                                 kgquery.REL_BGP_VALUES)
 
 
+def _q_sparql_path(spark, sf_dir):
+    """SPARQL property path + (transitive closure via checkpointed
+    frontier iteration) — recursive-CTE DuckDB oracle."""
+    return kgquery.sparql_query(kgquery.rel_triples(spark, sf_dir),
+                                kgquery.REL_BGP_PATH)
+
+
+def _q_sparql_construct(spark, sf_dir):
+    """SPARQL CONSTRUCT (KG-to-KG template instantiation) — semantic
+    DuckDB oracle building the same derived graph with SQL."""
+    out = kgquery.sparql_construct(kgquery.rel_triples(spark, sf_dir),
+                                   kgquery.REL_CONSTRUCT)
+    return out.orderBy("subject", "predicate", "object")
+
+
 def _q_sparql_gold(spark, sf_dir):
     """SPARQL BGP over the engine's own gold KG: events with PERSON
     actors and their foaf:names — a 4-pattern join through the triple
@@ -429,6 +444,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_agg": _q_sparql_agg,
         "kg_sparql_union": _q_sparql_union,
         "kg_sparql_values": _q_sparql_values,
+        "kg_sparql_path": _q_sparql_path,
+        "kg_sparql_construct": _q_sparql_construct,
         "kg_sparql_gold": _q_sparql_gold,
         # text analysis
         "txt_token_counts": textstats.token_counts,
@@ -576,6 +593,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_agg": kgquery.SPARQL_AGG_SQL,
         "kg_sparql_union": kgquery.SPARQL_UNION_SQL,
         "kg_sparql_values": kgquery.SPARQL_VALUES_SQL,
+        "kg_sparql_path": kgquery.SPARQL_PATH_SQL,
+        "kg_sparql_construct": kgquery.SPARQL_CONSTRUCT_SQL,
         "kg_sparql_gold": _gold_triples_values_sql(
             "EXPECTED_SPARQL_GOLD", ["event", "actor", "name"],
             order="event, actor, name"),

@@ -61,11 +61,12 @@ _DEFAULT_PREFIXES = {
 
 
 class _Term:
-    __slots__ = ("kind", "value")
+    __slots__ = ("kind", "value", "trans")
 
-    def __init__(self, kind: str, value: str):
+    def __init__(self, kind: str, value: str, trans: bool = False):
         self.kind = kind    # 'var' | 'iri' | 'lit'
         self.value = value  # var name without '?', absolute IRI, or literal text
+        self.trans = trans  # one-or-more property path (predicate+)
 
 
 def _parse_term(tok: str, prefixes: Dict[str, str]) -> _Term:
@@ -180,11 +181,21 @@ class SparqlQuery:
                 tm = _TERM_RE.match(part, pos)
                 if not tm:
                     raise SparqlError(f"bad triple pattern: {part!r}")
-                toks.append(_parse_term(part[tm.start(): tm.end()].strip(),
-                                        self.prefixes))
+                term = _parse_term(part[tm.start(): tm.end()].strip(),
+                                   self.prefixes)
                 pos = tm.end()
+                if pos < len(part) and part[pos] == "+":
+                    term.trans = True
+                    pos += 1
+                    while pos < len(part) and part[pos].isspace():
+                        pos += 1
+                toks.append(term)
             if len(toks) != 3:
                 raise SparqlError(f"pattern needs 3 terms: {part!r}")
+            if toks[0].trans or toks[2].trans:
+                raise SparqlError("property path + only valid on predicate")
+            if toks[1].trans and toks[1].kind != "iri":
+                raise SparqlError("property path + needs a constant IRI")
             patterns.append((toks[0], toks[1], toks[2]))
         return patterns, filters
 
@@ -283,10 +294,57 @@ class SparqlQuery:
             raise SparqlError("empty WHERE clause")
 
 
+def _closure_df(triples: DataFrame, pred_iri: str,
+                max_iter: int = 12) -> DataFrame:
+    """One-or-more transitive closure of a single predicate, as
+    (subject, object) pairs — the checkpointed-frontier iteration
+    (cf. operators/graph.bfs_hops). Intended for hierarchy predicates
+    (taxonomies, containment) whose closure is depth-bounded; an
+    all-pairs closure of a dense relation would explode at scale and
+    is the user's responsibility, as in any SPARQL engine."""
+    edges = (triples.filter(F.col("predicate") == pred_iri)
+             .select(F.col("subject").alias("src"),
+                     F.col("object").alias("dst"))
+             .distinct())
+    paths = edges.localCheckpoint()
+    frontier = paths
+    e2 = edges.withColumnRenamed("src", "_m").withColumnRenamed("dst", "dst2")
+    for _ in range(max_iter - 1):
+        nxt = (frontier.join(e2, frontier.dst == e2._m)
+               .select("src", F.col("dst2").alias("dst"))
+               .distinct()
+               .join(paths, ["src", "dst"], "left_anti")
+               .localCheckpoint())
+        if nxt.isEmpty():
+            break
+        paths = paths.unionAll(nxt).localCheckpoint()
+        frontier = nxt
+    return (paths.withColumnRenamed("src", "subject")
+            .withColumnRenamed("dst", "object"))
+
+
 def _pattern_df(triples: DataFrame, pat: Tuple[_Term, _Term, _Term],
                 idx: int) -> Tuple[DataFrame, Dict[str, str]]:
     """One triple pattern -> filtered projection; returns (df, var->col)."""
     s, p, o = pat
+    if p.trans:
+        df = _closure_df(triples, p.value)
+        binds: Dict[str, str] = {}
+        first_col: Dict[str, str] = {}
+        cols = []
+        for term, col in ((s, "subject"), (o, "object")):
+            if term.kind == "var":
+                if term.value in binds:
+                    df = df.filter(F.col(col) == F.col(first_col[term.value]))
+                else:
+                    alias = f"_v{idx}_{term.value}"
+                    binds[term.value] = alias
+                    first_col[term.value] = col
+                    cols.append(F.col(col).alias(alias))
+            else:
+                df = df.filter(F.col(col) == term.value)
+        out = df.select(*cols) if cols else df.select(F.lit(1).alias(f"_m{idx}"))
+        return out, binds
     df = triples
     binds: Dict[str, str] = {}
     first_col: Dict[str, str] = {}  # var -> source column of first use
@@ -554,6 +612,55 @@ def sparql_query(triples: DataFrame, query: str) -> DataFrame:
     return out
 
 
+def sparql_construct(triples: DataFrame, query: str) -> DataFrame:
+    """CONSTRUCT { template } WHERE { ... }: run the WHERE clause, then
+    instantiate each template triple per solution — one select per
+    template triple, unioned and deduplicated (a CONSTRUCT result is a
+    graph, i.e. a set). Returns (subject, predicate, object)."""
+    m = re.search(r"CONSTRUCT\s*\{(?P<tmpl>[^{}]*)\}\s*(?P<rest>WHERE\s*\{.*)$",
+                  query.strip(), re.I | re.S)
+    if not m:
+        raise SparqlError("expected CONSTRUCT { ... } WHERE { ... }")
+    prefixes = "".join(f"PREFIX {k}: <{v}>\n" for k, v in
+                       re.findall(r"PREFIX\s+(\w+):\s*<([^>]*)>", query, re.I))
+    sol_q = prefixes + "SELECT * " + m.group("rest")
+    sol = sparql_query(triples, sol_q)
+    tmpl_query = SparqlQuery(prefixes + "SELECT * WHERE { "
+                             + m.group("tmpl") + " }")
+    parts = []
+    for s, p_, o in tmpl_query.patterns:
+        cols = []
+        for term, name in ((s, "subject"), (p_, "predicate"), (o, "object")):
+            if term.kind == "var":
+                if term.value not in sol.columns:
+                    raise SparqlError(
+                        f"template variable ?{term.value} not bound in WHERE")
+                cols.append(F.col(term.value).alias(name))
+            else:
+                cols.append(F.lit(term.value).alias(name))
+        parts.append(sol.select(*cols))
+    out = parts[0]
+    for extra in parts[1:]:
+        out = out.unionAll(extra)
+    # template rows with an unbound (NULL) slot are dropped, per spec
+    return (out.filter(F.col("subject").isNotNull()
+                       & F.col("predicate").isNotNull()
+                       & F.col("object").isNotNull())
+            .distinct())
+
+
+def sparql_ask(triples: DataFrame, query: str) -> bool:
+    """ASK { ... } -> does at least one solution exist."""
+    m = re.search(r"ASK\s*(?P<body>\{.*)$", query.strip(), re.I | re.S)
+    if not m:
+        raise SparqlError("expected ASK { ... }")
+    prefixes = "".join(f"PREFIX {k}: <{v}>\n" for k, v in
+                       re.findall(r"PREFIX\s+(\w+):\s*<([^>]*)>", query, re.I))
+    sol = sparql_query(triples, prefixes + "SELECT * WHERE "
+                       + m.group("body"))
+    return bool(sol.limit(1).take(1))
+
+
 # ---------------------------------------------------------------------------
 # Relational-view triple derivation (driver oracle surface)
 # ---------------------------------------------------------------------------
@@ -579,6 +686,12 @@ REL_TRIPLES_SQL = f"""
     UNION ALL
     SELECT 'cust:' || c_custkey, '{_EX}segment', c_mktsegment, TRUE
     FROM customer
+    UNION ALL
+    SELECT 'cust:' || c_custkey, '{_EX}partOf', 'nat:' || c_nationkey, FALSE
+    FROM customer
+    UNION ALL
+    SELECT 'nat:' || n_nationkey, '{_EX}partOf', 'reg:' || n_regionkey, FALSE
+    FROM nation
 """
 
 
@@ -609,7 +722,16 @@ def rel_triples(spark, sf_dir: str) -> DataFrame:
                   F.lit(ex + "segment").alias("predicate"),
                   F.col("c_mktsegment").alias("object"),
                   F.lit(True).alias("object_is_literal"))
-    return t1.unionAll(t2).unionAll(t3).unionAll(t4).unionAll(t5)
+    t6 = c.select(F.concat(F.lit("cust:"), "c_custkey").alias("subject"),
+                  F.lit(ex + "partOf").alias("predicate"),
+                  F.concat(F.lit("nat:"), "c_nationkey").alias("object"),
+                  F.lit(False).alias("object_is_literal"))
+    t7 = n.select(F.concat(F.lit("nat:"), "n_nationkey").alias("subject"),
+                  F.lit(ex + "partOf").alias("predicate"),
+                  F.concat(F.lit("reg:"), "n_regionkey").alias("object"),
+                  F.lit(False).alias("object_is_literal"))
+    return (t1.unionAll(t2).unionAll(t3).unionAll(t4).unionAll(t5)
+            .unionAll(t6).unionAll(t7))
 
 
 # the driver BGP: customers in the AMERICA region with BUILDING
@@ -784,4 +906,61 @@ SPARQL_VALUES_SQL = f"""
     WHERE predicate = '{_EX}segment' AND object_is_literal
       AND object IN ('BUILDING', 'AUTOMOBILE')
     ORDER BY cust, seg LIMIT 400
+"""
+
+# Property-path driver query: everything transitively part of region 1
+# (nations directly, customers through their nation)
+REL_BGP_PATH = """
+PREFIX ex: <http://example.org/>
+SELECT ?x WHERE {
+  ?x ex:partOf+ <reg:1> .
+}
+ORDER BY ?x LIMIT 500
+"""
+
+SPARQL_PATH_SQL = f"""
+    WITH RECURSIVE triples AS ({REL_TRIPLES_SQL}),
+    edges AS (
+      SELECT subject AS src, object AS dst FROM triples
+      WHERE predicate = '{_EX}partOf'
+    ),
+    cl (src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT c.src, e.dst FROM cl c JOIN edges e ON e.src = c.dst
+    )
+    SELECT src AS x FROM cl WHERE dst = 'reg:1' ORDER BY x LIMIT 500
+"""
+
+# CONSTRUCT driver query: derive locatedIn triples + region typing from
+# the two-hop chain — KG-to-KG transformation
+REL_CONSTRUCT = """
+PREFIX ex: <http://example.org/>
+CONSTRUCT {
+  ?cust ex:locatedIn ?reg .
+  ?reg a ex:Region .
+}
+WHERE {
+  ?cust ex:inNation ?nat .
+  ?nat ex:inRegion ?reg .
+}
+"""
+
+SPARQL_CONSTRUCT_SQL = f"""
+    WITH triples AS ({REL_TRIPLES_SQL}),
+    sol AS (
+      SELECT cn.subject AS cust, nr.object AS reg
+      FROM triples cn
+      JOIN triples nr ON nr.subject = cn.object
+                     AND nr.predicate = '{_EX}inRegion'
+      WHERE cn.predicate = '{_EX}inNation'
+    )
+    SELECT DISTINCT * FROM (
+      SELECT cust AS subject, '{_EX}locatedIn' AS predicate, reg AS object
+      FROM sol
+      UNION ALL
+      SELECT reg, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+             '{_EX}Region'
+      FROM sol
+    ) ORDER BY subject, predicate, object
 """

@@ -340,3 +340,71 @@ def test_union_rel_matches_duckdb(spark):
     got = [tuple(r) for r in sparql_query(t, REL_BGP_VALUES).collect()]
     assert got == [tuple(r) for r in con.sql(SPARQL_VALUES_SQL).fetchall()]
     assert len(got) > 0
+
+
+@pytest.fixture(scope="module")
+def hier(spark):
+    # a -> b -> c -> d chain plus side edge b -> x; cycle d -> a
+    return spark.createDataFrame(
+        [("a", "p:in", "b", False), ("b", "p:in", "c", False),
+         ("c", "p:in", "d", False), ("b", "p:in", "x", False),
+         ("d", "p:in", "a", False), ("a", "p:other", "z", False)],
+        "subject string, predicate string, object string, "
+        "object_is_literal boolean")
+
+
+def test_property_path_transitive(hier):
+    rows = sorted(r.y for r in sparql_query(hier, PFX + """
+        SELECT ?y WHERE { <a> p:in+ ?y . }""").collect())
+    # closure from a: b, c, d, x, and back to a through the cycle
+    assert rows == ["a", "b", "c", "d", "x"]
+
+
+def test_property_path_reverse_endpoint(hier):
+    rows = sorted(r.x for r in sparql_query(hier, PFX + """
+        SELECT ?x WHERE { ?x p:in+ <d> . }""").collect())
+    assert rows == ["a", "b", "c", "d"]  # d reaches itself via the cycle
+
+
+def test_property_path_requires_constant_pred(hier):
+    with pytest.raises(SparqlError):
+        sparql_query(hier, PFX + "SELECT ?x WHERE { ?x ?p+ <d> . }")
+
+
+def test_construct_template(triples):
+    from pikes_spark.operators.kgquery import sparql_construct
+    out = sparql_construct(triples, PFX + """
+        CONSTRUCT { ?a <p:actsIn> ?ev . ?a a <p:Actor> . }
+        WHERE { ?ev sem:hasActor ?a . }""")
+    rows = sorted(tuple(r) for r in out.collect())
+    assert ("e:alice", "p:actsIn", "e:ev1") in rows
+    assert ("e:alice", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+            "p:Actor") in rows
+    # dedup: alice acts in two events but is typed Actor once
+    assert len([r for r in rows if r[1].endswith("type")
+                and r[0] == "e:alice"]) == 1
+
+
+def test_ask(triples):
+    from pikes_spark.operators.kgquery import sparql_ask
+    assert sparql_ask(triples, PFX + "ASK { ?x foaf:name \"Alice\" . }")
+    assert not sparql_ask(triples, PFX + "ASK { ?x foaf:name \"Zelda\" . }")
+
+
+def test_path_rel_matches_duckdb(spark):
+    import duckdb
+
+    from pikes_spark.operators.kgquery import (
+        REL_BGP_PATH, REL_CONSTRUCT, SPARQL_CONSTRUCT_SQL, SPARQL_PATH_SQL,
+        rel_triples, sparql_construct)
+    sf_dir = "/root/testdata/sf0.001"
+    t = rel_triples(spark, sf_dir)
+    con = duckdb.connect()
+    for tab in ("customer", "nation", "region"):
+        con.sql(f"CREATE VIEW {tab} AS SELECT * "
+                f"FROM '{sf_dir}/{tab}.parquet'")
+    got = [tuple(r) for r in sparql_query(t, REL_BGP_PATH).collect()]
+    assert got == [tuple(r) for r in con.sql(SPARQL_PATH_SQL).fetchall()]
+    got = sorted(tuple(r) for r in sparql_construct(t, REL_CONSTRUCT).collect())
+    want = sorted(tuple(r) for r in con.sql(SPARQL_CONSTRUCT_SQL).fetchall())
+    assert got == want and len(got) > 0
