@@ -454,6 +454,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_fingerprint": textstats.fingerprints,
         "txt_top_terms": textstats.top_terms,
         "txt_length_quantiles": textstats.length_quantiles,
+        "txt_train_test_split": textstats.train_test_split,
+        "txt_token_batches": textstats.token_batches,
         "txt_postings": textstats.postings,
         "kg_bfs_reach": graph.bfs_reach,
         # dedup family
@@ -604,6 +606,8 @@ def oracle_sql() -> dict[str, str]:
         "txt_fingerprint": textstats.FINGERPRINT_SQL,
         "txt_top_terms": textstats.TOP_TERMS_SQL,
         "txt_length_quantiles": textstats.LENGTH_QUANTILES_SQL,
+        "txt_train_test_split": textstats.TRAIN_TEST_SPLIT_SQL,
+        "txt_token_batches": textstats.TOKEN_BATCHES_SQL,
         "rel_salted_join": """
             SELECT c.c_mktsegment, count(*) AS n_orders,
                    CAST(floor(sum(o.o_totalprice)) AS BIGINT) AS rev_fl

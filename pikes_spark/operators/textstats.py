@@ -290,3 +290,85 @@ SELECT lang, MAX(n) AS n_docs,
        MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN n_tokens END) AS p90_tokens
 FROM ranked GROUP BY lang ORDER BY lang
 """
+
+def train_test_split(spark: SparkSession, sf_dir: str,
+                     test_hex: str = "33333333") -> DataFrame:
+    """Deterministic, engine-independent train/test split: md5 of the
+    doc id keyed against a fixed hex threshold (~20% test at
+    '33333333'). Both Spark and DuckDB produce identical lowercase-hex
+    md5, so the assignment is reproducible anywhere — the property a
+    training pipeline needs so a document never migrates between
+    splits across runs, engines, or cluster sizes. Pure Catalyst;
+    embarrassingly parallel (no shuffle before the per-lang count)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    h8 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    labeled = docs.select(
+        "doc_id", "lang",
+        F.when(h8 < test_hex, "test").otherwise("train").alias("split"))
+    return (labeled.groupBy("lang", "split")
+            .agg(F.count("*").alias("n"),
+                 F.min("doc_id").alias("min_doc"),
+                 F.max("doc_id").alias("max_doc"))
+            .orderBy("lang", "split"))
+
+
+TRAIN_TEST_SPLIT_SQL = """
+WITH labeled AS (
+  SELECT doc_id, lang,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '33333333'
+              THEN 'test' ELSE 'train' END AS split
+  FROM documents
+)
+SELECT lang, split, count(*) AS n,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM labeled GROUP BY lang, split ORDER BY lang, split
+"""
+
+
+def token_batches(spark: SparkSession, sf_dir: str,
+                  budget: int = 4096) -> DataFrame:
+    """Sequence-packing plan for pretraining: documents in doc_id
+    order are greedily packed into token-budgeted batches per
+    language. batch = floor(exclusive-prefix-sum(tokens) / budget) —
+    the deterministic approximation of greedy packing that a window
+    cumulative sum expresses exactly in both engines (a document
+    larger than the budget occupies its batch alone and bleeds into
+    the next index, matching the SQL formulation bit-for-bit).
+
+    Per-lang window = one exchange; the cumsum stays inside it."""
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tc = docs.select(
+        "doc_id", "lang",
+        F.size(_tokens(F.col("text"))).alias("n_tokens"))
+    w = (Window.partitionBy("lang").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    with_prefix = tc.withColumn(
+        "prefix", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    batched = with_prefix.withColumn(
+        "batch", F.floor(F.col("prefix") / budget).cast("bigint"))
+    return (batched.groupBy("lang", "batch")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").alias("batch_tokens"),
+                 F.min("doc_id").alias("first_doc"))
+            .orderBy("lang", "batch"))
+
+
+TOKEN_BATCHES_SQL = """
+WITH tc AS (
+  SELECT doc_id, lang,
+         len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS n_tokens
+  FROM documents
+), pre AS (
+  SELECT doc_id, lang, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS prefix
+  FROM tc
+)
+SELECT lang, CAST(floor(prefix / 4096) AS BIGINT) AS batch,
+       count(*) AS n_docs, SUM(n_tokens) AS batch_tokens,
+       MIN(doc_id) AS first_doc
+FROM pre GROUP BY lang, batch ORDER BY lang, batch
+"""

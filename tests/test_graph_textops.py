@@ -121,3 +121,29 @@ def test_salted_join_shuffles_on_salted_key(spark):
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     assert "_salt" in plan and "hashpartitioning(key" in plan
+
+
+def test_train_test_split_matches_duckdb(spark):
+    got = [tuple(r) for r in textstats.train_test_split(spark, SF).collect()]
+    con = _duck()
+    want = [tuple(r) for r in con.sql(textstats.TRAIN_TEST_SPLIT_SQL).fetchall()]
+    assert got == want and len(got) > 0
+    # both splits populated, test share in a plausible band for ~20%
+    by = {(lang, split): n for lang, split, n, *_ in got}
+    total = sum(by.values())
+    test = sum(n for (lang, s), n in by.items() if s == "test")
+    assert 0.05 < test / total < 0.4
+
+
+def test_token_batches_matches_duckdb(spark):
+    got = [tuple(r) for r in textstats.token_batches(spark, SF).collect()]
+    con = _duck()
+    want = [tuple(r) for r in con.sql(textstats.TOKEN_BATCHES_SQL).fetchall()]
+    assert got == want and len(got) > 0
+    # batches are dense per lang starting at 0
+    import collections
+    per_lang = collections.defaultdict(list)
+    for lang, batch, *_ in got:
+        per_lang[lang].append(batch)
+    for lang, batches in per_lang.items():
+        assert batches == sorted(batches) and batches[0] == 0
