@@ -367,6 +367,31 @@ def _q_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("user_id", "sess_no"))
 
 
+def _q_stream_dedup(spark, sf_dir):
+    """Streaming exact dedup through TWO availableNow runs: epoch 1
+    lands the corpus, epoch 2 lands duplicate copies (same text,
+    shifted doc_id) — the committed unique-set must contain exactly
+    the original representatives, value-checked against the batch
+    dedup semantics in SQL."""
+    import tempfile
+
+    from pikes_spark.streaming.stream_dedup import stream_dedup_exact
+    from pikes_spark.sources.tables import SnapshotTable
+
+    tmp = tempfile.mkdtemp(prefix="pikes_sdedup_q_")
+    landing, out, ckpt = f"{tmp}/landing", f"{tmp}/out", f"{tmp}/ckpt"
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text", "lang"))
+    docs.write.parquet(landing)
+    stream_dedup_exact(spark, landing, out, ckpt).awaitTermination(600)
+    (docs.filter(F.col("doc_id") % 7 == 0)
+     .withColumn("doc_id", F.col("doc_id") + 10_000_000)
+     .write.mode("append").parquet(landing))
+    stream_dedup_exact(spark, landing, out, ckpt).awaitTermination(600)
+    uniq = SnapshotTable(f"{out}/unique_docs", name="unique_docs").read(spark)
+    return uniq.select("doc_id").orderBy("doc_id")
+
+
 def _q_rel_agg(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (li.filter(F.col("l_shipdate") < "1997-01-01")
@@ -494,6 +519,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # watermark sentinel, and value-checked against the same SQL
         # oracle as the batch sessionizer
         "evt_sessionize_stateful": _q_sessionize_stateful,
+        "stream_dedup_exact": _q_stream_dedup,
     }
 
 
@@ -641,6 +667,16 @@ def oracle_sql() -> dict[str, str]:
         # the stateful streaming sessionizer closes every session via
         # the sentinel flush, so the complete-session SQL is its oracle
         "evt_sessionize_stateful": events.SESSIONIZE_SQL,
+        # late-arriving duplicates (shifted ids, same text) must be
+        # dropped: the committed unique set == the original corpus's
+        # per-norm min-doc_id representatives
+        "stream_dedup_exact": """
+            SELECT min(doc_id) AS doc_id
+            FROM (SELECT doc_id,
+                         regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+                  FROM documents)
+            GROUP BY norm ORDER BY doc_id
+        """,
         "evt_windowed_counts": events.WINDOWED_COUNTS_SQL,
         "evt_asof_join": events.ASOF_JOIN_SQL,
         "evt_sliding_count": events.SLIDING_COUNT_SQL,

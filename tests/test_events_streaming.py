@@ -95,3 +95,31 @@ def test_stateful_streaming_sessionize_matches_batch(spark):
         assert got == expected
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_dedup_first_arrival_wins(spark, tmp_path):
+    """Within-batch: min doc_id wins. Cross-batch: ARRIVAL order wins
+    even when the later duplicate has a smaller id (the committed set
+    is immutable). Replays cannot double-commit."""
+    from pikes_spark.sources.tables import SnapshotTable
+    from pikes_spark.streaming.stream_dedup import stream_dedup_exact
+
+    landing = str(tmp_path / "landing")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    ddl = "doc_id bigint, text string, lang string"
+    b1 = spark.createDataFrame(
+        [(10, "alpha beta", "en"), (20, "alpha beta", "en"),   # in-batch dup
+         (30, "gamma", "en")], ddl)
+    b1.write.parquet(landing)
+    stream_dedup_exact(spark, landing, out, ckpt).awaitTermination(300)
+    b2 = spark.createDataFrame(
+        [(5, "gamma", "en"),          # smaller id, but arrives later -> dropped
+         (40, "delta", "en")], ddl)
+    b2.write.mode("append").parquet(landing)
+    stream_dedup_exact(spark, landing, out, ckpt).awaitTermination(300)
+    table = SnapshotTable(f"{out}/unique_docs", name="unique_docs")
+    got = sorted(r.doc_id for r in table.read(spark).collect())
+    assert got == [10, 30, 40]
+    # replay with same checkpoint: no new epochs, table unchanged
+    stream_dedup_exact(spark, landing, out, ckpt).awaitTermination(300)
+    assert sorted(r.doc_id for r in table.read(spark).collect()) == [10, 30, 40]
