@@ -481,6 +481,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_length_quantiles": textstats.length_quantiles,
         "txt_train_test_split": textstats.train_test_split,
         "txt_token_batches": textstats.token_batches,
+        "txt_redact_pii": textstats.redact_pii,
         "txt_postings": textstats.postings,
         "kg_bfs_reach": graph.bfs_reach,
         # dedup family
@@ -634,6 +635,7 @@ def oracle_sql() -> dict[str, str]:
         "txt_length_quantiles": textstats.LENGTH_QUANTILES_SQL,
         "txt_train_test_split": textstats.TRAIN_TEST_SPLIT_SQL,
         "txt_token_batches": textstats.TOKEN_BATCHES_SQL,
+        "txt_redact_pii": textstats.REDACT_PII_SQL,
         "rel_salted_join": """
             SELECT c.c_mktsegment, count(*) AS n_orders,
                    CAST(floor(sum(o.o_totalprice)) AS BIGINT) AS rev_fl

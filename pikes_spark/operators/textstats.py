@@ -372,3 +372,39 @@ SELECT lang, CAST(floor(prefix / 4096) AS BIGINT) AS batch,
        MIN(doc_id) AS first_doc
 FROM pre GROUP BY lang, batch ORDER BY lang, batch
 """
+
+# PII scrubbing patterns: chosen to mean the same thing in Java regex
+# (Spark) and RE2 (DuckDB) — no lookaround, no backreferences
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_URL_RE = "https?://[^ \\t\\n]+"
+
+
+def redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data scrubbing: replace emails and URLs with fixed
+    placeholder tokens. Output carries per-doc match counts and the
+    md5 of the redacted text — both engines produce identical
+    lowercase-hex md5, so the oracle verifies the REDACTED BYTES, not
+    just the counts. Pure Catalyst; embarrassingly parallel."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    red = F.regexp_replace(
+        F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"),
+        _URL_RE, "<URL>")
+    return (docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), 0))
+        .cast("bigint").alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_URL_RE), 0))
+        .cast("bigint").alias("n_urls"),
+        F.md5(red).alias("redacted_md5"))
+        .orderBy("doc_id"))
+
+
+REDACT_PII_SQL = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_URL_RE}')) AS BIGINT) AS n_urls,
+       md5(regexp_replace(
+             regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{_URL_RE}', '<URL>', 'g')) AS redacted_md5
+FROM documents ORDER BY doc_id
+"""

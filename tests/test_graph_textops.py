@@ -147,3 +147,24 @@ def test_token_batches_matches_duckdb(spark):
         per_lang[lang].append(batch)
     for lang, batches in per_lang.items():
         assert batches == sorted(batches) and batches[0] == 0
+
+
+def test_redact_pii_counts_and_bytes(spark, tmp_path):
+    import duckdb
+    ddl = "doc_id bigint, text string, lang string"
+    rows = [
+        (1, "mail me at bob@example.com or visit https://x.io/a?b=1 now", "en"),
+        (2, "two mails a@b.co c.d@e.org and http://plain.example", "en"),
+        (3, "nothing sensitive here", "en"),
+    ]
+    spark.createDataFrame(rows, ddl).write.parquet(
+        str(tmp_path / "documents.parquet"))
+    got = [tuple(r) for r in textstats.redact_pii(
+        spark, str(tmp_path)).collect()]
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{tmp_path}/documents.parquet/*.parquet'")
+    want = [tuple(r) for r in con.sql(textstats.REDACT_PII_SQL).fetchall()]
+    assert got == want
+    counts = {d: (e, u) for d, e, u, _ in got}
+    assert counts[1] == (1, 1) and counts[2] == (2, 1) and counts[3] == (0, 0)
