@@ -315,6 +315,13 @@ def _q_sparql_construct(spark, sf_dir):
     return out.orderBy("subject", "predicate", "object")
 
 
+def _q_sparql_minus(spark, sf_dir):
+    """SPARQL MINUS / FILTER NOT EXISTS — left-anti join; semantic
+    DuckDB oracle via NOT EXISTS."""
+    return kgquery.sparql_query(kgquery.rel_triples(spark, sf_dir),
+                                kgquery.REL_BGP_MINUS)
+
+
 def _q_sparql_gold(spark, sf_dir):
     """SPARQL BGP over the engine's own gold KG: events with PERSON
     actors and their foaf:names — a 4-pattern join through the triple
@@ -471,6 +478,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_values": _q_sparql_values,
         "kg_sparql_path": _q_sparql_path,
         "kg_sparql_construct": _q_sparql_construct,
+        "kg_sparql_minus": _q_sparql_minus,
         "kg_sparql_gold": _q_sparql_gold,
         # text analysis
         "txt_token_counts": textstats.token_counts,
@@ -624,6 +632,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_values": kgquery.SPARQL_VALUES_SQL,
         "kg_sparql_path": kgquery.SPARQL_PATH_SQL,
         "kg_sparql_construct": kgquery.SPARQL_CONSTRUCT_SQL,
+        "kg_sparql_minus": kgquery.SPARQL_MINUS_SQL,
         "kg_sparql_gold": _gold_triples_values_sql(
             "EXPECTED_SPARQL_GOLD", ["event", "actor", "name"],
             order="event, actor, name"),

@@ -161,6 +161,8 @@ class SparqlQuery:
         self.group_by: List[str] = []
         # UNION blocks: each a list of branch (patterns, filters)
         self.unions: List[List[Tuple[list, List[str]]]] = []
+        # negation groups (MINUS / FILTER NOT EXISTS): (patterns, filters)
+        self.minuses: List[Tuple[list, List[str]]] = []
         # VALUES blocks: (var names, rows of str-or-None)
         self.values: List[Tuple[List[str], List[List[Optional[str]]]]] = []
         self.order_by: List[Tuple[str, bool]] = []  # (var, descending)
@@ -268,6 +270,13 @@ class SparqlQuery:
 
         body = re.sub(r"\{[^{}]*\}(?:\s*UNION\s*\{[^{}]*\})+",
                       _grab_union, body, flags=re.I | re.S)
+
+        def _grab_minus(mm2):
+            self.minuses.append(self._parse_group(mm2.group(1)))
+            return " "
+
+        body = re.sub(r"(?:MINUS|FILTER\s+NOT\s+EXISTS)\s*\{([^{}]*)\}",
+                      _grab_minus, body, flags=re.I | re.S)
 
         def _grab_optional(om2):
             self.optionals.append(self._parse_group(om2.group(1)))
@@ -548,6 +557,24 @@ def sparql_query(triples: DataFrame, query: str) -> DataFrame:
         for v in vs:
             if v not in bound:
                 bound[v] = vbinds[v]
+    # negation: anti-join on the shared variables — MINUS and
+    # FILTER NOT EXISTS coincide on this shared-variable subset
+    for mpats, mfilters in q.minuses:
+        mdf, mbound, mpend = _compile_bgp(triples, mpats, mfilters,
+                                          q.prefixes, idx_offset=off)
+        off += len(mpats)
+        if mpend:
+            raise SparqlError(f"FILTER uses unbound variable: {mpend[0]!r}")
+        shared = [(bound[v], mbound[v]) for v in mbound if v in bound]
+        if not shared:
+            raise SparqlError(
+                "MINUS group shares no variable with the required part")
+        cond = None
+        for a, b in shared:
+            c = F.col(a) == F.col(b)
+            cond = c if cond is None else (cond & c)
+        acc = acc.join(mdf.select(*[b for _, b in shared]).distinct(),
+                       cond, "left_anti")
     for gpats, gfilters in q.optionals:
         gdf, gbound, gpend = _compile_bgp(triples, gpats, gfilters,
                                           q.prefixes, idx_offset=off)
@@ -963,4 +990,46 @@ SPARQL_CONSTRUCT_SQL = f"""
              '{_EX}Region'
       FROM sol
     ) ORDER BY subject, predicate, object
+"""
+
+# Negation driver query: ASIA nations with NO MACHINERY customer whose
+# id ends in 7 — MINUS compiles to a left-anti join (same inner pattern
+# as the OPTIONAL query, which proves both outcomes occur in the data)
+REL_BGP_MINUS = """
+PREFIX ex: <http://example.org/>
+SELECT ?nname WHERE {
+  ?nat ex:name ?nname .
+  ?nat ex:inRegion ?reg .
+  ?reg ex:name "ASIA" .
+  MINUS {
+    ?cust ex:inNation ?nat .
+    ?cust ex:segment "MACHINERY" .
+    FILTER (regex(?cust, "7$"))
+  }
+}
+ORDER BY ?nname
+"""
+
+SPARQL_MINUS_SQL = f"""
+    WITH triples AS ({REL_TRIPLES_SQL}),
+    nm AS (SELECT subject AS nat, object AS nname FROM triples
+           WHERE predicate = '{_EX}name' AND object_is_literal),
+    nr AS (SELECT subject AS nat, object AS reg FROM triples
+           WHERE predicate = '{_EX}inRegion'),
+    rn AS (SELECT subject AS reg FROM triples
+           WHERE predicate = '{_EX}name' AND object = 'ASIA'
+             AND object_is_literal),
+    base AS (SELECT nm.nat, nm.nname
+             FROM nm JOIN nr USING (nat) JOIN rn USING (reg)),
+    furn AS (SELECT DISTINCT cn.object AS nat
+             FROM triples cn
+             JOIN triples cs ON cs.subject = cn.subject
+                            AND cs.predicate = '{_EX}segment'
+                            AND cs.object = 'MACHINERY'
+                            AND cs.object_is_literal
+             WHERE cn.predicate = '{_EX}inNation'
+               AND regexp_matches(cn.subject, '7$'))
+    SELECT nname FROM base
+    WHERE NOT EXISTS (SELECT 1 FROM furn WHERE furn.nat = base.nat)
+    ORDER BY nname
 """

@@ -408,3 +408,39 @@ def test_path_rel_matches_duckdb(spark):
     got = sorted(tuple(r) for r in sparql_construct(t, REL_CONSTRUCT).collect())
     want = sorted(tuple(r) for r in con.sql(SPARQL_CONSTRUCT_SQL).fetchall())
     assert got == want and len(got) > 0
+
+
+def test_minus_removes_matches(triples):
+    rows = q(triples, """SELECT ?a WHERE {
+        ?a rdf:type nwr:PERSON .
+        MINUS { ?ev2 sem:hasActor ?a . ?ev2 rdf:type sem:Event . }
+    }""")
+    assert rows == []  # both persons act in typed events
+    rows = q(triples, """SELECT ?a WHERE {
+        ?ev sem:hasActor ?a .
+        FILTER NOT EXISTS { ?a rdf:type nwr:PERSON . }
+    }""")
+    assert rows == [("e:carol",)]
+
+
+def test_minus_plan_is_anti_join(triples):
+    plan = sparql_query(triples, PFX + """SELECT ?a WHERE {
+        ?ev sem:hasActor ?a .
+        MINUS { ?a foaf:name ?n . }
+    }""")._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+
+
+def test_minus_rel_matches_duckdb(spark):
+    import duckdb
+
+    from pikes_spark.operators.kgquery import (
+        REL_BGP_MINUS, SPARQL_MINUS_SQL, rel_triples)
+    sf_dir = "/root/testdata/sf0.001"
+    got = [tuple(r) for r in sparql_query(
+        rel_triples(spark, sf_dir), REL_BGP_MINUS).collect()]
+    con = duckdb.connect()
+    for tab in ("customer", "nation", "region"):
+        con.sql(f"CREATE VIEW {tab} AS SELECT * "
+                f"FROM '{sf_dir}/{tab}.parquet'")
+    assert got == [tuple(r) for r in con.sql(SPARQL_MINUS_SQL).fetchall()]
