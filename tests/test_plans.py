@@ -5,7 +5,8 @@ operators, partial aggregation, no row-level cartesian products."""
 
 from pyspark.sql import functions as F
 
-from pikes_spark.plans.audit import (assert_broadcast_join,
+from pikes_spark.plans.audit import (explain_formatted,
+                                     assert_broadcast_join,
                                      assert_no_cartesian,
                                      assert_no_python_eval,
                                      assert_partial_aggregation,
@@ -116,3 +117,55 @@ def test_asof_join_single_hash_exchange(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_new_textops_stay_jvm_side(spark):
+    """top_terms / postings / quantiles / split / batches / redaction
+    are pure Catalyst — no Python eval nodes, partial aggregation
+    where a groupBy exists."""
+    from pikes_spark.operators.textstats import (
+        length_quantiles, postings, redact_pii, token_batches, top_terms,
+        train_test_split)
+    for fn in (top_terms, postings, length_quantiles, train_test_split,
+               token_batches, redact_pii):
+        assert_no_python_eval(fn(spark, SF))
+    assert_partial_aggregation(postings(spark, SF))
+    assert_partial_aggregation(train_test_split(spark, SF))
+
+
+def test_textops_prune_columns_at_scan(spark):
+    """A 2-column operator must not scan the whole documents table."""
+    from pikes_spark.operators.textstats import top_terms, train_test_split
+    plan_tt = explain_formatted(top_terms(spark, SF))
+    assert "doc_id" in plan_tt and '"html"' not in plan_tt
+    from pikes_spark.plans.audit import explain_formatted as ef
+    plan_split = ef(train_test_split(spark, SF))
+    # split touches doc_id + lang only: text must be pruned from the scan
+    import re
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan_split)
+    assert m and "text" not in m.group(1), plan_split
+
+
+def test_sparql_constant_pushdown_and_no_python(spark):
+    """Constant pattern terms must reach the scan as pushed filters
+    when querying a parquet-backed triple table."""
+    import tempfile
+
+    from pikes_spark.operators.kgquery import rel_triples, sparql_query
+    tmp = tempfile.mkdtemp(prefix="sparql_plan_")
+    rel_triples(spark, SF).write.parquet(f"{tmp}/t.parquet")
+    t = spark.read.parquet(f"{tmp}/t.parquet")
+    out = sparql_query(t, """
+        PREFIX ex: <http://example.org/>
+        SELECT ?c WHERE { ?c ex:segment "BUILDING" . }""")
+    plan = explain_formatted(out)
+    assert "EqualTo(predicate,http://example.org/segment)" in plan, plan
+    assert "EqualTo(object,BUILDING)" in plan, plan
+    assert_no_python_eval(out)
+
+
+def test_bfs_frontier_no_python_no_cartesian(spark):
+    from pikes_spark.operators.graph import bfs_reach
+    out = bfs_reach(spark, SF)
+    assert_no_python_eval(out)
+    assert_no_cartesian(out)
