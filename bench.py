@@ -39,6 +39,9 @@ def _run_queries(spark, sf_dir: str) -> dict:
         "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
         "dedup_embedding_cosine", "sim_brute_force_topk", "sim_ivf_topk",
         "rel_filter_agg", "rel_join_window_topk",
+        # r4-cont additions: SPARQL layer, iterative BFS, training-data ops
+        "kg_sparql_rel", "kg_sparql_construct", "kg_bfs_reach",
+        "txt_top_terms", "txt_train_test_split", "txt_redact_pii",
     ]
     for name in bench_queries:
         t0 = time.time()
