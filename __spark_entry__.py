@@ -253,6 +253,25 @@ def _q_compaction(spark, sf_dir):
             .orderBy("component"))
 
 
+GOLD_SPARQL_AGG = """
+PREFIX gaf: <http://groundedannotationframework.org/gaf#>
+PREFIX ks: <http://dkm.fbk.eu/ontologies/knowledgestore#>
+SELECT ?page (COUNT(DISTINCT ?ent) AS ?n_entities) WHERE {
+  ?ent gaf:denotedBy ?m .
+  ?m ks:mentionOf ?page .
+}
+GROUP BY ?page
+ORDER BY ?page
+"""
+
+
+def _q_sparql_gold_agg(spark, sf_dir):
+    """SPARQL aggregate over the engine's own gold KG: denoted-entity
+    count per page through the mention layer (2-hop join + GROUP BY),
+    value-checked against frozen expectations."""
+    return kgquery.sparql_query(_gold_triples(spark), GOLD_SPARQL_AGG)
+
+
 GOLD_SPARQL = """
 PREFIX sem: <http://semanticweb.cs.vu.nl/2009/11/sem/>
 PREFIX nwr: <http://www.newsreader-project.eu/ontologies/>
@@ -480,6 +499,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_construct": _q_sparql_construct,
         "kg_sparql_minus": _q_sparql_minus,
         "kg_sparql_gold": _q_sparql_gold,
+        "kg_sparql_gold_agg": _q_sparql_gold_agg,
         # text analysis
         "txt_token_counts": textstats.token_counts,
         "txt_lang_id": textstats.lang_id,
@@ -636,6 +656,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_gold": _gold_triples_values_sql(
             "EXPECTED_SPARQL_GOLD", ["event", "actor", "name"],
             order="event, actor, name"),
+        "kg_sparql_gold_agg": _gold_triples_values_sql(
+            "EXPECTED_SPARQL_GOLD_AGG", ["page", "n_entities"],
+            order="page"),
         "txt_token_counts": textstats.TOKEN_COUNTS_SQL,
         "txt_lang_id": textstats.LANG_ID_SQL,
         "txt_quality": textstats.QUALITY_SQL,
