@@ -120,11 +120,56 @@ class SnapshotTable:
                     return True
         return False
 
-    def read(self, spark: SparkSession) -> Optional[DataFrame]:
-        snap = self.latest_snapshot()
+    def snapshot(self, sequence: int) -> Optional[dict]:
+        """Manifest of a specific committed sequence number (time
+        travel: every historical manifest stays readable)."""
+        for name in self._manifests():
+            with open(os.path.join(self.root, "meta", name)) as fh:
+                m = json.load(fh)
+            if m["sequence"] == sequence:
+                return m
+        return None
+
+    def read(self, spark: SparkSession,
+             sequence: Optional[int] = None) -> Optional[DataFrame]:
+        """Read the latest snapshot, or — time travel — a historical
+        one by its sequence number (Iceberg VERSION AS OF)."""
+        snap = (self.latest_snapshot() if sequence is None
+                else self.snapshot(sequence))
         if snap is None or not snap["data_dirs"]:
             return None
         return spark.read.parquet(*snap["data_dirs"])
+
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """Table maintenance (Iceberg expire_snapshots): drop manifests
+        older than the newest ``keep_last`` and delete data dirs no
+        surviving manifest references. The commit point stays atomic —
+        manifests are removed before their now-orphaned data files, so
+        a crash mid-expire never breaks a readable snapshot."""
+        import shutil
+
+        ms = self._manifests()
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        to_drop, to_keep = ms[:-keep_last], ms[-keep_last:]
+        meta = os.path.join(self.root, "meta")
+        live_dirs = set()
+        for name in to_keep:
+            with open(os.path.join(meta, name)) as fh:
+                live_dirs.update(json.load(fh)["data_dirs"])
+        removed_files = 0
+        for name in to_drop:
+            with open(os.path.join(meta, name)) as fh:
+                dead = [d for d in json.load(fh)["data_dirs"]
+                        if d not in live_dirs]
+            os.remove(os.path.join(meta, name))  # manifest first
+            for d in dead:
+                if os.path.isdir(d):
+                    shutil.rmtree(d, ignore_errors=True)
+                    removed_files += 1
+        return {"expired_manifests": len(to_drop),
+                "removed_data_dirs": removed_files,
+                "kept": len(to_keep)}
 
     def committed_urls(self, spark: SparkSession) -> Optional[DataFrame]:
         df = self.read(spark)

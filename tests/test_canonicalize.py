@@ -156,3 +156,36 @@ def test_cc_random_graph_matches_union_find(spark):
     expected_multi = {g for g in expected if len(g) > 1}
     got_multi = {g for g in got if len(g) > 1}
     assert got_multi == expected_multi
+
+
+def test_snapshot_time_travel_and_expiry(spark, tmp_path):
+    """S4 maintenance: historical snapshots readable by sequence
+    (VERSION AS OF); expire_snapshots drops old manifests + orphaned
+    data but never data a kept manifest still references."""
+    import os
+
+    from pikes_spark.sources.tables import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "t"), name="t")
+    t.append(spark.createDataFrame([(1,)], "v int"), spark)
+    t.append(spark.createDataFrame([(2,)], "v int"), spark)
+    t.append(spark.createDataFrame([(3,)], "v int"), spark)
+    # time travel: sequence 1 sees the first two appends
+    assert sorted(r.v for r in t.read(spark, sequence=1).collect()) == [1, 2]
+    assert sorted(r.v for r in t.read(spark).collect()) == [1, 2, 3]
+    # expire to the latest only: accumulating table keeps ALL data dirs
+    # (the latest manifest references them), older manifests go
+    res = t.expire_snapshots(keep_last=1)
+    assert res["expired_manifests"] == 2 and res["removed_data_dirs"] == 0
+    assert t.snapshot(1) is None
+    assert sorted(r.v for r in t.read(spark).collect()) == [1, 2, 3]
+
+    # overwrite table: expiry deletes the replaced snapshot's data
+    o = SnapshotTable(str(tmp_path / "o"), name="o")
+    o.overwrite(spark.createDataFrame([(1,)], "v int"), spark)
+    old_dir = o.latest_snapshot()["data_dirs"][0]
+    o.overwrite(spark.createDataFrame([(9,)], "v int"), spark)
+    res = o.expire_snapshots(keep_last=1)
+    assert res["expired_manifests"] == 1 and res["removed_data_dirs"] == 1
+    assert not os.path.isdir(old_dir)
+    assert [r.v for r in o.read(spark).collect()] == [9]
