@@ -169,13 +169,25 @@ class SparqlQuery:
         self.limit: Optional[int] = None
         self._parse(text)
 
+    # one FILTER(...) clause: quoted strings and one paren-nesting
+    # level (function calls like regex(...)) are matched, so multiple
+    # FILTERs in a row — no dot separator needed in SPARQL — split
+    _QSTR = '"(?:[^"\\\\]|\\\\.)*"'  # quoted string with escape pairs
+    _FILTER_CLAUSE_RE = re.compile(
+        'FILTER\\s*\\((?P<e>(?:[^()"]|' + _QSTR
+        + '|\\((?:[^()"]|' + _QSTR + ')*\\))*)\\)',
+        re.I | re.S)
+
     def _parse_group(self, body: str):
         patterns: List[Tuple[_Term, _Term, _Term]] = []
         filters: List[str] = []
         for part in _split_patterns(body):
-            fm = re.match(r"FILTER\s*\((?P<e>.*)\)\s*$", part, re.I | re.S)
-            if fm:
+            def _grab_filter(fm):
                 filters.append(fm.group("e").strip())
+                return " "
+
+            part = self._FILTER_CLAUSE_RE.sub(_grab_filter, part).strip()
+            if not part:
                 continue
             toks: List[_Term] = []
             pos = 0

@@ -70,7 +70,10 @@ class SnapshotTable:
         # read-back scan (the reference's Tracker -> observe() mapping)
         obs = Observation(f"append_{snap_id}")
         out = out.observe(obs, F.count(F.lit(1)).alias("rows"))
-        out.write.mode("errorifexists").parquet(data_dir)
+        # zstd: ~30-50% smaller than snappy on IRI-heavy triple data at
+        # comparable write cost — at 10^12 triples the scan economics
+        # dominate, and the sorted layout compresses especially well
+        out.write.mode("errorifexists").option("compression", "zstd")            .parquet(data_dir)
         stats = {"rows": obs.get["rows"]}
         prev = self.latest_snapshot()
         manifest = {

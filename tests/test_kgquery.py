@@ -444,3 +444,38 @@ def test_minus_rel_matches_duckdb(spark):
         con.sql(f"CREATE VIEW {tab} AS SELECT * "
                 f"FROM '{sf_dir}/{tab}.parquet'")
     assert got == [tuple(r) for r in con.sql(SPARQL_MINUS_SQL).fetchall()]
+
+
+def test_optional_then_aggregate_counts_skip_nulls(triples):
+    # COUNT(?n) must skip unbound (NULL) optional bindings, COUNT(*) not
+    rows = q(triples, """SELECT ?a (COUNT(?n) AS ?named) (COUNT(*) AS ?all) WHERE {
+        ?ev sem:hasActor ?a .
+        OPTIONAL { ?a foaf:name ?n . }
+    } GROUP BY ?a ORDER BY ?a""")
+    assert rows == [("e:alice", 2, 2), ("e:bob", 1, 1), ("e:carol", 0, 1)]
+
+
+def test_union_and_optional_combined(triples):
+    rows = q(triples, """SELECT ?x ?n WHERE {
+        { ?x rdf:type sem:Event . } UNION { ?x rdf:type nwr:PERSON . }
+        OPTIONAL { ?x foaf:name ?n . }
+    } ORDER BY ?x""")
+    assert rows == [("e:alice", "Alice"), ("e:bob", "Bob"),
+                    ("e:ev1", None), ("e:ev2", None)]
+
+
+def test_multiple_filters_and_messy_whitespace(triples):
+    rows = q(triples, "SELECT ?ev ?a WHERE {\n\t?ev   sem:hasActor\t?a .\n"
+                      "  FILTER (?a != e:alice)\n"
+                      "  FILTER (regex(?a, \"^e:\"))\n"
+                      "  FILTER (?ev != e:ev3)\n} ORDER BY ?a")
+    assert rows == [("e:ev2", "e:bob")]
+
+
+def test_values_combined_with_minus(triples):
+    rows = q(triples, """SELECT ?a WHERE {
+        ?ev sem:hasActor ?a .
+        VALUES ?a { e:alice e:bob e:carol }
+        MINUS { ?a foaf:name ?n . }
+    }""")
+    assert rows == [("e:carol",)]
