@@ -512,6 +512,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_redact_pii": textstats.redact_pii,
         "txt_postings": textstats.postings,
         "kg_bfs_reach": graph.bfs_reach,
+        "kg_pagerank": graph.pagerank_top20,
         # dedup family
         "dedup_exact": dedup.exact_duplicates,
         # ngram_jaccard is the exact all-pairs VERIFIER/oracle path —
@@ -638,6 +639,8 @@ def oracle_sql() -> dict[str, str]:
             order="hamming"),
         "sim_ivf_topk": _corpus_values_sql(
             "IVF_TOPK", ["vec_id", "cos_x1e6"], order="cos_x1e6 DESC, vec_id"),
+        "kg_pagerank": _corpus_values_sql(
+            "PAGERANK_TOP20", ["node", "rank"], order="rank DESC, node"),
         "mm_media_features": _corpus_values_sql(
             "MEDIA_FEATURES",
             ["media_id", "kind", "n_bytes", "sha256", "frames"],

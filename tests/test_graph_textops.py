@@ -168,3 +168,33 @@ def test_redact_pii_counts_and_bytes(spark, tmp_path):
     assert got == want
     counts = {d: (e, u) for d, e, u, _ in got}
     assert counts[1] == (1, 1) and counts[2] == (2, 1) and counts[3] == (0, 0)
+
+
+def test_pagerank_deterministic_across_partitionings(spark):
+    from pikes_spark.operators.graph import pagerank_int
+    edges = spark.createDataFrame(
+        [(i % 23, (i * 7 + 3) % 23) for i in range(60)],
+        "src int, dst int")
+    r1 = {r.node: r.rank for r in pagerank_int(edges, iters=8).collect()}
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "11")
+    try:
+        r2 = {r.node: r.rank
+              for r in pagerank_int(edges.repartition(5), iters=8).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert r1 == r2  # bit-identical: the fixed-point arithmetic property
+
+
+def test_pagerank_hub_dominates(spark):
+    from pikes_spark.operators.graph import pagerank_int
+    # leaves -> hub, hub -> sink: sink accumulates the most mass,
+    # hub second, leaves only the base rank
+    edges = spark.createDataFrame(
+        [("l1", "hub"), ("l2", "hub"), ("l3", "hub"), ("hub", "sink")],
+        "src string, dst string")
+    r = {x.node: x.rank for x in pagerank_int(edges, iters=12).collect()}
+    assert r["sink"] > r["hub"] > r["l1"]
+    assert r["l1"] == r["l2"] == r["l3"]
+    # leaves receive nothing: exactly the base (1-d) mass
+    assert r["l1"] == (10 ** 12 * 15) // 100
