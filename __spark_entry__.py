@@ -326,6 +326,27 @@ def _q_sparql_path(spark, sf_dir):
                                 kgquery.REL_BGP_PATH)
 
 
+def _q_sparql_path_seq(spark, sf_dir):
+    """SPARQL sequence path p1/p2 (expands through a fresh internal
+    variable into an equi-join chain) — semantic DuckDB oracle."""
+    return kgquery.sparql_query(kgquery.rel_triples(spark, sf_dir),
+                                kgquery.REL_BGP_PATH_SEQ)
+
+
+def _q_sparql_path_ops(spark, sf_dir):
+    """SPARQL inverse + alternation path ^(p1|p2) — column swap over an
+    IN-list predicate scan; semantic DuckDB oracle."""
+    return kgquery.sparql_query(kgquery.rel_triples(spark, sf_dir),
+                                kgquery.REL_BGP_PATH_OPS)
+
+
+def _q_sparql_path_star(spark, sf_dir):
+    """SPARQL zero-or-more path p* (closure + zero-length identity) —
+    recursive-CTE DuckDB oracle with an explicit identity branch."""
+    return kgquery.sparql_query(kgquery.rel_triples(spark, sf_dir),
+                                kgquery.REL_BGP_PATH_STAR)
+
+
 def _q_sparql_construct(spark, sf_dir):
     """SPARQL CONSTRUCT (KG-to-KG template instantiation) — semantic
     DuckDB oracle building the same derived graph with SQL."""
@@ -496,6 +517,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_union": _q_sparql_union,
         "kg_sparql_values": _q_sparql_values,
         "kg_sparql_path": _q_sparql_path,
+        "kg_sparql_path_seq": _q_sparql_path_seq,
+        "kg_sparql_path_ops": _q_sparql_path_ops,
+        "kg_sparql_path_star": _q_sparql_path_star,
         "kg_sparql_construct": _q_sparql_construct,
         "kg_sparql_minus": _q_sparql_minus,
         "kg_sparql_gold": _q_sparql_gold,
@@ -654,6 +678,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_union": kgquery.SPARQL_UNION_SQL,
         "kg_sparql_values": kgquery.SPARQL_VALUES_SQL,
         "kg_sparql_path": kgquery.SPARQL_PATH_SQL,
+        "kg_sparql_path_seq": kgquery.SPARQL_PATH_SEQ_SQL,
+        "kg_sparql_path_ops": kgquery.SPARQL_PATH_OPS_SQL,
+        "kg_sparql_path_star": kgquery.SPARQL_PATH_STAR_SQL,
         "kg_sparql_construct": kgquery.SPARQL_CONSTRUCT_SQL,
         "kg_sparql_minus": kgquery.SPARQL_MINUS_SQL,
         "kg_sparql_gold": _gold_triples_values_sql(

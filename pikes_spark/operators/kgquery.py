@@ -61,12 +61,16 @@ _DEFAULT_PREFIXES = {
 
 
 class _Term:
-    __slots__ = ("kind", "value", "trans")
+    __slots__ = ("kind", "value", "trans", "iris", "inv", "mod")
 
     def __init__(self, kind: str, value: str, trans: bool = False):
-        self.kind = kind    # 'var' | 'iri' | 'lit'
+        self.kind = kind    # 'var' | 'iri' | 'lit' | 'path'
         self.value = value  # var name without '?', absolute IRI, or literal text
-        self.trans = trans  # one-or-more property path (predicate+)
+        self.trans = trans  # legacy flag: one-or-more property path (predicate+)
+        # property-path step attributes (kind == 'path'):
+        self.iris: List[str] = []  # alternation members (>=1 IRI)
+        self.inv = False           # ^ inverse step
+        self.mod = ""              # '' | '+' | '*' | '?'
 
 
 def _parse_term(tok: str, prefixes: Dict[str, str]) -> _Term:
@@ -167,6 +171,7 @@ class SparqlQuery:
         self.values: List[Tuple[List[str], List[List[Optional[str]]]]] = []
         self.order_by: List[Tuple[str, bool]] = []  # (var, descending)
         self.limit: Optional[int] = None
+        self._seq = 0  # fresh-variable counter for '/'-sequence expansion
         self._parse(text)
 
     # one FILTER(...) clause: quoted strings and one paren-nesting
@@ -189,29 +194,131 @@ class SparqlQuery:
             part = self._FILTER_CLAUSE_RE.sub(_grab_filter, part).strip()
             if not part:
                 continue
-            toks: List[_Term] = []
-            pos = 0
-            while pos < len(part):
-                tm = _TERM_RE.match(part, pos)
-                if not tm:
-                    raise SparqlError(f"bad triple pattern: {part!r}")
-                term = _parse_term(part[tm.start(): tm.end()].strip(),
-                                   self.prefixes)
-                pos = tm.end()
-                if pos < len(part) and part[pos] == "+":
-                    term.trans = True
-                    pos += 1
-                    while pos < len(part) and part[pos].isspace():
-                        pos += 1
-                toks.append(term)
-            if len(toks) != 3:
-                raise SparqlError(f"pattern needs 3 terms: {part!r}")
-            if toks[0].trans or toks[2].trans:
-                raise SparqlError("property path + only valid on predicate")
-            if toks[1].trans and toks[1].kind != "iri":
-                raise SparqlError("property path + needs a constant IRI")
-            patterns.append((toks[0], toks[1], toks[2]))
+            patterns.extend(self._parse_triple(part))
         return patterns, filters
+
+    # a path atom: IRI, pname, or the 'a' keyword — NO trailing-space
+    # consumption, so modifier adjacency (p+ vs "p ?o") is decidable
+    _PATH_ATOM_RE = re.compile(r"<[^>\s]+>|[A-Za-z_][\w.-]*:[\w.%-]*|a(?![\w:])")
+
+    def _atom_iri(self, tok: str) -> str:
+        t = _parse_term(tok, self.prefixes)
+        if t.kind != "iri":
+            raise SparqlError(f"property path atom must be an IRI: {tok!r}")
+        return t.value
+
+    def _parse_path(self, s: str, pos: int):
+        """Parse a property-path expression at s[pos:]: a '/'-sequence
+        of steps, each step  '^'? (iri | '(' iri ('|' iri)* ')') [+*?].
+        Top-level alternation a|b (no parens) is accepted when the whole
+        path is one step. Returns (steps, newpos) where each step is
+        (iris, inv, mod)."""
+        steps = []
+        while True:
+            while pos < len(s) and s[pos].isspace():
+                pos += 1
+            inv = False
+            if pos < len(s) and s[pos] == "^":
+                inv = True
+                pos += 1
+                while pos < len(s) and s[pos].isspace():
+                    pos += 1
+            iris: List[str] = []
+            if pos < len(s) and s[pos] == "(":
+                end = s.find(")", pos)
+                if end < 0:
+                    raise SparqlError("unbalanced ( in property path")
+                for alt in s[pos + 1: end].split("|"):
+                    iris.append(self._atom_iri(alt.strip()))
+                pos = end + 1
+            else:
+                m = self._PATH_ATOM_RE.match(s, pos)
+                if not m:
+                    raise SparqlError(f"bad property path at: {s[pos:]!r}")
+                iris.append(self._atom_iri(m.group(0)))
+                pos = m.end()
+                # bare top-level alternation: p1|p2 (spaces allowed)
+                while True:
+                    save = pos
+                    while pos < len(s) and s[pos].isspace():
+                        pos += 1
+                    if pos < len(s) and s[pos] == "|":
+                        pos += 1
+                        while pos < len(s) and s[pos].isspace():
+                            pos += 1
+                        m = self._PATH_ATOM_RE.match(s, pos)
+                        if not m:
+                            raise SparqlError(
+                                f"bad path alternation at: {s[pos:]!r}")
+                        iris.append(self._atom_iri(m.group(0)))
+                        pos = m.end()
+                    else:
+                        pos = save
+                        break
+            mod = ""
+            if pos < len(s) and s[pos] in "+*?":
+                # adjacency required: "p?" is zero-or-one, "p ?o" is an
+                # object variable
+                mod = s[pos]
+                pos += 1
+            steps.append((iris, inv, mod))
+            save = pos
+            while pos < len(s) and s[pos].isspace():
+                pos += 1
+            if pos < len(s) and s[pos] == "/":
+                pos += 1
+                continue
+            return steps, save
+
+    def _parse_triple(self, part: str):
+        """One triple pattern 'subject path object' -> one or more
+        (s, p, o) pattern tuples ('/' sequences expand through fresh
+        internal variables named _pp<N>)."""
+        tm = _TERM_RE.match(part, 0)
+        if not tm:
+            raise SparqlError(f"bad triple pattern: {part!r}")
+        subj = _parse_term(part[tm.start(): tm.end()].strip(), self.prefixes)
+        if subj.kind == "path":
+            raise SparqlError("property path only valid on predicate")
+        pos = tm.end()
+        look = pos
+        while look < len(part) and part[look].isspace():
+            look += 1
+        if look < len(part) and part[look] == "?":
+            tm = _TERM_RE.match(part, pos)
+            pred = _parse_term(part[tm.start(): tm.end()].strip(),
+                               self.prefixes)
+            steps = None
+            pos = tm.end()
+        else:
+            steps, pos = self._parse_path(part, pos)
+        tm = _TERM_RE.match(part, pos)
+        if not tm:
+            raise SparqlError(f"pattern needs an object term: {part!r}")
+        obj = _parse_term(part[tm.start(): tm.end()].strip(), self.prefixes)
+        if tm.end() != len(part):
+            raise SparqlError(f"trailing tokens in pattern: {part!r}")
+        if steps is None:
+            return [(subj, pred, obj)]
+        out = []
+        cur = subj
+        for i, (iris, inv, mod) in enumerate(steps):
+            last = i == len(steps) - 1
+            if last:
+                nxt = obj
+            else:
+                nxt = _Term("var", f"_pp{self._seq}")
+                self._seq += 1
+            if len(iris) == 1 and not inv and mod == "":
+                p = _Term("iri", iris[0])
+            else:
+                p = _Term("path", iris[0], trans=(mod == "+"))
+                p.iris = list(iris)
+                p.inv = inv
+                p.mod = mod
+            out.append((cur, p, nxt))
+            cur = nxt
+        return out
 
     def _parse(self, text: str) -> None:
         text = text.strip()
@@ -315,18 +422,13 @@ class SparqlQuery:
             raise SparqlError("empty WHERE clause")
 
 
-def _closure_df(triples: DataFrame, pred_iri: str,
-                max_iter: int = 12) -> DataFrame:
-    """One-or-more transitive closure of a single predicate, as
-    (subject, object) pairs — the checkpointed-frontier iteration
-    (cf. operators/graph.bfs_hops). Intended for hierarchy predicates
-    (taxonomies, containment) whose closure is depth-bounded; an
-    all-pairs closure of a dense relation would explode at scale and
-    is the user's responsibility, as in any SPARQL engine."""
-    edges = (triples.filter(F.col("predicate") == pred_iri)
-             .select(F.col("subject").alias("src"),
-                     F.col("object").alias("dst"))
-             .distinct())
+def _closure_edges(edges: DataFrame, max_iter: int = 12) -> DataFrame:
+    """One-or-more transitive closure of an edge set (src, dst) — the
+    checkpointed-frontier iteration (cf. operators/graph.bfs_hops).
+    Intended for hierarchy predicates (taxonomies, containment) whose
+    closure is depth-bounded; an all-pairs closure of a dense relation
+    would explode at scale and is the user's responsibility, as in any
+    SPARQL engine."""
     paths = edges.localCheckpoint()
     frontier = paths
     e2 = edges.withColumnRenamed("src", "_m").withColumnRenamed("dst", "dst2")
@@ -344,12 +446,48 @@ def _closure_df(triples: DataFrame, pred_iri: str,
             .withColumnRenamed("dst", "object"))
 
 
+def _graph_nodes(triples: DataFrame) -> DataFrame:
+    """All RDF terms occurring in the graph, as (src, dst) identity
+    pairs — the zero-length-path solution set (SPARQL 1.1 §18.4:
+    a zero-length path matches every graph term with itself)."""
+    nodes = (triples.select(F.col("subject").alias("src"))
+             .unionAll(triples.select(F.col("object").alias("src")))
+             .distinct())
+    return nodes.withColumn("dst", F.col("src"))
+
+
+def _path_step_df(triples: DataFrame, p: _Term) -> DataFrame:
+    """One property-path step -> (subject, object) pair frame.
+    Alternation = predicate IN-list on the scan (pushed down);
+    inverse = column swap; '+' = frontier-iterated closure;
+    '*' / '?' = union with the zero-length identity set."""
+    pred = F.col("predicate")
+    base = triples.filter(pred == p.iris[0] if len(p.iris) == 1
+                          else pred.isin(p.iris))
+    s_col, o_col = ("object", "subject") if p.inv else ("subject", "object")
+    edges = base.select(F.col(s_col).alias("src"),
+                        F.col(o_col).alias("dst")).distinct()
+    if p.mod == "+":
+        return _closure_edges(edges)
+    if p.mod == "*":
+        closed = (_closure_edges(edges)
+                  .select(F.col("subject").alias("src"),
+                          F.col("object").alias("dst")))
+        out = closed.unionAll(_graph_nodes(triples)).distinct()
+    elif p.mod == "?":
+        out = edges.unionAll(_graph_nodes(triples)).distinct()
+    else:
+        out = edges
+    return (out.withColumnRenamed("src", "subject")
+            .withColumnRenamed("dst", "object"))
+
+
 def _pattern_df(triples: DataFrame, pat: Tuple[_Term, _Term, _Term],
                 idx: int) -> Tuple[DataFrame, Dict[str, str]]:
     """One triple pattern -> filtered projection; returns (df, var->col)."""
     s, p, o = pat
-    if p.trans:
-        df = _closure_df(triples, p.value)
+    if p.kind == "path":
+        df = _path_step_df(triples, p)
         binds: Dict[str, str] = {}
         first_col: Dict[str, str] = {}
         cols = []
@@ -635,7 +773,9 @@ def sparql_query(triples: DataFrame, query: str) -> DataFrame:
                else named.agg(*aggs))
         out = out.select(*q.group_by, *[a[3] for a in q.aggregates])
     else:
-        proj = q.projection or sorted(bound)
+        # _pp<N> are internal sequence-expansion variables, never projected
+        proj = q.projection or sorted(v for v in bound
+                                      if not v.startswith("_pp"))
         missing = [v for v in proj if v not in bound]
         if missing:
             raise SparqlError(f"projected variable never bound: ?{missing[0]}")
@@ -969,6 +1109,90 @@ SPARQL_PATH_SQL = f"""
       SELECT c.src, e.dst FROM cl c JOIN edges e ON e.src = c.dst
     )
     SELECT src AS x FROM cl WHERE dst = 'reg:1' ORDER BY x LIMIT 500
+"""
+
+# sequence path driver query: customer -> nation -> region in ONE
+# pattern (ex:inNation/ex:inRegion expands through a fresh internal
+# variable, i.e. an ordinary equi-join chain Catalyst plans as usual)
+REL_BGP_PATH_SEQ = """
+PREFIX ex: <http://example.org/>
+SELECT ?cust ?rname WHERE {
+  ?cust ex:inNation/ex:inRegion ?reg .
+  ?reg ex:name ?rname .
+  ?cust ex:segment "MACHINERY" .
+}
+ORDER BY ?cust ?rname LIMIT 400
+"""
+
+SPARQL_PATH_SEQ_SQL = f"""
+    WITH triples AS ({REL_TRIPLES_SQL}),
+    hop AS (
+      SELECT cn.subject AS cust, nr.object AS reg
+      FROM triples cn
+      JOIN triples nr ON nr.subject = cn.object
+                     AND nr.predicate = '{_EX}inRegion'
+      WHERE cn.predicate = '{_EX}inNation'
+    )
+    SELECT h.cust AS cust, rn.object AS rname
+    FROM hop h
+    JOIN triples rn ON rn.subject = h.reg AND rn.predicate = '{_EX}name'
+                   AND rn.object_is_literal
+    JOIN triples sg ON sg.subject = h.cust AND sg.predicate = '{_EX}segment'
+                   AND sg.object = 'MACHINERY' AND sg.object_is_literal
+    ORDER BY cust, rname LIMIT 400
+"""
+
+# inverse + alternation driver query: ^(p1|p2) — the inverse step swaps
+# the (subject, object) columns, the alternation is an IN-list predicate
+# pushed to the scan
+REL_BGP_PATH_OPS = """
+PREFIX ex: <http://example.org/>
+SELECT DISTINCT ?reg ?nat WHERE {
+  ?reg ^(ex:inRegion|ex:partOf) ?nat .
+  ?reg ex:name "ASIA" .
+}
+ORDER BY ?reg ?nat LIMIT 100
+"""
+
+SPARQL_PATH_OPS_SQL = f"""
+    WITH triples AS ({REL_TRIPLES_SQL})
+    SELECT DISTINCT e.object AS reg, e.subject AS nat
+    FROM triples e
+    JOIN triples nm ON nm.subject = e.object AND nm.predicate = '{_EX}name'
+                   AND nm.object = 'ASIA' AND nm.object_is_literal
+    WHERE e.predicate IN ('{_EX}inRegion', '{_EX}partOf')
+    ORDER BY reg, nat LIMIT 100
+"""
+
+# zero-or-more driver query: bound subject, cust -> nation -> region
+# ancestry including the zero-length self match (SPARQL 1.1 §18.4: a
+# zero-length path matches every graph term with itself)
+REL_BGP_PATH_STAR = """
+PREFIX ex: <http://example.org/>
+PREFIX cust: <cust:>
+SELECT DISTINCT ?anc WHERE {
+  cust:19 ex:partOf* ?anc .
+}
+ORDER BY ?anc LIMIT 100
+"""
+
+SPARQL_PATH_STAR_SQL = f"""
+    WITH RECURSIVE triples AS ({REL_TRIPLES_SQL}),
+    edges AS (
+      SELECT subject AS src, object AS dst FROM triples
+      WHERE predicate = '{_EX}partOf'
+    ),
+    cl (src, dst) AS (
+      SELECT src, dst FROM edges WHERE src = 'cust:19'
+      UNION
+      SELECT c.src, e.dst FROM cl c JOIN edges e ON e.src = c.dst
+    )
+    SELECT DISTINCT anc FROM (
+      SELECT dst AS anc FROM cl
+      UNION ALL
+      SELECT 'cust:19' AS anc WHERE 'cust:19' IN
+        (SELECT subject FROM triples UNION SELECT object FROM triples)
+    ) ORDER BY anc LIMIT 100
 """
 
 # CONSTRUCT driver query: derive locatedIn triples + region typing from

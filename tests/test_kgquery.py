@@ -371,6 +371,83 @@ def test_property_path_requires_constant_pred(hier):
         sparql_query(hier, PFX + "SELECT ?x WHERE { ?x ?p+ <d> . }")
 
 
+def test_path_inverse(hier):
+    # (?x ^p:in <a>) == (<a> p:in ?x)
+    rows = sorted(r.x for r in sparql_query(hier, PFX + """
+        SELECT ?x WHERE { ?x ^p:in <a> . }""").collect())
+    assert rows == ["b"]
+
+
+def test_path_sequence(hier):
+    rows = sorted(r.y for r in sparql_query(hier, PFX + """
+        SELECT ?y WHERE { <a> p:in/p:in ?y . }""").collect())
+    assert rows == ["c", "x"]
+
+
+def test_path_sequence_with_closure_tail(hier):
+    rows = sorted(set(r.y for r in sparql_query(hier, PFX + """
+        SELECT ?y WHERE { <a> p:in/p:in+ ?y . }""").collect()))
+    assert rows == ["a", "b", "c", "d", "x"]
+
+
+def test_path_alternation(hier):
+    rows = sorted(r.y for r in sparql_query(hier, PFX + """
+        SELECT ?y WHERE { <a> p:in|p:other ?y . }""").collect())
+    assert rows == ["b", "z"]
+
+
+def test_path_zero_or_more(hier):
+    rows = sorted(r.y for r in sparql_query(hier, PFX + """
+        SELECT ?y WHERE { <b> p:in* ?y . }""").collect())
+    assert rows == ["a", "b", "c", "d", "x"]
+    # a node with no outgoing edges still matches itself (zero-length)
+    rows = sorted(r.y for r in sparql_query(hier, PFX + """
+        SELECT ?y WHERE { <z> p:in* ?y . }""").collect())
+    assert rows == ["z"]
+
+
+def test_path_zero_or_one(hier):
+    rows = sorted(r.y for r in sparql_query(hier, PFX + """
+        SELECT ?y WHERE { <c> p:in? ?y . }""").collect())
+    assert rows == ["c", "d"]
+
+
+def test_path_inverse_of_alternation(hier):
+    # ^(p1|p2): swap endpoints of the alternation edge set
+    rows = sorted(tuple(r) for r in sparql_query(hier, PFX + """
+        SELECT ?x ?y WHERE { ?x ^(p:in|p:other) ?y . ?y <p:in> <b> . }
+    """).collect())
+    # y must have p:in edge to b -> y == a; x = targets of a's edges
+    assert rows == [("b", "a"), ("z", "a")]
+
+
+def test_path_sequence_internal_var_not_projected(hier):
+    df = sparql_query(hier, PFX +
+                      "SELECT * WHERE { <a> p:in/p:in ?y . }")
+    assert df.columns == ["y"]
+
+
+def test_path_seq_ops_star_match_duckdb(spark):
+    import duckdb
+
+    from pikes_spark.operators.kgquery import (
+        REL_BGP_PATH_OPS, REL_BGP_PATH_SEQ, REL_BGP_PATH_STAR,
+        SPARQL_PATH_OPS_SQL, SPARQL_PATH_SEQ_SQL, SPARQL_PATH_STAR_SQL,
+        rel_triples)
+    sf_dir = "/root/testdata/sf0.001"
+    t = rel_triples(spark, sf_dir)
+    con = duckdb.connect()
+    for tab in ("customer", "nation", "region"):
+        con.sql(f"CREATE VIEW {tab} AS SELECT * "
+                f"FROM '{sf_dir}/{tab}.parquet'")
+    for bgp, sql in ((REL_BGP_PATH_SEQ, SPARQL_PATH_SEQ_SQL),
+                     (REL_BGP_PATH_OPS, SPARQL_PATH_OPS_SQL),
+                     (REL_BGP_PATH_STAR, SPARQL_PATH_STAR_SQL)):
+        got = [tuple(r) for r in sparql_query(t, bgp).collect()]
+        want = [tuple(r) for r in con.sql(sql).fetchall()]
+        assert got == want and len(got) > 0
+
+
 def test_construct_template(triples):
     from pikes_spark.operators.kgquery import sparql_construct
     out = sparql_construct(triples, PFX + """
