@@ -535,7 +535,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_token_batches": textstats.token_batches,
         "txt_redact_pii": textstats.redact_pii,
         "txt_postings": textstats.postings,
+        "txt_repetition": textstats.repetition_stats,
         "kg_bfs_reach": graph.bfs_reach,
+        "kg_triangles": graph.triangles_top,
         "kg_pagerank": graph.pagerank_top20,
         # dedup family
         "dedup_exact": dedup.exact_duplicates,
@@ -705,7 +707,9 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
         """,
         "txt_postings": textstats.POSTINGS_SQL,
+        "txt_repetition": textstats.REPETITION_SQL,
         "kg_bfs_reach": graph.BFS_REACH_SQL,
+        "kg_triangles": graph.TRIANGLES_SQL,
         "dedup_exact": dedup.EXACT_DUP_SQL,
         "dedup_ngram_jaccard": dedup.NGRAM_JACCARD_SQL,
         # LSH candidates are exact-Jaccard verified, so output ⊆ exact set

@@ -42,6 +42,7 @@ def _run_queries(spark, sf_dir: str) -> dict:
         # r4-cont additions: SPARQL layer, iterative BFS, training-data ops
         "kg_sparql_rel", "kg_sparql_construct", "kg_bfs_reach",
         "txt_top_terms", "txt_train_test_split", "txt_redact_pii",
+        "kg_sparql_path_seq", "kg_triangles", "txt_repetition",
     ]
     for name in bench_queries:
         t0 = time.time()

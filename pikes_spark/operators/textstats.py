@@ -408,3 +408,104 @@ SELECT doc_id,
              '{_URL_RE}', '<URL>', 'g')) AS redacted_md5
 FROM documents ORDER BY doc_id
 """
+
+
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document (Rae et al.
+    2021 §A1.1 use duplicate-line / most-common-n-gram fractions to
+    drop boilerplate and spam): token count, distinct-token count, the
+    most frequent unigram and bigram with their counts, and a pass/fail
+    flag at the classic thresholds (top unigram < 20 % of tokens, top
+    bigram < 10 % of bigrams, using integer cross-multiplication so
+    both engines compare exactly).
+
+    Scale design: one explode + two-level aggregation per n-gram order
+    — partial counts combine map-side, then one `min_by` per doc picks
+    the argmax with a deterministic (count desc, token asc) tie-break;
+    no window function, no Python. The explode is ~n_tokens rows per
+    doc but carries only (doc_id, token) through the exchange.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select("doc_id", _tokens(F.col("text")).alias("t"))
+    uni = (toks.select("doc_id", F.explode("t").alias("w"))
+           .groupBy("doc_id", "w").agg(F.count("*").alias("n"))
+           .groupBy("doc_id")
+           .agg(F.sum("n").alias("n_tokens"),
+                F.count("*").alias("n_distinct"),
+                # argmax with (count desc, token asc) tie-break:
+                # min_by over the composite (-n, w)
+                F.expr("min_by(w, struct(-n, w))").alias("top_token"),
+                F.max("n").alias("top_token_n")))
+    # word bigrams: zip the array with its tail, join with a space
+    bi_arr = F.expr(
+        "transform(slice(t, 1, size(t) - 1), (w, i) ->"
+        " concat(w, ' ', element_at(t, i + 2)))")
+    bi = (toks.filter(F.size("t") >= 2)
+          .select("doc_id", F.explode(bi_arr).alias("g"))
+          .groupBy("doc_id", "g").agg(F.count("*").alias("n"))
+          .groupBy("doc_id")
+          .agg(F.sum("n").alias("n_bigrams"),
+               F.expr("min_by(g, struct(-n, g))").alias("top_bigram"),
+               F.max("n").alias("top_bigram_n")))
+    out = (uni.join(bi, "doc_id", "left")
+           .select(
+               "doc_id", "n_tokens", "n_distinct",
+               "top_token", "top_token_n",
+               F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+               "top_bigram",
+               F.coalesce("top_bigram_n", F.lit(0)).alias("top_bigram_n"),
+               ((F.col("top_token_n") * 5 < F.col("n_tokens"))
+                & (F.coalesce(F.col("top_bigram_n"), F.lit(0)) * 10
+                   < F.coalesce(F.col("n_bigrams"), F.lit(1)) * 1)
+                ).alias("passes")))
+    return out.orderBy("doc_id")
+
+
+REPETITION_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+  FROM documents
+),
+uni_counts AS (
+  SELECT doc_id, w, COUNT(*) AS n,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY n DESC, w ASC) AS rk
+  FROM (SELECT doc_id, unnest(t) AS w FROM toks)
+  GROUP BY doc_id, w
+),
+uni AS (
+  SELECT doc_id,
+         SUM(n) AS n_tokens,
+         COUNT(*) AS n_distinct,
+         MAX(CASE WHEN rk = 1 THEN w END) AS top_token,
+         MAX(n) AS top_token_n
+  FROM uni_counts GROUP BY doc_id
+),
+bi_counts AS (
+  SELECT doc_id, g, COUNT(*) AS n,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY n DESC, g ASC) AS rk
+  FROM (
+    SELECT doc_id, t[i] || ' ' || t[i + 1] AS g
+    FROM toks, UNNEST(range(1, len(t))) AS r(i)
+    WHERE len(t) >= 2
+  ) GROUP BY doc_id, g
+),
+bi AS (
+  SELECT doc_id,
+         SUM(n) AS n_bigrams,
+         MAX(CASE WHEN rk = 1 THEN g END) AS top_bigram,
+         MAX(n) AS top_bigram_n
+  FROM bi_counts GROUP BY doc_id
+)
+SELECT u.doc_id,
+       u.n_tokens, u.n_distinct, u.top_token, u.top_token_n,
+       COALESCE(b.n_bigrams, 0) AS n_bigrams,
+       b.top_bigram,
+       COALESCE(b.top_bigram_n, 0) AS top_bigram_n,
+       (u.top_token_n * 5 < u.n_tokens
+        AND COALESCE(b.top_bigram_n, 0) * 10 < COALESCE(b.n_bigrams, 1))
+         AS passes
+FROM uni u LEFT JOIN bi b USING (doc_id)
+ORDER BY doc_id
+"""

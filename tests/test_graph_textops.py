@@ -198,3 +198,94 @@ def test_pagerank_hub_dominates(spark):
     assert r["l1"] == r["l2"] == r["l3"]
     # leaves receive nothing: exactly the base (1-d) mass
     assert r["l1"] == (10 ** 12 * 15) // 100
+
+
+# ---------------------------------------------------------------------------
+# triangle counting
+# ---------------------------------------------------------------------------
+
+def _tri(spark, pairs):
+    df = spark.createDataFrame(pairs, "src int, dst int")
+    from pikes_spark.operators.graph import triangle_counts
+    return {(r.node, r.triangles) for r in triangle_counts(df).collect()}
+
+
+def test_triangles_k4(spark):
+    # complete graph on 4 nodes: 4 triangles, each node in 3
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    assert _tri(spark, k4) == {(n, 3) for n in range(4)}
+
+
+def test_triangles_direction_and_dups_collapsed(spark):
+    # same triangle given with mixed directions, duplicates, self-loop
+    pairs = [(0, 1), (1, 0), (1, 2), (2, 0), (0, 0), (1, 2)]
+    assert _tri(spark, pairs) == {(0, 1), (1, 1), (2, 1)}
+
+
+def test_triangles_open_wedge_none(spark):
+    # path 0-1-2 has a wedge but no closing edge
+    assert _tri(spark, [(0, 1), (1, 2)]) == set()
+
+
+def test_triangles_two_shared_edge(spark):
+    # triangles {0,1,2} and {0,1,3} share edge (0,1)
+    pairs = [(0, 1), (1, 2), (0, 2), (1, 3), (0, 3)]
+    assert _tri(spark, pairs) == {(0, 2), (1, 2), (2, 1), (3, 1)}
+
+
+def test_triangles_top_matches_duckdb(spark):
+    from pikes_spark.operators.graph import TRIANGLES_SQL, triangles_top
+    got = [tuple(r) for r in triangles_top(spark, SF).collect()]
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW orders AS SELECT * FROM '{SF}/orders.parquet'")
+    want = [tuple(r) for r in con.sql(TRIANGLES_SQL).fetchall()]
+    assert got == want and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# repetition quality stats
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def rep_docs(tmp_path_factory, spark):
+    docs = [
+        (0, "spam spam spam spam ham", "en", "t", 23),       # top-heavy
+        (1, "a b c d e f g h i j k l m n o p q r s t", "en", "t", 39),
+        (2, "x", "en", "t", 1),                               # no bigrams
+        (3, "b a b a", "en", "t", 7),                         # bigram ties
+    ]
+    d = tmp_path_factory.mktemp("repdocs")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string,"
+              " n_chars long").write.mode("overwrite").parquet(
+        str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_repetition_values(spark, rep_docs):
+    rows = {r.doc_id: r for r in
+            textstats.repetition_stats(spark, rep_docs).collect()}
+    r0 = rows[0]
+    assert (r0.top_token, r0.top_token_n, r0.n_tokens) == ("spam", 4, 5)
+    assert (r0.top_bigram, r0.top_bigram_n) == ("spam spam", 3)
+    assert not r0.passes            # 4*5 < 5 false
+    r1 = rows[1]
+    # 20 unique tokens: unigram 1*5 < 20 and bigram 1*10 < 19 -> passes
+    assert r1.top_token == "a" and r1.top_token_n == 1 and r1.passes
+    r2 = rows[2]
+    assert r2.n_bigrams == 0 and r2.top_bigram is None and not r2.passes
+    r3 = rows[3]
+    # unigram tie a:2 b:2 -> lexicographic min "a"; bigram "b a" wins 2-1
+    assert (r3.top_token, r3.top_token_n) == ("a", 2)
+    assert (r3.top_bigram, r3.top_bigram_n) == ("b a", 2)
+    assert not r3.passes            # 2*5 = 10, not < 4 tokens
+
+
+def test_repetition_matches_duckdb_on_fixture(spark, rep_docs):
+    got = [tuple(r) for r in
+           textstats.repetition_stats(spark, rep_docs).collect()]
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM"
+            f" '{rep_docs}/documents.parquet/*.parquet'")
+    want = [tuple(r) for r in con.sql(textstats.REPETITION_SQL).fetchall()]
+    assert got == want

@@ -169,3 +169,27 @@ def test_bfs_frontier_no_python_no_cartesian(spark):
     out = bfs_reach(spark, SF)
     assert_no_python_eval(out)
     assert_no_cartesian(out)
+
+
+def test_triangles_no_python_no_cartesian_partial_agg(spark):
+    """Triangle counting: JVM-side wedge joins only, degree + member
+    counts are partial aggregations, no cartesian expansion."""
+    from pikes_spark.operators.graph import triangles_top
+    out = triangles_top(spark, SF)
+    assert_no_python_eval(out)
+    assert_no_cartesian(out)
+    assert_partial_aggregation(out)
+
+
+def test_repetition_no_python_partial_agg_pruned_scan(spark):
+    """Repetition stats: pure Catalyst, map-side partial counts, and
+    only (doc_id, text) read from the documents scan."""
+    import re
+
+    from pikes_spark.operators.textstats import repetition_stats
+    out = repetition_stats(spark, SF)
+    assert_no_python_eval(out)
+    assert_partial_aggregation(out)
+    plan = explain_formatted(out)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and "lang" not in m.group(1) and "source" not in m.group(1), plan
