@@ -109,6 +109,241 @@ _FILTER_RE = re.compile(
 )
 
 
+class _Unbound(Exception):
+    """An expression references a variable not (yet) bound."""
+
+    def __init__(self, var: str):
+        self.var = var
+
+
+_EXPR_TOKEN_RE = re.compile(
+    r'\s*(?:(?P<str>"(?:[^"\\]|\\.)*")'
+    r"|(?P<num>-?\d+(?:\.\d+)?)"
+    r"|(?P<var>\?\w+)"
+    r"|(?P<iri><[^<>\s]*>)"
+    r"|(?P<pname>[A-Za-z_][\w.-]*:[\w.%-]*)"
+    r"|(?P<name>[A-Za-z_]\w*)"
+    r"|(?P<op>\|\||&&|!=|<=|>=|=|<|>|[()+,*!/-]))")
+
+# SPARQL builtin -> 1-arg Column transform
+_FN1 = {
+    "STRLEN": F.length,
+    "UCASE": F.upper,
+    "LCASE": F.lower,
+    "STR": lambda c: c.cast("string"),
+    "ABS": F.abs,
+    "BOUND": lambda c: c.isNotNull(),
+}
+_FN2 = {
+    "STRSTARTS": lambda a, b: a.startswith(b),
+    "STRENDS": lambda a, b: a.endswith(b),
+    "CONTAINS": lambda a, b: a.contains(b),
+    "STRBEFORE": lambda a, b: F.substring_index(a, b, 1),
+    "STRAFTER": lambda a, b: F.substring_index(a, b, -1),
+}
+
+
+class _ExprParser:
+    """Recursive-descent compiler for the SPARQL expression subset
+    used in FILTER / BIND / HAVING: ||, &&, !, comparisons, + - * /,
+    string builtins (STRLEN/UCASE/LCASE/STR/CONCAT/SUBSTR/REPLACE/
+    STRSTARTS/STRENDS/CONTAINS/STRBEFORE/STRAFTER), REGEX, BOUND, IF
+    and COALESCE — each mapping 1:1 onto a Catalyst expression, so
+    the whole filter/bind stays JVM-side."""
+
+    def __init__(self, text: str, bound: Dict[str, str],
+                 prefixes: Dict[str, str]):
+        self.toks: List[Tuple[str, str]] = []
+        pos = 0
+        while pos < len(text):
+            m = _EXPR_TOKEN_RE.match(text, pos)
+            if not m or m.end() == pos:
+                if text[pos:].strip():
+                    raise SparqlError(f"bad expression token at: {text[pos:]!r}")
+                break
+            pos = m.end()
+            for kind in ("str", "num", "var", "iri", "pname", "name", "op"):
+                if m.group(kind) is not None:
+                    self.toks.append((kind, m.group(kind)))
+                    break
+        self.i = 0
+        self.bound = bound
+        self.prefixes = prefixes
+
+    def _peek(self, kind=None, value=None):
+        if self.i >= len(self.toks):
+            return None
+        k, v = self.toks[self.i]
+        if kind and k != kind:
+            return None
+        if value and v != value:
+            return None
+        return v
+
+    def _next(self):
+        tok = self.toks[self.i]
+        self.i += 1
+        return tok
+
+    def parse(self):
+        out = self._or()
+        if self.i < len(self.toks):
+            raise SparqlError(
+                f"trailing expression tokens: {self.toks[self.i:]!r}")
+        return out
+
+    def _or(self):
+        left = self._and()
+        while self._peek("op", "||"):
+            self._next()
+            left = left | self._and()
+        return left
+
+    def _and(self):
+        left = self._not()
+        while self._peek("op", "&&"):
+            self._next()
+            left = left & self._not()
+        return left
+
+    def _not(self):
+        if self._peek("op", "!"):
+            self._next()
+            return ~self._not()
+        return self._cmp()
+
+    def _cmp(self):
+        left = self._add()
+        for op in ("!=", "<=", ">=", "=", "<", ">"):
+            if self._peek("op", op):
+                self._next()
+                right = self._add()
+                return {"=": left == right, "!=": left != right,
+                        "<": left < right, ">": left > right,
+                        "<=": left <= right, ">=": left >= right}[op]
+        return left
+
+    def _add(self):
+        left = self._mul()
+        while True:
+            if self._peek("op", "+"):
+                self._next()
+                left = left + self._mul()
+            elif self._peek("op", "-"):
+                self._next()
+                left = left - self._mul()
+            else:
+                return left
+
+    def _mul(self):
+        left = self._atom()
+        while True:
+            if self._peek("op", "*"):
+                self._next()
+                left = left * self._atom()
+            elif self._peek("op", "/"):
+                self._next()
+                left = left / self._atom()
+            else:
+                return left
+
+    def _args(self) -> list:
+        if not self._peek("op", "("):
+            raise SparqlError("expected ( after function name")
+        self._next()
+        args = [self._or()]
+        while self._peek("op", ","):
+            self._next()
+            args.append(self._or())
+        if not self._peek("op", ")"):
+            raise SparqlError("expected ) closing function call")
+        self._next()
+        return args
+
+    def _atom(self):
+        if self._peek("op", "("):
+            self._next()
+            out = self._or()
+            if not self._peek("op", ")"):
+                raise SparqlError("unbalanced ( in expression")
+            self._next()
+            return out
+        if self.i >= len(self.toks):
+            raise SparqlError("unexpected end of expression")
+        kind, v = self._next()
+        if kind == "str":
+            return F.lit(v[1:-1].replace('\\"', '"').replace("\\\\", "\\"))
+        if kind == "num":
+            return F.lit(float(v) if "." in v else int(v))
+        if kind in ("iri", "pname"):
+            return F.lit(_parse_term(v, self.prefixes).value)
+        if kind == "var":
+            name = v[1:]
+            if name not in self.bound:
+                raise _Unbound(name)
+            return F.col(self.bound[name])
+        if kind == "name":
+            fn = v.upper()
+            args = self._args()
+            if fn in _FN1 and len(args) == 1:
+                return _FN1[fn](args[0])
+            if fn in _FN2 and len(args) == 2:
+                return _FN2[fn](args[0], args[1])
+            if fn == "CONCAT":
+                return F.concat(*[a.cast("string") for a in args])
+            if fn == "COALESCE":
+                return F.coalesce(*args)
+            if fn == "SUBSTR" and len(args) == 2:
+                return args[0].substr(args[1].cast("int"),
+                                      F.length(args[0]))
+            if fn == "SUBSTR" and len(args) == 3:
+                return args[0].substr(args[1].cast("int"),
+                                      args[2].cast("int"))
+            if fn == "REPLACE" and len(args) == 3:
+                return F.regexp_replace(args[0], args[1], args[2])
+            if fn == "REGEX" and len(args) == 2:
+                return F.regexp_like(args[0], args[1])
+            if fn == "IF" and len(args) == 3:
+                return F.when(args[0], args[1]).otherwise(args[2])
+            raise SparqlError(f"unsupported function {v}({len(args)} args)")
+        raise SparqlError(f"unexpected token {v!r} in expression")
+
+
+def _compile_expr(text: str, bound: Dict[str, str],
+                  prefixes: Dict[str, str]):
+    """Compile an expression to a Column; None if a variable it uses
+    is not yet bound (caller defers the filter)."""
+    try:
+        return _ExprParser(text, bound, prefixes).parse()
+    except _Unbound:
+        return None
+
+
+def _match_paren(text: str, open_idx: int) -> int:
+    """Index just past the ')' matching text[open_idx] == '(' (quote
+    aware); raises on imbalance."""
+    depth = 0
+    i = open_idx
+    in_quote = False
+    while i < len(text):
+        ch = text[i]
+        if in_quote:
+            if ch == "\\":
+                i += 1
+            elif ch == '"':
+                in_quote = False
+        elif ch == '"':
+            in_quote = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    raise SparqlError("unbalanced ( in expression")
+
+
 def _split_patterns(body: str) -> List[str]:
     """Split the WHERE body on '.' separators that sit outside quotes
     and outside <IRI> brackets (IRIs and literals may contain dots)."""
@@ -171,6 +406,9 @@ class SparqlQuery:
         self.values: List[Tuple[List[str], List[List[Optional[str]]]]] = []
         self.order_by: List[Tuple[str, bool]] = []  # (var, descending)
         self.limit: Optional[int] = None
+        self.offset: Optional[int] = None
+        self.binds: List[Tuple[str, str]] = []  # (alias, expr text), in order
+        self.having: Optional[str] = None  # expr with aggs -> ?_hav<i>
         self._seq = 0  # fresh-variable counter for '/'-sequence expansion
         self._parse(text)
 
@@ -403,6 +641,20 @@ class SparqlQuery:
 
         body = re.sub(r"OPTIONAL\s*\{([^{}]*)\}", _grab_optional, body,
                       flags=re.I | re.S)
+        # BIND(expr AS ?alias): balanced-paren scan (the expression may
+        # itself contain calls); applied in textual order after the BGP
+        while True:
+            bm = re.search(r"\bBIND\s*\(", body, re.I)
+            if not bm:
+                break
+            open_idx = body.index("(", bm.start())
+            end = _match_paren(body, open_idx)
+            inner = body[open_idx + 1: end - 1]
+            am = re.search(r"\s+AS\s+\?(\w+)\s*$", inner, re.I)
+            if not am:
+                raise SparqlError(f"BIND needs AS ?var: {inner!r}")
+            self.binds.append((am.group(1), inner[: am.start()].strip()))
+            body = body[: bm.start()] + " " + body[end:]
         self.patterns, self.filters = self._parse_group(body)
         tail = m.group("tail") or ""
         om = re.search(r"ORDER\s+BY\s+(?P<keys>.+?)(?:LIMIT|$)", tail, re.I | re.S)
@@ -413,11 +665,33 @@ class SparqlQuery:
         gm = re.search(r"GROUP\s+BY\s+(?P<keys>(?:\?\w+\s*)+)", tail, re.I)
         if gm:
             self.group_by = [v[1:] for v in re.findall(r"\?\w+", gm.group("keys"))]
+        # HAVING(expr over aggregates): rewrite each aggregate call to an
+        # internal ?_hav<i> aggregate computed alongside the projection
+        hm = re.search(r"\bHAVING\s*\(", tail, re.I)
+        if hm:
+            open_idx = tail.index("(", hm.start())
+            end = _match_paren(tail, open_idx)
+            hx = tail[open_idx + 1: end - 1]
+            hagg_re = re.compile(
+                r"(?P<fn>COUNT|SUM|MIN|MAX|AVG)\s*\(\s*"
+                r"(?P<dist>DISTINCT\s+)?(?P<arg>\?\w+|\*)\s*\)", re.I)
+
+            def _grab_hagg(ham):
+                alias = f"_hav{len(self.aggregates)}"
+                self.aggregates.append((ham.group("fn").upper(),
+                                        bool(ham.group("dist")),
+                                        ham.group("arg"), alias))
+                return f"?{alias}"
+
+            self.having = hagg_re.sub(_grab_hagg, hx)
         if self.aggregates and not self.group_by and self.projection:
             raise SparqlError("non-aggregated projection needs GROUP BY")
         lm = re.search(r"LIMIT\s+(\d+)", tail, re.I)
         if lm:
             self.limit = int(lm.group(1))
+        om2 = re.search(r"OFFSET\s+(\d+)", tail, re.I)
+        if om2:
+            self.offset = int(om2.group(1))
         if not self.patterns and not self.unions and not self.values:
             raise SparqlError("empty WHERE clause")
 
@@ -537,7 +811,9 @@ def _pattern_df(triples: DataFrame, pat: Tuple[_Term, _Term, _Term],
 def _filter_expr(expr: str, bound: Dict[str, str], prefixes: Dict[str, str]):
     m = _FILTER_RE.match(expr.strip())
     if not m:
-        raise SparqlError(f"unsupported FILTER: {expr!r}")
+        # not a simple comparison/REGEX: hand to the full expression
+        # compiler (||/&&/!, arithmetic, string builtins, IF/COALESCE)
+        return _compile_expr(expr, bound, prefixes)
     if m.group("rvar"):
         var = m.group("rvar")
         if var not in bound:
@@ -554,7 +830,12 @@ def _filter_expr(expr: str, bound: Dict[str, str], prefixes: Dict[str, str]):
             return None
         rhs = F.col(bound[rv])
     else:
-        t = _parse_term(rhs_txt, prefixes)
+        try:
+            t = _parse_term(rhs_txt, prefixes)
+        except SparqlError:
+            # rhs isn't a single term (e.g. `?a = e:x || ?a = e:y`):
+            # the whole filter goes through the expression compiler
+            return _compile_expr(expr, bound, prefixes)
         rhs = F.lit(t.value)
     op = m.group("op")
     return {"=": lhs == rhs, "!=": lhs != rhs, "<": lhs < rhs,
@@ -735,7 +1016,18 @@ def sparql_query(triples: DataFrame, query: str) -> DataFrame:
         if not ok:
             raise SparqlError(
                 "OPTIONAL group shares no variable with the required part")
-    # outer filters that waited for UNION/VALUES-bound variables
+    # BIND(expr AS ?v): computed columns, in textual order so later
+    # binds/filters may reference earlier aliases
+    for alias, expr_txt in q.binds:
+        if alias in bound:
+            raise SparqlError(f"BIND would rebind ?{alias}")
+        col = _compile_expr(expr_txt, bound, q.prefixes)
+        if col is None:
+            raise SparqlError(f"BIND uses unbound variable: {expr_txt!r}")
+        cname = f"_bind_{alias}"
+        acc = acc.withColumn(cname, col)
+        bound[alias] = cname
+    # outer filters that waited for UNION/VALUES/BIND-bound variables
     for fx in pending:
         cond = _filter_expr(fx, bound, q.prefixes)
         if cond is None:
@@ -772,6 +1064,15 @@ def sparql_query(triples: DataFrame, query: str) -> DataFrame:
         out = (named.groupBy(*q.group_by).agg(*aggs) if q.group_by
                else named.agg(*aggs))
         out = out.select(*q.group_by, *[a[3] for a in q.aggregates])
+        if q.having is not None:
+            hcond = _compile_expr(q.having, {c: c for c in out.columns},
+                                  q.prefixes)
+            if hcond is None:
+                raise SparqlError(f"HAVING uses unbound: {q.having!r}")
+            out = out.filter(hcond)
+        internal = [a[3] for a in q.aggregates if a[3].startswith("_hav")]
+        if internal:
+            out = out.drop(*internal)
     else:
         # _pp<N> are internal sequence-expansion variables, never projected
         proj = q.projection or sorted(v for v in bound
@@ -786,6 +1087,8 @@ def sparql_query(triples: DataFrame, query: str) -> DataFrame:
         keys = [F.col(v).desc() if d else F.col(v).asc()
                 for v, d in q.order_by if v in out.columns]
         out = out.orderBy(*keys)
+    if q.offset is not None:
+        out = out.offset(q.offset)
     if q.limit is not None:
         out = out.limit(q.limit)
     return out

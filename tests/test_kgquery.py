@@ -556,3 +556,104 @@ def test_values_combined_with_minus(triples):
         MINUS { ?a foaf:name ?n . }
     }""")
     assert rows == [("e:carol",)]
+
+
+# ---------------------------------------------------------------- r4:
+# BIND / HAVING / OFFSET / full expression FILTERs
+
+
+def test_bind_arithmetic_and_projection(triples):
+    rows = q(triples, """SELECT ?a ?ln WHERE {
+        ?a foaf:name ?n .
+        BIND(STRLEN(?n) * 10 AS ?ln)
+    } ORDER BY ?a""")
+    assert rows == [("e:alice", 50), ("e:bob", 30)]
+
+
+def test_bind_chained_and_filtered(triples):
+    # later BIND references earlier alias; FILTER references the bind
+    rows = q(triples, """SELECT ?n ?u WHERE {
+        ?a foaf:name ?n .
+        BIND(UCASE(?n) AS ?u)
+        BIND(CONCAT(?u, "!") AS ?bang)
+        FILTER(STRENDS(?bang, "E!"))
+    }""")
+    assert rows == [("Alice", "ALICE")]
+
+
+def test_bind_rebind_rejected(triples):
+    with pytest.raises(SparqlError):
+        q(triples, "SELECT ?n WHERE { ?a foaf:name ?n . "
+                   "BIND(UCASE(?n) AS ?n) }")
+
+
+def test_filter_boolean_connectives(triples):
+    rows = q(triples, """SELECT ?ev ?a WHERE {
+        ?ev sem:hasActor ?a .
+        FILTER(?a = e:alice || ?a = e:carol && ?ev != e:ev3)
+    } ORDER BY ?ev""")
+    # && binds tighter than ||: alice rows survive, carol's ev3 dropped
+    assert rows == [("e:ev1", "e:alice"), ("e:ev2", "e:alice")]
+
+
+def test_filter_builtins_contains_if(triples):
+    rows = q(triples, """SELECT ?a ?tag WHERE {
+        ?a foaf:name ?n .
+        BIND(IF(CONTAINS(LCASE(?n), "li"), "yes", "no") AS ?tag)
+        FILTER(!STRSTARTS(?n, "Z"))
+    } ORDER BY ?a""")
+    assert rows == [("e:alice", "yes"), ("e:bob", "no")]
+
+
+def test_having_on_count(triples):
+    rows = q(triples, """SELECT ?a (COUNT(?ev) AS ?c) WHERE {
+        ?ev sem:hasActor ?a .
+    } GROUP BY ?a HAVING(COUNT(?ev) >= 2) ORDER BY ?a""")
+    assert rows == [("e:alice", 2)]
+
+
+def test_having_internal_agg_not_projected(triples):
+    # HAVING over an aggregate NOT in the projection: internal _hav
+    # column must be computed then dropped
+    rows = q(triples, """SELECT ?a (MIN(?ev) AS ?first) WHERE {
+        ?ev sem:hasActor ?a .
+    } GROUP BY ?a HAVING(COUNT(?ev) = 1) ORDER BY ?a""")
+    assert rows == [("e:bob", "e:ev2"), ("e:carol", "e:ev3")]
+
+
+def test_offset_and_limit(triples):
+    base = q(triples, "SELECT ?a WHERE { ?ev sem:hasActor ?a . } ORDER BY ?a ?ev")
+    page = q(triples, "SELECT ?a WHERE { ?ev sem:hasActor ?a . } "
+                      "ORDER BY ?a ?ev LIMIT 2 OFFSET 1")
+    assert page == base[1:3]
+
+
+def test_bind_having_offset_match_duckdb(spark):
+    """Relational cross-check: BIND + HAVING + OFFSET vs DuckDB on the
+    TPC-H customer table (triple-ized)."""
+    import duckdb
+    import os
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    trip = cust.selectExpr(
+        "concat('c:', c_custkey) AS subject",
+        "'p:mktsegment' AS predicate",
+        "c_mktsegment AS object", "true AS object_is_literal").unionByName(
+        cust.selectExpr(
+            "concat('c:', c_custkey) AS subject",
+            "'p:acctbal' AS predicate",
+            "cast(c_acctbal AS string) AS object",
+            "true AS object_is_literal"))
+    got = [tuple(r) for r in sparql_query(trip, """
+        PREFIX p: <p:>
+        SELECT ?seg (COUNT(?c) AS ?n) WHERE {
+            ?c p:mktsegment ?s .
+            BIND(LCASE(?s) AS ?seg)
+        } GROUP BY ?seg HAVING(COUNT(?c) > 2)
+        ORDER BY ?seg LIMIT 3 OFFSET 1""").collect()]
+    con = duckdb.connect()
+    exp = con.sql(
+        f"SELECT lower(c_mktsegment) AS seg, count(*) AS n "
+        f"FROM '{sf_dir}/customer.parquet' GROUP BY seg HAVING n > 2 "
+        f"ORDER BY seg LIMIT 3 OFFSET 1").fetchall()
+    assert got == [tuple(r) for r in exp]
