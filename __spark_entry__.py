@@ -307,6 +307,13 @@ def _q_sparql_agg(spark, sf_dir):
                                 kgquery.REL_BGP_AGG)
 
 
+def _q_sparql_bind(spark, sf_dir):
+    """SPARQL BIND chains + expression FILTER (||, builtins,
+    arithmetic) + HAVING + OFFSET — semantic DuckDB oracle."""
+    return kgquery.sparql_query(kgquery.rel_triples(spark, sf_dir),
+                                kgquery.REL_BGP_BIND)
+
+
 def _q_sparql_union(spark, sf_dir):
     """SPARQL UNION — branch-aligned unionAll; semantic DuckDB oracle."""
     return kgquery.sparql_query(kgquery.rel_triples(spark, sf_dir),
@@ -513,6 +520,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_gold_compaction": _q_gold_compaction,
         "kg_sparql_rel": _q_sparql_rel,
         "kg_sparql_optional": _q_sparql_optional,
+        "kg_sparql_bind": _q_sparql_bind,
         "kg_sparql_agg": _q_sparql_agg,
         "kg_sparql_union": _q_sparql_union,
         "kg_sparql_values": _q_sparql_values,
@@ -676,6 +684,7 @@ def oracle_sql() -> dict[str, str]:
             order="component"),
         "kg_sparql_rel": kgquery.SPARQL_REL_SQL,
         "kg_sparql_optional": kgquery.SPARQL_OPTIONAL_SQL,
+        "kg_sparql_bind": kgquery.SPARQL_BIND_SQL,
         "kg_sparql_agg": kgquery.SPARQL_AGG_SQL,
         "kg_sparql_union": kgquery.SPARQL_UNION_SQL,
         "kg_sparql_values": kgquery.SPARQL_VALUES_SQL,

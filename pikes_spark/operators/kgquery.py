@@ -1333,6 +1333,45 @@ SPARQL_AGG_SQL = f"""
     GROUP BY nm.nname ORDER BY nm.nname
 """
 
+# BIND/HAVING/OFFSET driver query: per-nation customer counts keyed by
+# a computed (lower-cased, suffixed) name — exercises the expression
+# compiler end-to-end: BIND chains, boolean-connective FILTER with
+# string builtins, arithmetic comparison, HAVING over an aggregate not
+# in the projection alias list, and OFFSET pagination
+REL_BGP_BIND = """
+PREFIX ex: <http://example.org/>
+SELECT ?nkey (COUNT(?cust) AS ?ncust) WHERE {
+  ?cust ex:inNation ?nat .
+  ?nat ex:name ?nname .
+  BIND(LCASE(?nname) AS ?lname)
+  BIND(CONCAT(?lname, "!") AS ?nkey)
+  FILTER(CONTAINS(?lname, "a") || STRSTARTS(?lname, "u"))
+  FILTER(STRLEN(?lname) + 1 > 5)
+}
+GROUP BY ?nkey HAVING(COUNT(?cust) > 10)
+ORDER BY ?nkey LIMIT 10 OFFSET 2
+"""
+
+SPARQL_BIND_SQL = f"""
+    WITH triples AS ({REL_TRIPLES_SQL}),
+    cn AS (SELECT subject AS cust, object AS nat FROM triples
+           WHERE predicate = '{_EX}inNation'),
+    nm AS (SELECT subject AS nat, object AS nname FROM triples
+           WHERE predicate = '{_EX}name' AND object_is_literal),
+    b AS (
+      SELECT cn.cust, lower(nm.nname) AS lname,
+             lower(nm.nname) || '!' AS nkey
+      FROM cn JOIN nm USING (nat)
+      WHERE (contains(lower(nm.nname), 'a')
+             OR starts_with(lower(nm.nname), 'u'))
+        AND length(lower(nm.nname)) + 1 > 5
+    )
+    SELECT nkey, COUNT(cust) AS ncust FROM b
+    GROUP BY nkey HAVING COUNT(cust) > 10
+    ORDER BY nkey LIMIT 10 OFFSET 2
+"""
+
+
 def query_snapshot(spark, out_root: str, query: str) -> DataFrame:
     """Run a SPARQL query against a materialized KG produced by
     pipeline.run_pipeline: loads the latest committed spo snapshot
