@@ -314,6 +314,20 @@ def _q_sparql_bind(spark, sf_dir):
                                 kgquery.REL_BGP_BIND)
 
 
+def _q_sparql_exists_concat(spark, sf_dir):
+    """Positive FILTER EXISTS (left-semi join) + GROUP_CONCAT/SAMPLE
+    aggregates — semantic DuckDB oracle with string_agg."""
+    return kgquery.sparql_query(kgquery.rel_triples(spark, sf_dir),
+                                kgquery.REL_BGP_EXISTS_CONCAT)
+
+
+def _q_sparql_subquery(spark, sf_dir):
+    """Nested { SELECT ... } subquery joined into the outer solution —
+    semantic DuckDB oracle (aggregate subquery + join)."""
+    return kgquery.sparql_query(kgquery.rel_triples(spark, sf_dir),
+                                kgquery.REL_BGP_SUBQUERY)
+
+
 def _q_sparql_union(spark, sf_dir):
     """SPARQL UNION — branch-aligned unionAll; semantic DuckDB oracle."""
     return kgquery.sparql_query(kgquery.rel_triples(spark, sf_dir),
@@ -521,6 +535,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_rel": _q_sparql_rel,
         "kg_sparql_optional": _q_sparql_optional,
         "kg_sparql_bind": _q_sparql_bind,
+        "kg_sparql_exists_concat": _q_sparql_exists_concat,
+        "kg_sparql_subquery": _q_sparql_subquery,
         "kg_sparql_agg": _q_sparql_agg,
         "kg_sparql_union": _q_sparql_union,
         "kg_sparql_values": _q_sparql_values,
@@ -685,6 +701,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_rel": kgquery.SPARQL_REL_SQL,
         "kg_sparql_optional": kgquery.SPARQL_OPTIONAL_SQL,
         "kg_sparql_bind": kgquery.SPARQL_BIND_SQL,
+        "kg_sparql_exists_concat": kgquery.SPARQL_EXISTS_CONCAT_SQL,
+        "kg_sparql_subquery": kgquery.SPARQL_SUBQUERY_SQL,
         "kg_sparql_agg": kgquery.SPARQL_AGG_SQL,
         "kg_sparql_union": kgquery.SPARQL_UNION_SQL,
         "kg_sparql_values": kgquery.SPARQL_VALUES_SQL,

@@ -344,6 +344,31 @@ def _match_paren(text: str, open_idx: int) -> int:
     raise SparqlError("unbalanced ( in expression")
 
 
+def _match_brace(text: str, open_idx: int) -> int:
+    """Index just past the '}' matching text[open_idx] == '{' (quote
+    aware); raises on imbalance."""
+    depth = 0
+    i = open_idx
+    in_quote = False
+    while i < len(text):
+        ch = text[i]
+        if in_quote:
+            if ch == "\\":
+                i += 1
+            elif ch == '"':
+                in_quote = False
+        elif ch == '"':
+            in_quote = True
+        elif ch == "{":
+            depth += 1
+        elif ch == "}":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    raise SparqlError("unbalanced { in group")
+
+
 def _split_patterns(body: str) -> List[str]:
     """Split the WHERE body on '.' separators that sit outside quotes
     and outside <IRI> brackets (IRIs and literals may contain dots)."""
@@ -402,6 +427,12 @@ class SparqlQuery:
         self.unions: List[List[Tuple[list, List[str]]]] = []
         # negation groups (MINUS / FILTER NOT EXISTS): (patterns, filters)
         self.minuses: List[Tuple[list, List[str]]] = []
+        # positive FILTER EXISTS groups: (patterns, filters), semi-joined
+        self.exists: List[Tuple[list, List[str]]] = []
+        # nested { SELECT ... } subqueries: raw text, joined on shared vars
+        self.subqueries: List[str] = []
+        # GROUP_CONCAT alias -> separator (default " ")
+        self.agg_sep: Dict[str, str] = {}
         # VALUES blocks: (var names, rows of str-or-None)
         self.values: List[Tuple[List[str], List[List[Optional[str]]]]] = []
         self.order_by: List[Tuple[str, bool]] = []  # (var, descending)
@@ -572,14 +603,20 @@ class SparqlQuery:
         proj = m.group("proj").strip()
         # aggregate entries: (FN([DISTINCT] ?v | *) AS ?alias)
         agg_re = re.compile(
-            r"\(\s*(?P<fn>COUNT|SUM|MIN|MAX|AVG)\s*\(\s*"
-            r"(?P<dist>DISTINCT\s+)?(?P<arg>\?\w+|\*)\s*\)\s+"
+            r"\(\s*(?P<fn>COUNT|SUM|MIN|MAX|AVG|GROUP_CONCAT|SAMPLE)\s*\(\s*"
+            r"(?P<dist>DISTINCT\s+)?(?P<arg>\?\w+|\*)\s*"
+            r'(?:;\s*SEPARATOR\s*=\s*"(?P<sep>(?:[^"\\]|\\.)*)"\s*)?\)\s+'
             r"AS\s+\?(?P<alias>\w+)\s*\)", re.I)
         for am in agg_re.finditer(proj):
-            self.aggregates.append((am.group("fn").upper(),
-                                    bool(am.group("dist")),
+            fn = am.group("fn").upper()
+            self.aggregates.append((fn, bool(am.group("dist")),
                                     am.group("arg"),
                                     am.group("alias")))
+            if fn == "GROUP_CONCAT":
+                sep = am.group("sep")
+                self.agg_sep[am.group("alias")] = (
+                    " " if sep is None
+                    else sep.replace('\\"', '"').replace("\\\\", "\\"))
         proj = agg_re.sub(" ", proj)
         if proj.strip() == "*" and not self.aggregates:
             self.projection = []
@@ -588,6 +625,15 @@ class SparqlQuery:
             if not self.projection and not self.aggregates:
                 raise SparqlError(f"bad projection: {proj!r}")
         body = m.group("body")
+        # nested { SELECT ... } subqueries: balanced-brace scan first,
+        # since the inner WHERE group would confuse the flat regexes
+        while True:
+            sm = re.search(r"\{\s*SELECT\b", body, re.I)
+            if not sm:
+                break
+            end = _match_brace(body, sm.start())
+            self.subqueries.append(body[sm.start() + 1: end - 1].strip())
+            body = body[: sm.start()] + " " + body[end:]
 
         def _values_terms(chunk):
             out = []
@@ -634,6 +680,13 @@ class SparqlQuery:
 
         body = re.sub(r"(?:MINUS|FILTER\s+NOT\s+EXISTS)\s*\{([^{}]*)\}",
                       _grab_minus, body, flags=re.I | re.S)
+
+        def _grab_exists(em):
+            self.exists.append(self._parse_group(em.group(1)))
+            return " "
+
+        body = re.sub(r"FILTER\s+EXISTS\s*\{([^{}]*)\}",
+                      _grab_exists, body, flags=re.I | re.S)
 
         def _grab_optional(om2):
             self.optionals.append(self._parse_group(om2.group(1)))
@@ -692,7 +745,8 @@ class SparqlQuery:
         om2 = re.search(r"OFFSET\s+(\d+)", tail, re.I)
         if om2:
             self.offset = int(om2.group(1))
-        if not self.patterns and not self.unions and not self.values:
+        if (not self.patterns and not self.unions and not self.values
+                and not self.subqueries):
             raise SparqlError("empty WHERE clause")
 
 
@@ -988,6 +1042,38 @@ def sparql_query(triples: DataFrame, query: str) -> DataFrame:
         for v in vs:
             if v not in bound:
                 bound[v] = vbinds[v]
+    # nested { SELECT ... } subqueries: compiled recursively, result
+    # columns are the subquery's projected variable names; joined into
+    # the outer solution on shared variables (cross-join if disjoint)
+    pfx_text = "".join(f"PREFIX {k}: <{v}>\n" for k, v in q.prefixes.items())
+    for subtext in q.subqueries:
+        sdf = sparql_query(triples, pfx_text + subtext)
+        sbinds = {c: f"_sub{uid}_{c}" for c in sdf.columns}
+        uid += 1
+        sdf = sdf.select(*[F.col(c).alias(a) for c, a in sbinds.items()])
+        if acc is None:
+            acc = sdf
+            bound.update(sbinds)
+        else:
+            acc, _ = _join_on_shared(acc, bound, sdf, sbinds)
+    # positive FILTER EXISTS: left-semi join on shared variables —
+    # keeps outer solutions with >=1 witness, never duplicates them
+    for epats, efilters in q.exists:
+        edf, ebound, epend = _compile_bgp(triples, epats, efilters,
+                                          q.prefixes, idx_offset=off)
+        off += len(epats)
+        if epend:
+            raise SparqlError(f"FILTER uses unbound variable: {epend[0]!r}")
+        shared = [(bound[v], ebound[v]) for v in ebound if v in bound]
+        if not shared:
+            raise SparqlError(
+                "FILTER EXISTS shares no variable with the required part")
+        cond = None
+        for a, b in shared:
+            c = F.col(a) == F.col(b)
+            cond = c if cond is None else (cond & c)
+        acc = acc.join(edf.select(*[b for _, b in shared]).distinct(),
+                       cond, "left_semi")
     # negation: anti-join on the shared variables — MINUS and
     # FILTER NOT EXISTS coincide on this shared-variable subset
     for mpats, mfilters in q.minuses:
@@ -1058,6 +1144,15 @@ def sparql_query(triples: DataFrame, query: str) -> DataFrame:
                     col = col.cast("double")  # SPARQL numeric literals
                 if fn == "COUNT":
                     expr = (F.countDistinct(col) if dist else F.count(col))
+                elif fn == "GROUP_CONCAT":
+                    # SPARQL leaves concat order undefined; sort for a
+                    # deterministic (oracle-comparable) result
+                    vals = F.collect_set(col) if dist else F.collect_list(col)
+                    expr = F.array_join(F.array_sort(vals),
+                                        q.agg_sep.get(alias, " "))
+                elif fn == "SAMPLE":
+                    # any value satisfies SAMPLE; min is deterministic
+                    expr = F.min(col)
                 else:
                     expr = getattr(F, fn.lower())(col)
             aggs.append(expr.alias(alias))
@@ -1369,6 +1464,66 @@ SPARQL_BIND_SQL = f"""
     SELECT nkey, COUNT(cust) AS ncust FROM b
     GROUP BY nkey HAVING COUNT(cust) > 10
     ORDER BY nkey LIMIT 10 OFFSET 2
+"""
+
+
+# EXISTS + GROUP_CONCAT driver query: regions with the sorted list of
+# their nations that have at least one BUILDING customer — the semi-
+# join must not duplicate a nation however many witnesses it has
+REL_BGP_EXISTS_CONCAT = """
+PREFIX ex: <http://example.org/>
+SELECT ?rname (GROUP_CONCAT(?nname ; SEPARATOR=",") AS ?nations) WHERE {
+  ?nat ex:inRegion ?reg .
+  ?reg ex:name ?rname .
+  ?nat ex:name ?nname .
+  FILTER EXISTS { ?cust ex:inNation ?nat . ?cust ex:segment "BUILDING" . }
+}
+GROUP BY ?rname
+ORDER BY ?rname
+"""
+
+SPARQL_EXISTS_CONCAT_SQL = f"""
+    WITH triples AS ({REL_TRIPLES_SQL}),
+    nr AS (SELECT subject AS nat, object AS reg FROM triples
+           WHERE predicate = '{_EX}inRegion'),
+    rn AS (SELECT subject AS reg, object AS rname FROM triples
+           WHERE predicate = '{_EX}name' AND object_is_literal),
+    nm AS (SELECT subject AS nat, object AS nname FROM triples
+           WHERE predicate = '{_EX}name' AND object_is_literal),
+    w AS (SELECT DISTINCT cn.object AS nat
+          FROM triples cn
+          JOIN triples cs ON cs.subject = cn.subject
+                         AND cs.predicate = '{_EX}segment'
+                         AND cs.object = 'BUILDING' AND cs.object_is_literal
+          WHERE cn.predicate = '{_EX}inNation')
+    SELECT rn.rname, string_agg(nm.nname, ',' ORDER BY nm.nname) AS nations
+    FROM nr JOIN rn USING (reg) JOIN nm ON nm.nat = nr.nat
+            JOIN w ON w.nat = nr.nat
+    GROUP BY rn.rname ORDER BY rn.rname
+"""
+
+# Subquery driver query: inner SELECT aggregates customers per nation,
+# outer decorates with the nation name — the classic aggregate-then-
+# join shape SPARQL can only express with a nested SELECT
+REL_BGP_SUBQUERY = """
+PREFIX ex: <http://example.org/>
+SELECT ?nname ?ncust WHERE {
+  ?nat ex:name ?nname .
+  { SELECT ?nat (COUNT(?cust) AS ?ncust) WHERE {
+      ?cust ex:inNation ?nat . } GROUP BY ?nat }
+}
+ORDER BY ?nname
+"""
+
+SPARQL_SUBQUERY_SQL = f"""
+    WITH triples AS ({REL_TRIPLES_SQL}),
+    nm AS (SELECT subject AS nat, object AS nname FROM triples
+           WHERE predicate = '{_EX}name' AND object_is_literal),
+    sub AS (SELECT object AS nat, COUNT(subject) AS ncust FROM triples
+            WHERE predicate = '{_EX}inNation' GROUP BY object)
+    SELECT nm.nname, sub.ncust
+    FROM nm JOIN sub USING (nat)
+    ORDER BY nm.nname
 """
 
 

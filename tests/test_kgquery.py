@@ -657,3 +657,60 @@ def test_bind_having_offset_match_duckdb(spark):
         f"FROM '{sf_dir}/customer.parquet' GROUP BY seg HAVING n > 2 "
         f"ORDER BY seg LIMIT 3 OFFSET 1").fetchall()
     assert got == [tuple(r) for r in exp]
+
+
+def test_filter_exists_semi_join(triples):
+    # keep only actors that have a name; no duplication from multiple
+    # witnesses (semi-join, not inner join)
+    rows = q(triples, """SELECT ?ev ?a WHERE {
+        ?ev sem:hasActor ?a .
+        FILTER EXISTS { ?a foaf:name ?n . }
+    } ORDER BY ?ev ?a""")
+    assert rows == [("e:ev1", "e:alice"), ("e:ev2", "e:alice"),
+                    ("e:ev2", "e:bob")]
+
+
+def test_filter_not_exists_still_works(triples):
+    rows = q(triples, """SELECT ?a WHERE {
+        ?ev sem:hasActor ?a .
+        FILTER NOT EXISTS { ?a foaf:name ?n . }
+    }""")
+    assert rows == [("e:carol",)]
+
+
+def test_subquery_join(triples):
+    # inner SELECT computes per-actor event counts; outer joins names
+    rows = q(triples, """SELECT ?a ?n ?c WHERE {
+        ?a foaf:name ?n .
+        { SELECT ?a (COUNT(?ev) AS ?c) WHERE {
+            ?ev sem:hasActor ?a . } GROUP BY ?a }
+    } ORDER BY ?a""")
+    assert rows == [("e:alice", "Alice", 2), ("e:bob", "Bob", 1)]
+
+
+def test_subquery_with_limit_scopes_inside(triples):
+    # LIMIT inside the subquery must not cap the outer result
+    rows = q(triples, """SELECT ?a ?ev WHERE {
+        ?ev sem:hasActor ?a .
+        { SELECT ?a WHERE { ?a rdf:type nwr:PERSON . } }
+    } ORDER BY ?a ?ev""")
+    assert rows == [("e:alice", "e:ev1"), ("e:alice", "e:ev2"),
+                    ("e:bob", "e:ev2")]
+
+
+def test_group_concat_and_sample(triples):
+    rows = q(triples, """SELECT ?ev (GROUP_CONCAT(?a ; SEPARATOR=",") AS ?who)
+                                (SAMPLE(?a) AS ?one) WHERE {
+        ?ev sem:hasActor ?a .
+    } GROUP BY ?ev ORDER BY ?ev""")
+    assert rows == [("e:ev1", "e:alice", "e:alice"),
+                    ("e:ev2", "e:alice,e:bob", "e:alice"),
+                    ("e:ev3", "e:carol", "e:carol")]
+
+
+def test_group_concat_distinct_default_sep(triples):
+    rows = q(triples, """SELECT ?t (GROUP_CONCAT(DISTINCT ?s) AS ?subs) WHERE {
+        ?s rdf:type ?t .
+    } GROUP BY ?t ORDER BY ?t""")
+    assert rows == [("nwr:PERSON", "e:alice e:bob"),
+                    ("sem:Event", "e:ev1 e:ev2")]
