@@ -187,8 +187,11 @@ def dissolve_composites(triples: DataFrame) -> DataFrame:
     inc = (triples.filter(F.col("predicate") == ks_include)
            .select(F.col("subject").alias("_comp"),
                    F.col("object").alias("_member")).distinct())
-    if not inc.take(1):
-        return triples
+    # No emptiness probe: when there are no ks:include rows the joins
+    # below are no-ops (empty broadcast map, coalesce keeps originals),
+    # so paying a blocking driver job just to skip them costs more
+    # than it saves — it was a fixed-latency job on the short-run
+    # critical path.
     # ONE scan: broadcast the composite->members map grouped as arrays,
     # left-join each side, explode members (or the original value) —
     # no anti-join/union passes, no shuffle, and no early dedupe (the
@@ -201,14 +204,20 @@ def dissolve_composites(triples: DataFrame) -> DataFrame:
                          .withColumnRenamed("_ms", "_mo"))
     return (triples.filter(F.col("predicate") != ks_include)
             .join(s_side, "subject", "left")
+            .withColumn("_hit", F.col("_ms").isNotNull())
             .withColumn("subject",
                         F.explode(F.coalesce("_ms", F.array("subject"))))
             .drop("_ms")
             .join(o_side, "object", "left")
+            .withColumn("_hit", F.col("_hit") | F.col("_mo").isNotNull())
             .withColumn("object",
                         F.explode(F.coalesce("_mo", F.array("object"))))
             .drop("_mo")
-            .filter(F.col("subject") != F.col("object")))
+            # drop only self-loops CREATED by dissolution (a composite
+            # whose subject and object explode to the same member);
+            # pre-existing subject==object rows pass through untouched
+            .filter(~F.col("_hit") | (F.col("subject") != F.col("object")))
+            .drop("_hit"))
 
 
 def canonicalize_triples(triples: DataFrame, max_iter: int = 50,
