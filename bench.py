@@ -43,6 +43,7 @@ def _run_queries(spark, sf_dir: str) -> dict:
         "kg_sparql_rel", "kg_sparql_construct", "kg_bfs_reach",
         "txt_top_terms", "txt_train_test_split", "txt_redact_pii",
         "kg_sparql_path_seq", "kg_triangles", "txt_repetition",
+        "kg_sparql_subquery",
     ]
     for name in bench_queries:
         t0 = time.time()
@@ -131,10 +132,37 @@ def _compute_wall(master: str, sf_dir: str, shuffle: int,
         shutil.rmtree(shuffle_dir, ignore_errors=True)
 
 
+def _burn(_):
+    s = 0
+    for i in range(10**7):
+        s += i * i
+    return s
+
+
+def _host_effective_cores(n: int) -> float:
+    """Calibration probe: time one CPU-bound task alone, then n in
+    parallel processes; the ratio is the parallelism the (shared,
+    co-tenant-throttled) host actually delivers right now. Recorded in
+    the bench JSON so a wall-clock number can be read against the
+    host's health in that measurement window — the same 32-thread job
+    has measured a 6.6x spread across windows on this box (BENCH.md)."""
+    import multiprocessing as mp
+
+    t0 = time.time()
+    _burn(0)
+    one = time.time() - t0
+    with mp.Pool(n) as pool:
+        t0 = time.time()
+        pool.map(_burn, range(n))
+        par = time.time() - t0
+    return round(n * one / par, 1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    eff_cores = _host_effective_cores(cpus)
 
     scaling = {}
     if os.environ.get("BENCH_SCALING"):
@@ -174,6 +202,10 @@ def main() -> None:
         "sf": sf,
         "n_triples": res["n_triples"],
         "total_seconds": total,
+        # host-health calibration for this measurement window: how many
+        # of the nominal cores the shared host actually delivered
+        "host_effective_cores": eff_cores,
+        "host_nominal_cores": cpus,
     }
     if scaling:
         out["scaling"] = scaling
