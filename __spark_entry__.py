@@ -20,7 +20,7 @@ from pikes_spark.sources.pages import pages_from_documents, PAGES_ORACLE_CTE
 from pikes_spark.operators.annotate import (
     annotate_pages, distill_annotations, extract_pages_text, pages_to_triples)
 from pikes_spark.operators import (
-    textstats, dedup, similarity, events, kgquery, graph, skew)
+    textstats, dedup, similarity, events, kgquery, graph, skew, weburl)
 from pikes_spark.operators.linking import candidates_df, link_entities
 from pikes_spark.operators.canonicalize import canonicalize_triples
 
@@ -563,6 +563,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bfs_reach": graph.bfs_reach,
         "kg_triangles": graph.triangles_top,
         "kg_pagerank": graph.pagerank_top20,
+        # web-URL hygiene family (Common-Crawl-style ingest)
+        "web_url_parse": weburl.url_parse,
+        "web_url_canon": weburl.url_canonicalize,
+        "web_domain_stats": weburl.domain_stats,
         # dedup family
         "dedup_exact": dedup.exact_duplicates,
         # ngram_jaccard is the exact all-pairs VERIFIER/oracle path —
@@ -737,6 +741,9 @@ def oracle_sql() -> dict[str, str]:
         "txt_repetition": textstats.REPETITION_SQL,
         "kg_bfs_reach": graph.BFS_REACH_SQL,
         "kg_triangles": graph.TRIANGLES_SQL,
+        "web_url_parse": weburl.URL_PARSE_SQL,
+        "web_url_canon": weburl.URL_CANON_SQL,
+        "web_domain_stats": weburl.DOMAIN_STATS_SQL,
         "dedup_exact": dedup.EXACT_DUP_SQL,
         "dedup_ngram_jaccard": dedup.NGRAM_JACCARD_SQL,
         # LSH candidates are exact-Jaccard verified, so output ⊆ exact set

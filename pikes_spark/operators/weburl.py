@@ -1,0 +1,198 @@
+"""Web-URL operators for a Common-Crawl-style corpus: deterministic
+URL synthesis, structural parsing, canonicalization, and per-domain
+rollups.
+
+The reference pipeline keys everything on the page URL (its KnowledgeStore
+resource IRIs are the crawl URLs; see e.g. naflib's NAF public metadata
+`uri` attribute), but a crawl-scale ingest additionally needs URL
+hygiene BEFORE extraction: host/domain parsing for per-site grouping
+and politeness partitioning, tracking-parameter stripping so mirrored
+URLs dedup, and per-domain statistics to drive source-level quality
+filtering (the C4/Gopher-style pipeline stage). All of it is pure
+Catalyst string/number expressions — no Python in the hot path, and the
+only shuffle is the final per-domain aggregation, keyed on a
+low-cardinality registrable domain (bounded by the crawl's site count,
+not its page count).
+
+At 100 TB the parse/canonicalize stages are embarrassingly parallel
+map work fused into the scan by whole-stage codegen; `domain_stats`
+shuffles one small pre-aggregated row per (partition x domain).
+
+Every operator here shares its URL derivation with a DuckDB oracle
+(same arithmetic, same regexes) so the driver value-checks results at
+sf0.01 — the registry entries live in __spark_entry__.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+_TLDS = ["com", "org", "net"]
+
+# tracking query parameters stripped by canonicalization (the usual
+# suspects a crawl sees mirrored on and off). RE2-compatible (no
+# lookarounds) so the DuckDB oracle runs the IDENTICAL pattern.
+_STRIP_PARAM_RE = r"([?&])(?:utm_[a-z]+|ref|fbclid)=[^&#]*&?"
+
+
+def synth_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-document URL synthesis (doc_id arithmetic
+    only, so the DuckDB oracle reproduces it bit-for-bit): host from
+    the source tag + a shard digit, TLD / path depth / query shape /
+    port / fragment cycling on doc_id residues. Returns
+    (doc_id, url)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    host = F.concat(F.lit("www"), (did % 7).cast("string"), F.lit("."),
+                    F.col("source"), F.lit("-site."),
+                    F.element_at(F.array(*[F.lit(t) for t in _TLDS]),
+                                 (did % 3 + 1).cast("int")))
+    # depth 0-3 path of /p<i> segments
+    path = F.when(did % 4 == 0, F.lit("")).otherwise(
+        F.concat_ws("", F.transform(
+            F.sequence(F.lit(1), (did % 4).cast("int")),
+            lambda i: F.concat(F.lit("/p"), i.cast("string")))))
+    query = (
+        F.when(did % 5 == 0,
+               F.concat(F.lit("?utm_source=feed&id="), did.cast("string")))
+        .when(did % 5 == 1, F.concat(F.lit("?id="), did.cast("string"),
+                                     F.lit("&ref=mirror")))
+        .when(did % 5 == 2, F.concat(F.lit("?id="), did.cast("string")))
+        .otherwise(F.lit("")))
+    port = F.when(did % 11 == 0, F.lit(":443")).otherwise(F.lit(""))
+    frag = F.when(did % 13 == 0, F.lit("#section2")).otherwise(F.lit(""))
+    trail = F.when((did % 4 != 0) & (did % 6 == 0), F.lit("/")).otherwise(
+        F.lit(""))
+    url = F.concat(F.lit("https://"), host, port, path, trail, query, frag)
+    return docs.select("doc_id", url.alias("url"))
+
+
+def synth_urls_sql() -> str:
+    """The DuckDB twin of synth_urls (same arithmetic)."""
+    return """
+        SELECT doc_id,
+          'https://www' || CAST(doc_id % 7 AS VARCHAR)
+          || '.' || source || '-site.'
+          || CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+                             ELSE 'net' END
+          || CASE WHEN doc_id % 11 = 0 THEN ':443' ELSE '' END
+          || CASE WHEN doc_id % 4 = 0 THEN '' ELSE
+               list_aggregate(list_transform(range(1, CAST(doc_id % 4 AS BIGINT) + 1),
+                              i -> '/p' || CAST(i AS VARCHAR)), 'string_agg', '')
+             END
+          || CASE WHEN doc_id % 4 <> 0 AND doc_id % 6 = 0 THEN '/' ELSE '' END
+          || CASE doc_id % 5
+               WHEN 0 THEN '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
+               WHEN 1 THEN '?id=' || CAST(doc_id AS VARCHAR) || '&ref=mirror'
+               WHEN 2 THEN '?id=' || CAST(doc_id AS VARCHAR)
+               ELSE '' END
+          || CASE WHEN doc_id % 13 = 0 THEN '#section2' ELSE '' END AS url
+        FROM documents
+    """
+
+
+def url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural URL parse: host, registrable domain (last two
+    dot-labels), path depth, query-parameter count. Pure regex /
+    string arithmetic, fused into the scan — identical expressions on
+    the oracle side."""
+    u = synth_urls(spark, sf_dir)
+    url = F.col("url")
+    hostport = F.regexp_extract(url, r"^https?://([^/?#]+)", 1)
+    host = F.regexp_replace(hostport, r":\d+$", "")
+    domain = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    path = F.regexp_extract(url, r"^https?://[^/?#]+([^?#]*)", 1)
+    path_depth = (F.length(path)
+                  - F.length(F.regexp_replace(path, r"/", ""))).cast("bigint")
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    n_params = F.when(query == "", F.lit(0)).otherwise(
+        F.length(query) - F.length(F.regexp_replace(query, r"&", "")) + 1
+    ).cast("bigint")
+    return u.select("doc_id", "url", host.alias("host"),
+                    domain.alias("domain"), path_depth.alias("path_depth"),
+                    n_params.alias("n_params"))
+
+
+def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization: lowercase scheme+host, drop the fragment,
+    strip the default :443 port, strip tracking parameters
+    (utm_*/ref/fbclid), drop an empty '?', strip one trailing slash
+    on a non-root path. Returns (doc_id, url, canon_url) — mirrored
+    pages collapse on canon_url before content dedup ever runs."""
+    u = synth_urls(spark, sf_dir)
+    c = F.col("url")
+    c = F.regexp_replace(c, r"#.*$", "")                   # fragment
+    c = F.regexp_replace(c, r"^(https?://[^/?#:]+):443([/?]|$)", r"$1$2")
+    c = F.regexp_replace(c, _STRIP_PARAM_RE, r"$1")
+    c = F.regexp_replace(c, r"[?&]$", "")                  # dangling ? / &
+    c = F.regexp_replace(c, r"/\?", "?")                   # trailing / pre-?
+    c = F.regexp_replace(c, r"([^/])/$", r"$1")            # trailing slash
+    return u.select("doc_id", "url", c.alias("canon_url"))
+
+
+def domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registrable-domain rollup joining parsed URLs back to the
+    document metadata: page count, average document length, distinct
+    languages — the inputs to source-level quality filtering. One
+    shuffle, keyed on the (small) domain set; the join to documents is
+    on doc_id, co-partitioned with the parse's scan."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    parsed = url_parse(spark, sf_dir).select("doc_id", "domain")
+    return (parsed.join(docs.select("doc_id", "n_chars", "lang"), "doc_id")
+            .groupBy("domain")
+            .agg(F.count(F.lit(1)).alias("n_pages"),
+                 F.avg("n_chars").alias("avg_chars"),
+                 F.countDistinct("lang").alias("n_langs"),
+                 F.sum("n_chars").alias("total_chars"))
+            .orderBy("domain"))
+
+
+_URLS_CTE = "u AS (" + synth_urls_sql() + ")"
+
+URL_PARSE_SQL = f"""
+    WITH {_URLS_CTE},
+    p AS (
+      SELECT doc_id, url,
+        regexp_replace(regexp_extract(url, '^https?://([^/?#]+)', 1),
+                       ':[0-9]+$', '') AS host,
+        regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1) AS path,
+        regexp_extract(url, '\\?([^#]*)', 1) AS query
+      FROM u)
+    SELECT doc_id, url, host,
+      regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain,
+      CAST(length(path) - length(replace(path, '/', '')) AS BIGINT)
+        AS path_depth,
+      CAST(CASE WHEN query = '' THEN 0
+                ELSE length(query) - length(replace(query, '&', '')) + 1
+           END AS BIGINT) AS n_params
+    FROM p ORDER BY doc_id
+"""
+
+URL_CANON_SQL = f"""
+    WITH {_URLS_CTE}
+    SELECT doc_id, url,
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(regexp_replace(url,
+          '#.*$', ''),
+          '^(https?://[^/?#:]+):443([/?]|$)', '\\1\\2'),
+          '([?&])(?:utm_[a-z]+|ref|fbclid)=[^&#]*&?', '\\1'),
+          '[?&]$', ''),
+          '/\\?', '?'),
+          '([^/])/$', '\\1') AS canon_url
+    FROM u ORDER BY doc_id
+"""
+
+DOMAIN_STATS_SQL = f"""
+    WITH {_URLS_CTE},
+    p AS (
+      SELECT doc_id,
+        regexp_extract(
+          regexp_replace(regexp_extract(url, '^https?://([^/?#]+)', 1),
+                         ':[0-9]+$', ''),
+          '([^.]+\\.[^.]+)$', 1) AS domain
+      FROM u)
+    SELECT p.domain, COUNT(*) AS n_pages, AVG(d.n_chars) AS avg_chars,
+           COUNT(DISTINCT d.lang) AS n_langs, SUM(d.n_chars) AS total_chars
+    FROM p JOIN documents d USING (doc_id)
+    GROUP BY p.domain ORDER BY p.domain
+"""

@@ -1,0 +1,75 @@
+"""Web-URL hygiene operators (operators/weburl): parse /
+canonicalize / domain rollup semantics and plan shape."""
+
+import duckdb
+import pytest
+
+from pikes_spark.operators import weburl
+
+SF = "/root/testdata/sf0.001"
+
+
+def _oracle(sql):
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    return con.sql(sql).fetchall()
+
+
+def test_synth_matches_duckdb(spark):
+    got = {r["doc_id"]: r["url"]
+           for r in weburl.synth_urls(spark, SF).collect()}
+    exp = dict(_oracle(weburl.synth_urls_sql()))
+    assert got == exp
+    # the synthesis actually exercises every canonicalization case
+    urls = list(got.values())
+    assert any("#" in u for u in urls)
+    assert any(":443" in u for u in urls)
+    assert any("utm_source" in u for u in urls)
+    assert any("&ref=" in u for u in urls)
+    assert any(u.split("?")[0].endswith("/") for u in urls if "?" in u)
+
+
+def test_canonicalize_cases(spark):
+    rows = {r["url"]: r["canon_url"]
+            for r in weburl.url_canonicalize(spark, SF).collect()}
+    for url, canon in rows.items():
+        assert "#" not in canon
+        assert ":443" not in canon
+        assert "utm_" not in canon and "ref=" not in canon and \
+            "fbclid" not in canon
+        assert not canon.endswith("?") and not canon.endswith("&")
+        # no trailing slash on a non-root path
+        assert not (canon.endswith("/") and canon.count("/") > 3)
+        # the id= payload parameter survives stripping
+        if "id=" in url:
+            assert "id=" in canon
+
+
+def test_parse_fields(spark):
+    rows = weburl.url_parse(spark, SF).collect()
+    for r in rows:
+        assert r["host"].startswith("www")
+        assert ":" not in r["host"]
+        assert r["domain"].endswith(("-site.com", "-site.org", "-site.net"))
+        assert 0 <= r["path_depth"] <= 4  # 3 segments + optional trailing /
+        assert 0 <= r["n_params"] <= 2
+
+
+def test_domain_stats_consistency(spark):
+    stats = weburl.domain_stats(spark, SF).collect()
+    assert len(stats) > 3  # per-source registrable domains, not one blob
+    n_docs = weburl.synth_urls(spark, SF).count()
+    assert sum(r["n_pages"] for r in stats) == n_docs
+    for r in stats:
+        assert r["total_chars"] >= r["n_pages"]  # every doc non-empty
+
+
+def test_plan_stays_jvm_side(spark):
+    # the whole parse/canonicalize path must be Catalyst expressions:
+    # no Python UDF (BatchEvalPython / ArrowEvalPython) in the plan
+    for df in (weburl.url_parse(spark, SF),
+               weburl.url_canonicalize(spark, SF),
+               weburl.domain_stats(spark, SF)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan
+        assert "PythonUDF" not in plan
