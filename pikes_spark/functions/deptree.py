@@ -189,12 +189,32 @@ class DepGraph:
 
     # --- getTermsByDepAncestors w/ pattern (KAFDocument.java:2066-2078) --
     def descendants_matching(self, roots: Iterable[int], pattern: str) -> Set[int]:
+        """Equivalent to matching path(root, desc) for every descendant,
+        but as ONE DFS per root that extends the encoded path string
+        edge by edge — the per-pair path()/_root_path() walk made this
+        the top per-document profile entry (paths under a root share
+        their prefixes; recomputing them per descendant is O(n*depth))."""
+        regex = compile_dep_pattern(pattern)
         result: Set[int] = set()
         for root in roots:
-            for desc in self.descendants([root]):
-                p = self.path(root, desc)
-                if p is not None and match_dep_path(root, p, pattern):
-                    result.add(desc)
+            stack = [(root, "_")]
+            seen = {root}
+            while stack:
+                t, enc = stack.pop()
+                # includes the root itself (path "_"), matching the
+                # reference's getTermsByDepAncestors semantics
+                if regex.fullmatch(enc):
+                    result.add(t)
+                for child, rfunc in self.children.get(t, ()):
+                    if child in seen:
+                        continue
+                    seen.add(child)
+                    parts = [enc]
+                    for label in rfunc.split("-"):
+                        parts.append("+")
+                        parts.append(_dep_path_char(label))
+                    parts.append("_")
+                    stack.append((child, "".join(parts)))
         return result
 
     # --- getTermsHead (KAFDocument.java:2027-2044) ------------------------
