@@ -567,6 +567,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_url_parse": weburl.url_parse,
         "web_url_canon": weburl.url_canonicalize,
         "web_domain_stats": weburl.domain_stats,
+        "web_corpus_filter": weburl.corpus_filter,
         # dedup family
         "dedup_exact": dedup.exact_duplicates,
         # ngram_jaccard is the exact all-pairs VERIFIER/oracle path —
@@ -744,6 +745,7 @@ def oracle_sql() -> dict[str, str]:
         "web_url_parse": weburl.URL_PARSE_SQL,
         "web_url_canon": weburl.URL_CANON_SQL,
         "web_domain_stats": weburl.DOMAIN_STATS_SQL,
+        "web_corpus_filter": weburl.CORPUS_FILTER_SQL,
         "dedup_exact": dedup.EXACT_DUP_SQL,
         "dedup_ngram_jaccard": dedup.NGRAM_JACCARD_SQL,
         # LSH candidates are exact-Jaccard verified, so output ⊆ exact set

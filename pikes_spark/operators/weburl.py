@@ -196,3 +196,82 @@ DOMAIN_STATS_SQL = f"""
     FROM p JOIN documents d USING (doc_id)
     GROUP BY p.domain ORDER BY p.domain
 """
+
+
+def corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style pretraining corpus filter composing document- and
+    domain-level signals into per-page keep/drop decisions with reasons:
+
+    - ``too_short``      n_chars < 200 (C4's short-page drop)
+    - ``low_stopword``   English pages with stopword ratio < 10 per mille
+                         (C4's "no natural language" heuristic)
+    - ``odd_tok_len``    mean token length outside the [4.2, 4.8] char
+                         band (Gopher's word-length sanity window,
+                         calibrated to this corpus's 5-95% quantiles)
+    - ``weak_domain``    registrable domain whose average page length
+                         < 260 chars (source-level filter fed by
+                         domain_stats)
+
+    keep = no flag set. Document flags are scan-fused map work; the
+    domain flag joins a broadcast of the (small) domain rollup — no
+    per-page shuffle anywhere."""
+    from pikes_spark.operators.textstats import quality_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = quality_scores(spark, sf_dir).select(
+        "doc_id", "n_chars", "stop_ratio_x1000", "mean_tok_len_x1000")
+    q = q.join(docs.select("doc_id", "lang"), "doc_id")
+    dom = url_parse(spark, sf_dir).select("doc_id", "domain")
+    weak = (domain_stats(spark, sf_dir)
+            .select("domain", (F.col("avg_chars") < 260).alias("weak_domain")))
+    out = (q.join(dom, "doc_id")
+           .join(F.broadcast(weak), "domain")
+           .select(
+               "doc_id", "domain", "n_chars",
+               (F.col("n_chars") < 200).alias("too_short"),
+               ((F.col("lang") == "en")
+                & (F.col("stop_ratio_x1000") < 10)).alias("low_stopword"),
+               (~F.col("mean_tok_len_x1000").between(4200, 4800))
+               .alias("odd_tok_len"),
+               "weak_domain"))
+    return (out.withColumn(
+        "keep", ~(F.col("too_short") | F.col("low_stopword")
+                  | F.col("odd_tok_len") | F.col("weak_domain")))
+        .orderBy("doc_id"))
+
+
+CORPUS_FILTER_SQL = f"""
+    WITH {_URLS_CTE},
+    p AS (
+      SELECT doc_id,
+        regexp_extract(
+          regexp_replace(regexp_extract(url, '^https?://([^/?#]+)', 1),
+                         ':[0-9]+$', ''),
+          '([^.]+\\.[^.]+)$', 1) AS domain
+      FROM u),
+    q AS (
+      SELECT doc_id, lang, length(text) AS n_chars,
+        CAST(floor(len(list_filter(regexp_split_to_array(trim(lower(text)),
+             '\\s+'), x -> x IN ('the','and','of','to','in','is','that',
+             'with','for','was'))) * 1000.0
+             / len(regexp_split_to_array(trim(lower(text)), '\\s+')))
+          AS BIGINT) AS stop_ratio_x1000,
+        CAST(floor(length(regexp_replace(trim(lower(text)), '\\s+', '', 'g'))
+             * 1000.0
+             / len(regexp_split_to_array(trim(lower(text)), '\\s+')))
+          AS BIGINT) AS mean_tok_len_x1000
+      FROM documents),
+    ds AS (
+      SELECT p.domain, AVG(q.n_chars) < 260 AS weak_domain
+      FROM p JOIN q USING (doc_id) GROUP BY p.domain),
+    f AS (
+      SELECT q.doc_id, p.domain, q.n_chars,
+        q.n_chars < 200 AS too_short,
+        q.lang = 'en' AND q.stop_ratio_x1000 < 10 AS low_stopword,
+        q.mean_tok_len_x1000 NOT BETWEEN 4200 AND 4800 AS odd_tok_len,
+        ds.weak_domain
+      FROM q JOIN p USING (doc_id) JOIN ds ON ds.domain = p.domain)
+    SELECT *, NOT (too_short OR low_stopword OR odd_tok_len OR weak_domain)
+      AS keep
+    FROM f ORDER BY doc_id
+"""

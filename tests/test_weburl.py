@@ -64,6 +64,35 @@ def test_domain_stats_consistency(spark):
         assert r["total_chars"] >= r["n_pages"]  # every doc non-empty
 
 
+def test_corpus_filter_semantics(spark):
+    rows = weburl.corpus_filter(spark, SF).collect()
+    assert len(rows) == 500
+    # every signal fires on this corpus (thresholds were calibrated so
+    # none of the flags is dead weight)
+    for flag in ("too_short", "low_stopword", "odd_tok_len", "weak_domain"):
+        assert any(r[flag] for r in rows), f"{flag} never fires"
+    assert any(r["keep"] for r in rows)
+    for r in rows:
+        assert r["keep"] == (not (r["too_short"] or r["low_stopword"]
+                                  or r["odd_tok_len"] or r["weak_domain"]))
+        assert r["too_short"] == (r["n_chars"] < 200)
+
+
+def test_corpus_filter_matches_duckdb(spark):
+    got = sorted(tuple(r) for r in weburl.corpus_filter(spark, SF).collect())
+    exp = sorted(tuple(r) for r in _oracle(weburl.CORPUS_FILTER_SQL))
+    assert got == exp
+
+
+def test_corpus_filter_plan(spark):
+    # domain-level weakness joins as a broadcast of the small rollup —
+    # the per-page side must not shuffle for it
+    plan = (weburl.corpus_filter(spark, SF)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan and "PythonUDF" not in plan
+
+
 def test_plan_stays_jvm_side(spark):
     # the whole parse/canonicalize path must be Catalyst expressions:
     # no Python UDF (BatchEvalPython / ArrowEvalPython) in the plan
