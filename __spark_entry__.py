@@ -376,6 +376,16 @@ def _q_sparql_construct(spark, sf_dir):
     return out.orderBy("subject", "predicate", "object")
 
 
+def _q_sparql_describe(spark, sf_dir):
+    """SPARQL DESCRIBE (symmetric concise description of the matched
+    resources) — semantic DuckDB oracle building the same sub-graph
+    with explicit membership joins."""
+    out = kgquery.sparql_describe(kgquery.rel_triples(spark, sf_dir),
+                                  kgquery.REL_DESCRIBE)
+    return out.orderBy("subject", "predicate", "object",
+                       "object_is_literal")
+
+
 def _q_sparql_minus(spark, sf_dir):
     """SPARQL MINUS / FILTER NOT EXISTS — left-anti join; semantic
     DuckDB oracle via NOT EXISTS."""
@@ -545,6 +555,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_path_ops": _q_sparql_path_ops,
         "kg_sparql_path_star": _q_sparql_path_star,
         "kg_sparql_construct": _q_sparql_construct,
+        "kg_sparql_describe": _q_sparql_describe,
         "kg_sparql_minus": _q_sparql_minus,
         "kg_sparql_gold": _q_sparql_gold,
         "kg_sparql_gold_agg": _q_sparql_gold_agg,
@@ -716,6 +727,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_path_ops": kgquery.SPARQL_PATH_OPS_SQL,
         "kg_sparql_path_star": kgquery.SPARQL_PATH_STAR_SQL,
         "kg_sparql_construct": kgquery.SPARQL_CONSTRUCT_SQL,
+        "kg_sparql_describe": kgquery.SPARQL_DESCRIBE_SQL,
         "kg_sparql_minus": kgquery.SPARQL_MINUS_SQL,
         "kg_sparql_gold": _gold_triples_values_sql(
             "EXPECTED_SPARQL_GOLD", ["event", "actor", "name"],

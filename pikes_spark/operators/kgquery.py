@@ -1238,6 +1238,56 @@ def sparql_ask(triples: DataFrame, query: str) -> bool:
     return bool(sol.limit(1).take(1))
 
 
+def sparql_describe(triples: DataFrame, query: str) -> DataFrame:
+    """DESCRIBE <iri>... | DESCRIBE ?v... WHERE { ... } — returns the
+    sub-graph describing the named/matched resources. The description
+    form is implementation-defined per SPARQL 1.1 §16.4; this engine
+    emits the symmetric concise description: every triple whose
+    subject is a described resource, plus every triple whose
+    (non-literal) object is one. The KG has no blank nodes, so no
+    blank-node closure is needed.
+
+    The describe set is small by construction (explicit IRIs, or the
+    distinct bindings of the projected variables), so both membership
+    probes are broadcast semi-joins — the triple table never shuffles.
+    """
+    m = re.search(r"DESCRIBE\s+(?P<terms>.*?)\s*(?P<rest>WHERE\s*\{.*)?$",
+                  query.strip(), re.I | re.S)
+    if not m or not m.group("terms").strip():
+        raise SparqlError("expected DESCRIBE <term>... [WHERE { ... }]")
+    prefixes = dict(re.findall(r"PREFIX\s+(\w+):\s*<([^>]*)>", query, re.I))
+    terms = [_parse_term(t, prefixes) for t in m.group("terms").split()]
+    spark = triples.sparkSession
+    var_terms = [t for t in terms if t.kind == "var"]
+    iri_terms = [t for t in terms if t.kind != "var"]
+    parts = []
+    if var_terms:
+        if not m.group("rest"):
+            raise SparqlError("DESCRIBE with variables needs WHERE { }")
+        pfx_text = "".join(f"PREFIX {k}: <{v}>\n"
+                           for k, v in prefixes.items())
+        proj = " ".join(f"?{t.value}" for t in var_terms)
+        sol = sparql_query(triples, f"{pfx_text}SELECT DISTINCT {proj} "
+                           + m.group("rest"))
+        for t in var_terms:
+            parts.append(sol.select(F.col(t.value).alias("r")))
+    if iri_terms:
+        parts.append(spark.createDataFrame(
+            [(t.value,) for t in iri_terms], "r string"))
+    res = parts[0]
+    for extra in parts[1:]:
+        res = res.unionAll(extra)
+    res = res.distinct()
+    by_subj = triples.join(F.broadcast(res),
+                           triples["subject"] == res["r"], "leftsemi")
+    obj_side = triples
+    if "object_is_literal" in triples.columns:
+        obj_side = triples.filter(~F.col("object_is_literal"))
+    by_obj = obj_side.join(F.broadcast(res),
+                           obj_side["object"] == res["r"], "leftsemi")
+    return by_subj.unionAll(by_obj).distinct()
+
+
 # ---------------------------------------------------------------------------
 # Relational-view triple derivation (driver oracle surface)
 # ---------------------------------------------------------------------------
@@ -1765,4 +1815,33 @@ SPARQL_MINUS_SQL = f"""
     SELECT nname FROM base
     WHERE NOT EXISTS (SELECT 1 FROM furn WHERE furn.nat = base.nat)
     ORDER BY nname
+"""
+
+# DESCRIBE driver query: the full symmetric description of every
+# AMERICA nation — subject triples (name, inRegion, partOf) plus the
+# triples pointing at them (each customer's inNation / partOf)
+REL_DESCRIBE = """
+PREFIX ex: <http://example.org/>
+DESCRIBE ?nat WHERE {
+  ?nat ex:inRegion ?reg .
+  ?reg ex:name "AMERICA" .
+}
+"""
+
+SPARQL_DESCRIBE_SQL = f"""
+    WITH triples AS ({REL_TRIPLES_SQL}),
+    rn AS (SELECT subject AS reg FROM triples
+           WHERE predicate = '{_EX}name' AND object = 'AMERICA'
+             AND object_is_literal),
+    res AS (SELECT DISTINCT nr.subject AS r
+            FROM triples nr JOIN rn ON rn.reg = nr.object
+            WHERE nr.predicate = '{_EX}inRegion'),
+    d AS (
+      SELECT t.* FROM triples t JOIN res ON res.r = t.subject
+      UNION
+      SELECT t.* FROM triples t JOIN res ON res.r = t.object
+      WHERE NOT t.object_is_literal
+    )
+    SELECT DISTINCT * FROM d
+    ORDER BY subject, predicate, object, object_is_literal
 """

@@ -714,3 +714,74 @@ def test_group_concat_distinct_default_sep(triples):
     } GROUP BY ?t ORDER BY ?t""")
     assert rows == [("nwr:PERSON", "e:alice e:bob"),
                     ("sem:Event", "e:ev1 e:ev2")]
+
+
+def test_describe_explicit_iri(triples):
+    from pikes_spark.operators.kgquery import sparql_describe
+    got = sorted(tuple(r) for r in
+                 sparql_describe(triples, PFX + "DESCRIBE e:alice").collect())
+    # subject triples + triples pointing at e:alice as an IRI object
+    assert got == sorted([
+        ("e:alice", "foaf:name", "Alice", True),
+        ("e:alice", "rdf:type", "nwr:PERSON", False),
+        ("e:ev1", "sem:hasActor", "e:alice", False),
+        ("e:ev2", "sem:hasActor", "e:alice", False),
+    ])
+
+
+def test_describe_var_with_where(triples):
+    from pikes_spark.operators.kgquery import sparql_describe
+    got = sorted(tuple(r) for r in sparql_describe(triples, PFX + """
+        DESCRIBE ?ev WHERE { ?ev rdf:type sem:Event . }""").collect())
+    assert got == sorted([
+        ("e:ev1", "sem:hasActor", "e:alice", False),
+        ("e:ev1", "rdf:type", "sem:Event", False),
+        ("e:ev2", "sem:hasActor", "e:bob", False),
+        ("e:ev2", "sem:hasActor", "e:alice", False),
+        ("e:ev2", "rdf:type", "sem:Event", False),
+    ])
+
+
+def test_describe_literal_object_not_a_resource(triples):
+    # "sem:Event" as a LITERAL object must not pull e:x into the
+    # description of sem:Event
+    from pikes_spark.operators.kgquery import sparql_describe
+    got = sorted(tuple(r) for r in sparql_describe(
+        triples, PFX + "DESCRIBE sem:Event").collect())
+    assert got == sorted([
+        ("e:ev1", "rdf:type", "sem:Event", False),
+        ("e:ev2", "rdf:type", "sem:Event", False),
+    ])
+
+
+def test_describe_mixed_terms_and_errors(triples):
+    from pikes_spark.operators.kgquery import SparqlError, sparql_describe
+    # explicit IRI + var in one DESCRIBE
+    got = sorted(tuple(r) for r in sparql_describe(triples, PFX + """
+        DESCRIBE e:carol ?p WHERE { ?p rdf:type nwr:PERSON .
+                                    ?p foaf:name "Bob" . }""").collect())
+    assert got == sorted([
+        ("e:ev3", "sem:hasActor", "e:carol", False),
+        ("e:bob", "foaf:name", "Bob", True),
+        ("e:bob", "rdf:type", "nwr:PERSON", False),
+        ("e:ev2", "sem:hasActor", "e:bob", False),
+    ])
+    with pytest.raises(SparqlError):
+        sparql_describe(triples, PFX + "DESCRIBE ?x")  # var, no WHERE
+    with pytest.raises(SparqlError):
+        sparql_describe(triples, "DESCRIBE")
+
+
+def test_describe_matches_duckdb_oracle(spark):
+    import duckdb
+    from pikes_spark.operators.kgquery import (
+        REL_DESCRIBE, SPARQL_DESCRIBE_SQL, rel_triples, sparql_describe)
+    sf = "/root/testdata/sf0.001"
+    t = rel_triples(spark, sf)
+    got = sorted(tuple(r) for r in
+                 sparql_describe(t, REL_DESCRIBE).collect())
+    con = duckdb.connect()
+    for tbl in ("customer", "nation", "region"):
+        con.sql(f"CREATE VIEW {tbl} AS SELECT * FROM '{sf}/{tbl}.parquet'")
+    exp = sorted(tuple(r) for r in con.sql(SPARQL_DESCRIBE_SQL).fetchall())
+    assert got == exp and len(got) > 10
