@@ -469,3 +469,91 @@ SELECT s AS doc_id,
        CAST(s = least(s, min(d)) AS INT) AS keep
 FROM tc GROUP BY s ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+# The Pile / GPT-3 decontamination rule: a training document is
+# contaminated if it shares any word 13-gram with the held-out
+# (benchmark) set. Here the benchmark side is the engine's own
+# deterministic md5 test split, so the operator doubles as a
+# train/test leakage detector.
+
+DECON_NGRAM = 13
+
+
+def decontaminate(spark: SparkSession, sf_dir: str,
+                  n: int = DECON_NGRAM,
+                  test_hex: str = "33333333") -> DataFrame:
+    """(doc_id, n_grams, n_hits, contaminated) for every TRAIN
+    document: n_hits = how many of its distinct word n-grams also
+    occur anywhere in the test split (documents shorter than n tokens
+    contribute their whole text as one gram, so verbatim short-doc
+    leakage is still caught).
+
+    Scale shape: the benchmark side of a real decontamination run is
+    tiny (MBs of eval suites vs TBs of train), so the distinct
+    test-gram set broadcasts and the train side never shuffles —
+    Spark's AQE picks that up from the size estimate here; at a fixed
+    known-small benchmark, wrap the right side in F.broadcast(). The
+    per-doc aggregation shuffles only (doc_id, matched-gram) pairs,
+    which contamination sparsity keeps near-empty."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    h8 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    toks = F.split(F.regexp_replace(F.trim(F.lower("text")), r"\s+", " "), " ")
+    sz = F.size(toks)
+    grams = F.when(sz >= n, F.array_distinct(F.transform(
+        F.sequence(F.lit(0), sz - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    ))).otherwise(F.array(F.concat_ws(" ", toks)))
+    g = docs.select("doc_id",
+                    F.when(h8 < test_hex, "test").otherwise("train")
+                    .alias("split"),
+                    grams.alias("grams"))
+    train = g.filter(F.col("split") == "train") \
+             .select("doc_id", F.size("grams").alias("n_grams"), "grams")
+    test_grams = (g.filter(F.col("split") == "test")
+                  .select(F.explode("grams").alias("gram")).distinct())
+    # grams are already distinct per document, so count(*) after the
+    # membership join == distinct hit count
+    hits = (train.select("doc_id", F.explode("grams").alias("gram"))
+            .join(test_grams, "gram")
+            .groupBy("doc_id").agg(F.count("*").alias("n_hits")))
+    return (train.drop("grams")
+            .join(hits, "doc_id", "left")
+            .select("doc_id", "n_grams",
+                    F.coalesce("n_hits", F.lit(0)).alias("n_hits"))
+            .withColumn("contaminated", F.col("n_hits") > 0)
+            .orderBy("doc_id"))
+
+
+DECONTAMINATE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '33333333'
+              THEN 'test' ELSE 'train' END AS split,
+         regexp_split_to_array(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id, split,
+         CASE WHEN len(t) >= {DECON_NGRAM} THEN
+           list_distinct([array_to_string(t[i:i+{DECON_NGRAM - 1}], ' ')
+                          for i in range(1, len(t) - {DECON_NGRAM - 2})])
+         ELSE [array_to_string(t, ' ')] END AS grams
+  FROM toks
+), train AS (
+  SELECT doc_id, len(grams) AS n_grams, grams FROM sh WHERE split = 'train'
+), testg AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM sh WHERE split = 'test'
+), hits AS (
+  SELECT e.doc_id, count(*) AS n_hits
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM train) e
+  JOIN testg USING (gram)
+  GROUP BY e.doc_id
+)
+SELECT t.doc_id, t.n_grams, COALESCE(h.n_hits, 0) AS n_hits,
+       COALESCE(h.n_hits, 0) > 0 AS contaminated
+FROM train t LEFT JOIN hits h USING (doc_id)
+ORDER BY t.doc_id
+"""
