@@ -570,6 +570,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_token_batches": textstats.token_batches,
         "txt_redact_pii": textstats.redact_pii,
         "txt_postings": textstats.postings,
+        "txt_bm25_topk": textstats.bm25_topk,
         "txt_repetition": textstats.repetition_stats,
         "kg_bfs_reach": graph.bfs_reach,
         "kg_triangles": graph.triangles_top,
@@ -752,6 +753,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
         """,
         "txt_postings": textstats.POSTINGS_SQL,
+        "txt_bm25_topk": textstats.BM25_SQL,
         "txt_repetition": textstats.REPETITION_SQL,
         "kg_bfs_reach": graph.BFS_REACH_SQL,
         "kg_triangles": graph.TRIANGLES_SQL,

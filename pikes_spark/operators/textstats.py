@@ -509,3 +509,86 @@ SELECT u.doc_id,
 FROM uni u LEFT JOIN bi b USING (doc_id)
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval
+# ---------------------------------------------------------------------------
+# Okapi BM25 (k1=1.2, b=0.75) over whitespace tokens — the ranked
+# counterpart of the boolean inverted index above. Per-(doc, term)
+# scores are floored to x1e6 fixed point BEFORE the per-doc sum so the
+# final total is an integer sum (order-independent), keeping Spark and
+# DuckDB hash-identical despite float idf/tf math.
+
+BM25_QUERY = "hash join filter window"
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str,
+              query: str = BM25_QUERY, k: int = 20) -> DataFrame:
+    """Top-k documents for `query` by BM25, (doc_id, score_x1e6)
+    ordered by score desc then doc_id.
+
+    Scale shape: the three statistics joins are all broadcasts — the
+    per-term df table and the corpus-level (N, avgdl) row are tiny by
+    construction, so the only shuffle is the per-(doc, term) tf
+    aggregation over documents that contain a query term (the scan
+    prunes everything else with an isin filter pushed to the gram
+    explode)."""
+    qterms = list(dict.fromkeys(query.split()))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.regexp_replace(F.trim(F.lower("text")), r"\s+", " "), " ")
+    ex = docs.select("doc_id", F.size(toks).alias("dl"),
+                     F.explode(toks).alias("term"))
+    corpus = docs.select(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(toks)).alias("total_len"))
+    tf = (ex.filter(F.col("term").isin(qterms))
+          .groupBy("doc_id", "dl", "term")
+          .agg(F.count("*").alias("tf")))
+    dfreq = tf.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df"))
+    scored = (tf.join(F.broadcast(dfreq), "term")
+              .crossJoin(F.broadcast(corpus)))
+    avgdl = F.col("total_len") * 1.0 / F.col("n_docs")
+    idf = F.log(F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tfw = (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / avgdl))
+    per_term = F.floor(idf * tfw * 1e6).cast("bigint")
+    return (scored.withColumn("s", per_term)
+            .groupBy("doc_id").agg(F.sum("s").alias("score_x1e6"))
+            .orderBy(F.desc("score_x1e6"), "doc_id")
+            .limit(k))
+
+
+BM25_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS t
+  FROM documents
+), ex AS (
+  SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks
+), corpus AS (
+  SELECT count(*) AS n_docs, sum(len(t)) AS total_len FROM toks
+), tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM ex WHERE term IN ('hash', 'join', 'filter', 'window')
+  GROUP BY 1, 2, 3
+), dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+), scored AS (
+  SELECT tf.doc_id,
+         CAST(floor(
+           ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (tf.tf * ({BM25_K1} + 1))
+           / (tf.tf + {BM25_K1} * (1 - {BM25_B}
+              + {BM25_B} * tf.dl / (c.total_len * 1.0 / c.n_docs)))
+           * 1e6) AS BIGINT) AS s
+  FROM tf JOIN dfreq d USING (term) CROSS JOIN corpus c
+)
+SELECT doc_id, SUM(s) AS score_x1e6
+FROM scored GROUP BY doc_id
+ORDER BY score_x1e6 DESC, doc_id LIMIT 20
+"""

@@ -289,3 +289,31 @@ def test_repetition_matches_duckdb_on_fixture(spark, rep_docs):
             f" '{rep_docs}/documents.parquet/*.parquet'")
     want = [tuple(r) for r in con.sql(textstats.REPETITION_SQL).fetchall()]
     assert got == want
+
+
+def test_bm25_topk_semantics(spark):
+    import duckdb
+    from pikes_spark.operators import textstats
+    sf = "/root/testdata/sf0.001"
+    rows = textstats.bm25_topk(spark, sf).collect()
+    assert 0 < len(rows) <= 20
+    scores = [r["score_x1e6"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+    # top hit really is term-dense: it must contain every query term
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    top_text = con.sql("SELECT lower(text) FROM documents WHERE doc_id = "
+                       f"{rows[0]['doc_id']}").fetchone()[0]
+    assert all(t in top_text.split() for t in textstats.BM25_QUERY.split())
+    # exact parity with the DuckDB formulation at this sf too
+    exp = con.sql(textstats.BM25_SQL).fetchall()
+    assert [tuple(r) for r in rows] == exp
+
+
+def test_bm25_plan_broadcasts_stats(spark):
+    from pikes_spark.operators import textstats
+    plan = (textstats.bm25_topk(spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "EvalPython" not in plan and "PythonUDF" not in plan
