@@ -571,10 +571,12 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_redact_pii": textstats.redact_pii,
         "txt_postings": textstats.postings,
         "txt_bm25_topk": textstats.bm25_topk,
+        "txt_stratified_sample": textstats.stratified_sample,
         "txt_repetition": textstats.repetition_stats,
         "kg_bfs_reach": graph.bfs_reach,
         "kg_triangles": graph.triangles_top,
         "kg_pagerank": graph.pagerank_top20,
+        "kg_degree_profile": graph.degree_profile_rel,
         # web-URL hygiene family (Common-Crawl-style ingest)
         "web_url_parse": weburl.url_parse,
         "web_url_canon": weburl.url_canonicalize,
@@ -754,9 +756,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "txt_postings": textstats.POSTINGS_SQL,
         "txt_bm25_topk": textstats.BM25_SQL,
+        "txt_stratified_sample": textstats.STRATIFIED_SAMPLE_SQL,
         "txt_repetition": textstats.REPETITION_SQL,
         "kg_bfs_reach": graph.BFS_REACH_SQL,
         "kg_triangles": graph.TRIANGLES_SQL,
+        "kg_degree_profile": graph._degree_profile_sql(),
         "web_url_parse": weburl.URL_PARSE_SQL,
         "web_url_canon": weburl.URL_CANON_SQL,
         "web_domain_stats": weburl.DOMAIN_STATS_SQL,

@@ -239,3 +239,61 @@ TRIANGLES_SQL = f"""
     ORDER BY triangles DESC, node ASC
     LIMIT 50
 """
+
+
+def degree_profile(triples: DataFrame) -> DataFrame:
+    """Per-predicate KG profile: triple count, distinct subject/object
+    counts, and the max out-degree (triples per subject) and in-degree
+    (triples per object) — the first query anyone runs against an
+    unfamiliar triple table.
+
+    Scale shape: two partial-aggregation passes keyed by (predicate,
+    node) — map-side combine shrinks each to ~distinct-node rows
+    before its exchange; no join between the passes until both are
+    predicate-sized (tiny)."""
+    base = triples.groupBy("predicate").agg(
+        F.count("*").alias("n_triples"),
+        F.countDistinct("subject").alias("n_subjects"),
+        F.countDistinct("object").alias("n_objects"))
+    out_deg = (triples.groupBy("predicate", "subject").count()
+               .groupBy("predicate")
+               .agg(F.max("count").alias("max_out_deg")))
+    in_deg = (triples.groupBy("predicate", "object").count()
+              .groupBy("predicate")
+              .agg(F.max("count").alias("max_in_deg")))
+    return (base.join(out_deg, "predicate").join(in_deg, "predicate")
+            .orderBy("predicate"))
+
+
+def degree_profile_rel(spark, sf_dir: str) -> DataFrame:
+    from pikes_spark.operators.kgquery import rel_triples
+    return degree_profile(rel_triples(spark, sf_dir).drop("object_is_literal"))
+
+
+DEGREE_PROFILE_SQL_TEMPLATE = """
+WITH triples AS ({rel_triples}),
+base AS (
+  SELECT predicate, count(*) AS n_triples,
+         count(DISTINCT subject) AS n_subjects,
+         count(DISTINCT object) AS n_objects
+  FROM triples GROUP BY 1
+),
+od AS (
+  SELECT predicate, MAX(c) AS max_out_deg FROM (
+    SELECT predicate, subject, count(*) AS c FROM triples GROUP BY 1, 2)
+  GROUP BY 1
+),
+idg AS (
+  SELECT predicate, MAX(c) AS max_in_deg FROM (
+    SELECT predicate, object, count(*) AS c FROM triples GROUP BY 1, 2)
+  GROUP BY 1
+)
+SELECT base.*, od.max_out_deg, idg.max_in_deg
+FROM base JOIN od USING (predicate) JOIN idg USING (predicate)
+ORDER BY predicate
+"""
+
+
+def _degree_profile_sql() -> str:
+    from pikes_spark.operators.kgquery import REL_TRIPLES_SQL
+    return DEGREE_PROFILE_SQL_TEMPLATE.format(rel_triples=REL_TRIPLES_SQL)

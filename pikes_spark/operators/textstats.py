@@ -592,3 +592,38 @@ SELECT doc_id, SUM(s) AS score_x1e6
 FROM scored GROUP BY doc_id
 ORDER BY score_x1e6 DESC, doc_id LIMIT 20
 """
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str,
+                      k: int = 25) -> DataFrame:
+    """Deterministic stratified sample: the k documents per language
+    with the smallest md5(doc_id) — a fixed pseudo-random order both
+    engines compute identically, so the sample never migrates across
+    runs, engines, or cluster sizes (same property as the train/test
+    split). Returns (lang, doc_id, n_chars) ordered.
+
+    Scale shape: one hash-partitioned window per stratum; rank
+    truncation happens inside the window sort (WindowGroupLimit pushes
+    the k-cutoff below the shuffle in Spark >= 3.5), so only ~k rows
+    per stratum survive to the output."""
+    from pyspark.sql import Window
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = (Window.partitionBy("lang")
+         .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id"))
+    return (docs.select("lang", "doc_id", F.length("text").alias("n_chars"),
+                        F.row_number().over(w).alias("rk"))
+            .filter(F.col("rk") <= k).drop("rk")
+            .orderBy("lang", "doc_id"))
+
+
+STRATIFIED_SAMPLE_SQL = """
+WITH ranked AS (
+  SELECT lang, doc_id, length(text) AS n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rk
+  FROM documents
+)
+SELECT lang, doc_id, n_chars FROM ranked WHERE rk <= 25
+ORDER BY lang, doc_id
+"""

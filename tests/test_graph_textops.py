@@ -317,3 +317,31 @@ def test_bm25_plan_broadcasts_stats(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "EvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_stratified_sample_deterministic_and_capped(spark):
+    from pikes_spark.operators import textstats
+    sf = "/root/testdata/sf0.001"
+    a = [tuple(r) for r in textstats.stratified_sample(spark, sf).collect()]
+    b = [tuple(r) for r in
+         textstats.stratified_sample(spark, sf).collect()]
+    assert a == b    # same sample every run
+    import collections
+    per_lang = collections.Counter(r[0] for r in a)
+    assert all(v <= 25 for v in per_lang.values())
+    assert len(per_lang) >= 3   # multiple strata present
+
+
+def test_degree_profile_invariants(spark):
+    from pikes_spark.operators import graph
+    from pikes_spark.operators.kgquery import rel_triples
+    sf = "/root/testdata/sf0.001"
+    t = rel_triples(spark, sf).drop("object_is_literal")
+    rows = {r["predicate"]: r for r in graph.degree_profile(t).collect()}
+    n_total = t.count()
+    assert sum(r["n_triples"] for r in rows.values()) == n_total
+    for r in rows.values():
+        assert r["max_out_deg"] >= 1 and r["max_in_deg"] >= 1
+        assert r["n_subjects"] <= r["n_triples"]
+        # every nation has many customers: inNation in-degree is fan-in
+    assert rows["http://example.org/inNation"]["max_in_deg"] > 1
