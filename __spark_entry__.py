@@ -585,6 +585,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup family
         "dedup_exact": dedup.exact_duplicates,
         "txt_decontaminate": dedup.decontaminate,
+        "dedup_repeated_spans": dedup.repeated_spans,
         # ngram_jaccard is the exact all-pairs VERIFIER/oracle path —
         # quadratic on hot shingles, not the scale path; use
         # dedup_minhash_lsh for corpus-scale near-dup (its oracle IS
@@ -767,6 +768,7 @@ def oracle_sql() -> dict[str, str]:
         "web_corpus_filter": weburl.CORPUS_FILTER_SQL,
         "dedup_exact": dedup.EXACT_DUP_SQL,
         "txt_decontaminate": dedup.DECONTAMINATE_SQL,
+        "dedup_repeated_spans": dedup.REPEATED_SPANS_SQL,
         "dedup_ngram_jaccard": dedup.NGRAM_JACCARD_SQL,
         # LSH candidates are exact-Jaccard verified, so output ⊆ exact set
         # always; equality additionally needs LSH recall 1.0 at t=0.8.

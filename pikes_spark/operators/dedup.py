@@ -576,3 +576,92 @@ SELECT t.doc_id, t.n_grams, COALESCE(h.n_hits, 0) AS n_hits,
 FROM train t LEFT JOIN hits h USING (doc_id)
 ORDER BY t.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Repeated-substring spans (exact substring dedup, Lee et al. 2022)
+# ---------------------------------------------------------------------------
+
+SPAN_NGRAM = 50
+
+
+def repeated_spans(spark: SparkSession, sf_dir: str,
+                   n: int = SPAN_NGRAM) -> DataFrame:
+    """Maximal verbatim spans of >= n tokens that occur more than once
+    in the corpus ("Deduplicating Training Data Makes Language Models
+    Better" — the exact-substring half of that pipeline, bounded to
+    n-token granularity instead of a suffix array).
+
+    Per document: every position whose n-gram repeats anywhere
+    (including within the same document) is a hit; adjacent hits merge
+    into maximal [start, end] token intervals via gaps-and-islands.
+    Returns (doc_id, span_start, span_end, n_tokens) ordered.
+
+    Scale shape: the n-gram frequency pass aggregates on md5(gram) —
+    a 32-byte key instead of a ~300-byte 50-token string — with
+    map-side combine; the hit set re-joins position rows on the same
+    hash; island merging is one window per doc_id. A suffix-array
+    formulation finds arbitrary-length repeats but needs global
+    sorting of every suffix; at n-token granularity this stays three
+    shuffles of bounded-width rows."""
+    from pyspark.sql import Window
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
+    toks = F.split(F.regexp_replace(F.trim(F.lower("text")), r"\s+", " "), " ")
+    sz = F.size(toks)
+    grams = F.when(sz >= n, F.transform(
+        F.sequence(F.lit(0), sz - n),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, n))),
+    )).otherwise(F.array())
+    pos = (docs.select("doc_id", F.posexplode(grams).alias("pos", "h")))
+    dup = (pos.groupBy("h").agg(F.count("*").alias("c"))
+           .filter(F.col("c") > 1).select("h"))
+    hits = pos.join(dup, "h").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    hits = hits.withColumn(
+        "new_isl",
+        F.when(F.col("pos") - F.lag("pos", 1, -10).over(w) > 1, 1)
+        .otherwise(0))
+    return (hits.withColumn("isl", F.sum("new_isl").over(w))
+            .groupBy("doc_id", "isl")
+            .agg(F.min("pos").alias("span_start"),
+                 (F.max("pos") + n - 1).alias("span_end"))
+            .select("doc_id", "span_start", "span_end",
+                    (F.col("span_end") - F.col("span_start") + 1)
+                    .alias("n_tokens"))
+            .orderBy("doc_id", "span_start"))
+
+
+REPEATED_SPANS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS t
+  FROM documents
+), pos AS (
+  SELECT doc_id, i - 1 AS pos,
+         md5(array_to_string(t[i:i+{SPAN_NGRAM - 1}], ' ')) AS h
+  FROM toks, UNNEST(range(1, len(t) - {SPAN_NGRAM - 2})) AS r(i)
+  WHERE len(t) >= {SPAN_NGRAM}
+), dup AS (
+  SELECT h FROM pos GROUP BY h HAVING count(*) > 1
+), hits AS (
+  SELECT p.doc_id, p.pos FROM pos p JOIN dup USING (h)
+), flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - COALESCE(LAG(pos) OVER w, -10) > 1
+              THEN 1 ELSE 0 END AS new_isl
+  FROM hits
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), isl AS (
+  SELECT doc_id, pos,
+         SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+  FROM flagged
+)
+SELECT doc_id, MIN(pos) AS span_start,
+       MAX(pos) + {SPAN_NGRAM - 1} AS span_end,
+       MAX(pos) + {SPAN_NGRAM - 1} - MIN(pos) + 1 AS n_tokens
+FROM isl GROUP BY doc_id, isl
+ORDER BY doc_id, span_start
+"""

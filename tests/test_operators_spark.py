@@ -252,3 +252,43 @@ def test_decontaminate_plan_jvm_side(spark):
     plan = (dedup.decontaminate(spark, SF)
             ._jdf.queryExecution().executedPlan().toString())
     assert "EvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_repeated_spans_semantics(spark):
+    import duckdb
+    from pikes_spark.operators import dedup
+    # build a corpus with a planted 60-token verbatim repeat
+    import tempfile, os
+    span = " ".join(f"w{i}" for i in range(60))
+    rows = [
+        (1, "alpha " + span + " omega"),
+        (2, "prefix text here " + span + " and a different tail"),
+        (3, "no repeats in this one at all " + " ".join(
+            f"u{i}" for i in range(70))),
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(rows, "doc_id long, text string") \
+             .write.parquet(os.path.join(td, "documents.parquet"))
+        got = [tuple(r) for r in dedup.repeated_spans(spark, td).collect()]
+    # doc 1: span at tokens 1..60 -> hits at gram positions 1..11
+    # (60-token repeat = 11 repeated 50-grams), span 1..61? no:
+    # maximal interval = [first_pos, last_pos + 49]
+    by_doc = {}
+    for d, s, e, n in got:
+        by_doc.setdefault(d, []).append((s, e, n))
+    assert set(by_doc) == {1, 2}          # doc 3 clean
+    (s1, e1, n1), = by_doc[1]
+    (s2, e2, n2), = by_doc[2]
+    assert n1 == n2 == 60                 # exactly the planted span
+    assert s1 == 1 and e1 == 60           # after the 1-token prefix
+    assert s2 == 3 and e2 == 62           # after the 3-token prefix
+    # and parity with the DuckDB formulation on the same data
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(rows, "doc_id long, text string") \
+             .write.parquet(os.path.join(td, "documents.parquet"))
+        got2 = [tuple(r) for r in dedup.repeated_spans(spark, td).collect()]
+        con = duckdb.connect()
+        con.sql("CREATE VIEW documents AS SELECT * FROM "
+                f"'{td}/documents.parquet/*.parquet'")
+        exp = [tuple(r) for r in con.sql(dedup.REPEATED_SPANS_SQL).fetchall()]
+        assert got2 == exp
