@@ -572,6 +572,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_postings": textstats.postings,
         "txt_bm25_topk": textstats.bm25_topk,
         "txt_stratified_sample": textstats.stratified_sample,
+        "txt_unigram_surprisal": textstats.unigram_surprisal,
         "txt_repetition": textstats.repetition_stats,
         "kg_bfs_reach": graph.bfs_reach,
         "kg_triangles": graph.triangles_top,
@@ -614,6 +615,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # one user_id shuffle + running last() — no range self-join
         "evt_asof_join": events.asof_join,
         # event-time RANGE-frame sliding count (burst detection)
+        "evt_funnel_depth": events.funnel_depth,
         "evt_sliding_count": events.sliding_window_count,
         # custom STATEFUL streaming operator (applyInPandasWithState):
         # driven end-to-end through Structured Streaming, flushed via a
@@ -758,6 +760,7 @@ def oracle_sql() -> dict[str, str]:
         "txt_postings": textstats.POSTINGS_SQL,
         "txt_bm25_topk": textstats.BM25_SQL,
         "txt_stratified_sample": textstats.STRATIFIED_SAMPLE_SQL,
+        "txt_unigram_surprisal": textstats.UNIGRAM_SURPRISAL_SQL,
         "txt_repetition": textstats.REPETITION_SQL,
         "kg_bfs_reach": graph.BFS_REACH_SQL,
         "kg_triangles": graph.TRIANGLES_SQL,
@@ -805,6 +808,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "evt_windowed_counts": events.WINDOWED_COUNTS_SQL,
         "evt_asof_join": events.ASOF_JOIN_SQL,
+        "evt_funnel_depth": events.FUNNEL_SQL,
         "evt_sliding_count": events.SLIDING_COUNT_SQL,
         "rel_join_window_topk": """
             WITH j AS (

@@ -44,6 +44,10 @@ def _run_queries(spark, sf_dir: str) -> dict:
         "txt_top_terms", "txt_train_test_split", "txt_redact_pii",
         "kg_sparql_path_seq", "kg_triangles", "txt_repetition",
         "kg_sparql_subquery",
+        # r4 session-3 additions: corpus filtering, decontamination,
+        # retrieval, span dedup
+        "web_corpus_filter", "txt_decontaminate", "txt_bm25_topk",
+        "dedup_repeated_spans", "kg_sparql_describe",
     ]
     for name in bench_queries:
         t0 = time.time()

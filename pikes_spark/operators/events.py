@@ -169,3 +169,61 @@ SELECT event_id, user_id,
 FROM events
 ORDER BY event_id
 """
+
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def funnel_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis: per user, how deep into the
+    view -> click -> purchase sequence they got, where each stage must
+    occur STRICTLY after the previous stage's first occurrence
+    (strict ts comparison keeps the definition engine-independent
+    under timestamp ties). depth 0 = never viewed.
+
+    Scale shape: three conditional-min aggregations keyed by user_id.
+    Each pre-aggregates map-side to one row per user before its
+    exchange, and the stage tables join user-to-user (same key, so
+    AQE plans them shuffle-local); nothing row-level ever crosses
+    stages."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+              .select("user_id", "event_type", "ts")
+    users = ev.select("user_id").distinct()
+    v = (ev.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("v_ts")))
+    c = (ev.join(v, "user_id")
+         .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("v_ts")))
+         .groupBy("user_id").agg(F.min("ts").alias("c_ts")))
+    p = (ev.join(c, "user_id")
+         .filter((F.col("event_type") == "purchase") & (F.col("ts") > F.col("c_ts")))
+         .groupBy("user_id").agg(F.min("ts").alias("p_ts")))
+    return (users.join(v, "user_id", "left").join(c, "user_id", "left")
+            .join(p, "user_id", "left")
+            .select("user_id",
+                    F.when(F.col("p_ts").isNotNull(), 3)
+                    .when(F.col("c_ts").isNotNull(), 2)
+                    .when(F.col("v_ts").isNotNull(), 1)
+                    .otherwise(0).cast("bigint").alias("funnel_depth"))
+            .orderBy("user_id"))
+
+
+FUNNEL_SQL = """
+WITH users AS (SELECT DISTINCT user_id FROM events),
+v AS (SELECT user_id, MIN(ts) AS v_ts FROM events
+      WHERE event_type = 'view' GROUP BY 1),
+c AS (SELECT e.user_id, MIN(e.ts) AS c_ts
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.v_ts GROUP BY 1),
+p AS (SELECT e.user_id, MIN(e.ts) AS p_ts
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY 1)
+SELECT u.user_id,
+       CAST(CASE WHEN p.p_ts IS NOT NULL THEN 3
+                 WHEN c.c_ts IS NOT NULL THEN 2
+                 WHEN v.v_ts IS NOT NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS funnel_depth
+FROM users u
+LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+LEFT JOIN p USING (user_id)
+ORDER BY u.user_id
+"""

@@ -627,3 +627,51 @@ WITH ranked AS (
 SELECT lang, doc_id, n_chars FROM ranked WHERE rk <= 25
 ORDER BY lang, doc_id
 """
+
+
+def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style language-model quality signal with an in-repo
+    model: each document's mean token surprisal -ln p(t) under the
+    corpus's own unigram distribution (CCNet uses a KenLM 5-gram;
+    the unigram variant keeps the same plan shape without shipping a
+    model file). Low = templated/common text, high = rare-token text.
+
+    Per-token surprisal is floored to x1e6 fixed point BEFORE the
+    per-doc mean, so cross-engine float determinism reduces to ln()
+    on identical doubles (same libm) and all aggregation is integer.
+
+    Scale shape: the unigram table is vocabulary-sized — Zipf keeps
+    it millions of rows at web scale, far smaller than the corpus —
+    so Spark broadcasts it under AQE; the only big exchange is the
+    per-doc sum, pre-aggregated map-side."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.regexp_replace(F.trim(F.lower("text")), r"\s+", " "), " ")
+    ex = docs.select("doc_id", F.explode(toks).alias("term"))
+    uni = ex.groupBy("term").agg(F.count("*").alias("c"))
+    total = ex.agg(F.count("*").alias("total"))
+    s = (ex.join(uni, "term").crossJoin(F.broadcast(total))
+         .withColumn("s_x1e6",
+                     F.floor(-F.log(F.col("c") * 1.0 / F.col("total")) * 1e6)
+                     .cast("bigint")))
+    return (s.groupBy("doc_id")
+            .agg(F.floor(F.sum("s_x1e6") / F.count("*")).cast("bigint")
+                 .alias("surprisal_x1e6"))
+            .orderBy("doc_id"))
+
+
+UNIGRAM_SURPRISAL_SQL = """
+WITH ex AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(regexp_replace(trim(lower(text)),
+                '\\s+', ' ', 'g'), ' ')) AS term
+  FROM documents
+), uni AS (
+  SELECT term, count(*) AS c FROM ex GROUP BY 1
+), tot AS (SELECT count(*) AS total FROM ex)
+SELECT e.doc_id,
+       CAST(floor(SUM(CAST(floor(-ln(u.c * 1.0 / t.total) * 1e6) AS BIGINT))
+                  / count(*)) AS BIGINT) AS surprisal_x1e6
+FROM ex e JOIN uni u USING (term) CROSS JOIN tot t
+GROUP BY e.doc_id
+ORDER BY e.doc_id
+"""

@@ -345,3 +345,51 @@ def test_degree_profile_invariants(spark):
         assert r["n_subjects"] <= r["n_triples"]
         # every nation has many customers: inNation in-degree is fan-in
     assert rows["http://example.org/inNation"]["max_in_deg"] > 1
+
+
+def test_funnel_depth_semantics(spark):
+    import tempfile, os
+    from datetime import datetime
+    from pikes_spark.operators import events as ev
+    rows = [
+        # u1 completes the funnel in order
+        (1, datetime(2026, 1, 1, 10, 0), 1, "view"),
+        (2, datetime(2026, 1, 1, 10, 1), 1, "click"),
+        (3, datetime(2026, 1, 1, 10, 2), 1, "purchase"),
+        # u2 purchases BEFORE clicking -> depth 2, not 3
+        (4, datetime(2026, 1, 1, 10, 0), 2, "view"),
+        (5, datetime(2026, 1, 1, 10, 3), 2, "click"),
+        (6, datetime(2026, 1, 1, 10, 1), 2, "purchase"),
+        # u3 clicks at the SAME ts as view -> strict order: depth 1
+        (7, datetime(2026, 1, 1, 10, 0), 3, "view"),
+        (8, datetime(2026, 1, 1, 10, 0), 3, "click"),
+        # u4 never views -> depth 0 even with click+purchase
+        (9, datetime(2026, 1, 1, 10, 0), 4, "click"),
+        (10, datetime(2026, 1, 1, 10, 1), 4, "purchase"),
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string") \
+            .write.parquet(os.path.join(td, "events.parquet"))
+        got = {r["user_id"]: r["funnel_depth"]
+               for r in ev.funnel_depth(spark, td).collect()}
+    assert got == {1: 3, 2: 2, 3: 1, 4: 0}
+
+
+def test_unigram_surprisal_ordering(spark):
+    # a doc of corpus-common tokens must score lower than one of rare
+    # tokens; every score positive
+    from pikes_spark.operators import textstats
+    sf = "/root/testdata/sf0.001"
+    rows = textstats.unigram_surprisal(spark, sf).collect()
+    assert len(rows) == 500
+    assert all(r["surprisal_x1e6"] > 0 for r in rows)
+    scores = {r["doc_id"]: r["surprisal_x1e6"] for r in rows}
+    import duckdb
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    # rank correlation sanity: the doc with the highest mean token
+    # rarity by the oracle formulation is also Spark's max
+    exp = dict(con.sql(textstats.UNIGRAM_SURPRISAL_SQL).fetchall())
+    assert scores == exp
