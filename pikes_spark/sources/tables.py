@@ -174,6 +174,38 @@ class SnapshotTable:
                 "removed_data_dirs": removed_files,
                 "kept": len(to_keep)}
 
+    def rewrite_data_files(self, spark: SparkSession,
+                           target_rows_per_file: int = 4_000_000) -> dict:
+        """Table maintenance (Iceberg rewrite_data_files, bin-pack
+        strategy): incremental appends accumulate one data dir per
+        commit — small-file buildup that taxes every scan's task
+        scheduling. Read the live snapshot, re-bucket into
+        ceil(total / target) files hash-partitioned on the leading
+        sort column (keeps the spo/pos clustering usable for pruning),
+        and commit the result as an OVERWRITE snapshot whose lineage
+        records the compacted parent. Older sequences stay readable
+        (time travel is unaffected); a later expire_snapshots reclaims
+        the small files. Crash-safe by the same atomic manifest
+        rename as any other commit."""
+        import math
+
+        snap = self.latest_snapshot()
+        if snap is None or not snap["data_dirs"]:
+            return {"rewritten": False, "reason": "empty table"}
+        if len(snap["data_dirs"]) == 1:
+            return {"rewritten": False, "reason": "already compact"}
+        df = self.read(spark)
+        n_files = max(1, math.ceil(snap["total_rows"] / target_rows_per_file))
+        df = (df.repartition(n_files, self.sort_cols[0])
+              if self.sort_cols else df.repartition(n_files))
+        manifest = self.overwrite(df, spark, lineage={
+            "rewrite_of": snap["snapshot_id"],
+            "compacted_dirs": len(snap["data_dirs"]),
+            "strategy": "bin-pack",
+        })
+        manifest["rewritten"] = True
+        return manifest
+
     def committed_urls(self, spark: SparkSession) -> Optional[DataFrame]:
         df = self.read(spark)
         if df is None or "url" not in df.columns:

@@ -189,3 +189,33 @@ def test_snapshot_time_travel_and_expiry(spark, tmp_path):
     assert res["expired_manifests"] == 1 and res["removed_data_dirs"] == 1
     assert not os.path.isdir(old_dir)
     assert [r.v for r in o.read(spark).collect()] == [9]
+
+
+def test_rewrite_data_files_compacts_without_changing_rows(spark, tmp_path):
+    """S4 maintenance: bin-pack compaction merges accumulated append
+    dirs into one, preserves contents exactly, keeps time travel to
+    pre-compaction sequences, and expire then reclaims small files."""
+    import os
+
+    from pikes_spark.sources.tables import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "c"), sort_cols=["v"], name="c")
+    for i in range(4):
+        t.append(spark.createDataFrame([(i,), (i + 100,)], "v int"), spark)
+    before = sorted(r.v for r in t.read(spark).collect())
+    assert len(t.latest_snapshot()["data_dirs"]) == 4
+    res = t.rewrite_data_files(spark)
+    assert res["rewritten"] and res["lineage"]["compacted_dirs"] == 4
+    snap = t.latest_snapshot()
+    assert len(snap["data_dirs"]) == 1
+    assert snap["total_rows"] == 8
+    assert sorted(r.v for r in t.read(spark).collect()) == before
+    # pre-compaction sequence still time-travels
+    assert len(t.read(spark, sequence=2).collect()) == 6
+    # second rewrite is a no-op
+    assert t.rewrite_data_files(spark) == {
+        "rewritten": False, "reason": "already compact"}
+    # expire now reclaims the small append dirs
+    res = t.expire_snapshots(keep_last=1)
+    assert res["removed_data_dirs"] == 4
+    assert sorted(r.v for r in t.read(spark).collect()) == before
