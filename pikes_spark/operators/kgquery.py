@@ -133,6 +133,16 @@ _FN1 = {
     "STR": lambda c: c.cast("string"),
     "ABS": F.abs,
     "BOUND": lambda c: c.isNotNull(),
+    "ROUND": F.round,
+    "CEIL": F.ceil,
+    "FLOOR": F.floor,
+    "MD5": lambda c: F.md5(c.cast("string")),
+    "SHA1": lambda c: F.sha1(c.cast("string")),
+    "SHA256": lambda c: F.sha2(c.cast("string"), 256),
+    # url_encode is form-encoding (space -> '+'); SPARQL requires the
+    # RFC 3986 percent form, so rewrite '+' to %20
+    "ENCODE_FOR_URI": lambda c: F.regexp_replace(
+        F.url_encode(c.cast("string")), r"\+", "%20"),
 }
 _FN2 = {
     "STRSTARTS": lambda a, b: a.startswith(b),

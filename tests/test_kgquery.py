@@ -785,3 +785,27 @@ def test_describe_matches_duckdb_oracle(spark):
         con.sql(f"CREATE VIEW {tbl} AS SELECT * FROM '{sf}/{tbl}.parquet'")
     exp = sorted(tuple(r) for r in con.sql(SPARQL_DESCRIBE_SQL).fetchall())
     assert got == exp and len(got) > 10
+
+
+def test_numeric_and_hash_builtins(triples):
+    rows = q(triples, """SELECT ?s ?r ?c ?f WHERE {
+        ?s foaf:name ?n .
+        BIND (STRLEN(?n) / 2 AS ?half)
+        BIND (ROUND(?half) AS ?r) BIND (CEIL(?half) AS ?c)
+        BIND (FLOOR(?half) AS ?f)
+    } ORDER BY ?s""")
+    # Alice: 5/2=2.5 -> round 3 (HALF_UP), ceil 3, floor 2; Bob: 1.5->2,2,1
+    assert rows == [("e:alice", 3.0, 3, 2), ("e:bob", 2.0, 2, 1)]
+    import hashlib
+    rows = q(triples, """SELECT ?n ?h WHERE {
+        ?s foaf:name ?n . BIND (MD5(?n) AS ?h)
+    } ORDER BY ?n""")
+    assert rows == [(n, hashlib.md5(n.encode()).hexdigest())
+                    for n in ("Alice", "Bob")]
+
+
+def test_encode_for_uri(triples):
+    rows = q(triples, """SELECT ?e WHERE {
+        e:x p:val ?v . BIND (ENCODE_FOR_URI(CONCAT(?v, " 1/2&")) AS ?e)
+    }""")
+    assert rows == [("sem%3AEvent%201%2F2%26",)]
