@@ -602,6 +602,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "sim_brute_force_topk": lambda s, d: similarity.brute_force_topk(s, d, 0, 10),
         "sim_ivf_topk": _q_sim_ivf,
+        "sim_label_centroids": similarity.label_centroids,
         # multimodal plumbing
         "mm_media_features": _q_media,
         # relational layer
@@ -710,6 +711,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_stats": _corpus_values_sql(
             "SIMHASH_STATS", ["hamming", "n_pairs", "pair_checksum"],
             order="hamming"),
+        "sim_label_centroids": similarity.LABEL_CENTROIDS_SQL,
         "sim_ivf_topk": _corpus_values_sql(
             "IVF_TOPK", ["vec_id", "cos_x1e6"], order="cos_x1e6 DESC, vec_id"),
         "kg_pagerank": _corpus_values_sql(

@@ -139,3 +139,41 @@ def ivf_topk(spark: SparkSession, sf_dir: str, query_vec_id: int = 0,
             .orderBy(F.desc("cos_x1e6"), F.asc("vec_id"))
             .select("vec_id", "cos_x1e6")
             .limit(k))
+
+
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid (the aggregation step of k-means /
+    IVF training) computed as pure Catalyst: posexplode to
+    (label, dim, value) and mean per cell — no UDF, no collect.
+
+    Each value is floored to x1e7 fixed point BEFORE the sum, so the
+    aggregation is integer and therefore order-independent — float
+    sums would differ in the last ulp between engines (and between
+    partitionings of the same engine) once shuffle order changes.
+    Output (label, dim, centroid_x1e7), one row per cell.
+
+    Scale shape: the exchange carries (label, dim) keyed partial sums
+    — map-side combine reduces each task to labels x dims rows, so at
+    10^9 vectors the shuffle is centroid-sized, not data-sized."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    fixed = F.transform(
+        "embedding",
+        lambda v: F.floor(v.cast("double") * 1e7).cast("bigint"))
+    ex = emb.select("label", F.posexplode(fixed).alias("dim", "v"))
+    return (ex.groupBy("label", "dim")
+            .agg(F.floor(F.sum("v") * 1.0 / F.count("*")).cast("bigint")
+                 .alias("centroid_x1e7"))
+            .orderBy("label", "dim"))
+
+
+LABEL_CENTROIDS_SQL = """
+WITH ex AS (
+  SELECT label, i - 1 AS dim,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e7) AS BIGINT) AS v
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS r(i)
+)
+SELECT label, dim,
+       CAST(floor(SUM(v) * 1.0 / count(*)) AS BIGINT) AS centroid_x1e7
+FROM ex GROUP BY label, dim
+ORDER BY label, dim
+"""

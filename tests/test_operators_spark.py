@@ -292,3 +292,25 @@ def test_repeated_spans_semantics(spark):
                 f"'{td}/documents.parquet/*.parquet'")
         exp = [tuple(r) for r in con.sql(dedup.REPEATED_SPANS_SQL).fetchall()]
         assert got2 == exp
+
+
+def test_label_centroids_partial_agg_and_values(spark):
+    import numpy as np
+    from pikes_spark.operators import similarity
+    sf = "/root/testdata/sf0.001"
+    df = similarity.label_centroids(spark, sf)
+    rows = df.collect()
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").collect()
+    by_label = {}
+    for r in emb:
+        by_label.setdefault(r["label"], []).append(
+            np.floor(np.asarray(r["embedding"], dtype=np.float64) * 1e7))
+    import math
+    for r in rows:
+        vs = by_label[r["label"]]
+        want = math.floor(sum(v[r["dim"]] for v in vs) / len(vs))
+        assert r["centroid_x1e7"] == want
+    # plan: partial aggregation before the exchange, no Python
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial" in plan.lower()
+    assert "EvalPython" not in plan and "PythonUDF" not in plan
