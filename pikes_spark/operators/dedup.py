@@ -263,18 +263,33 @@ def simhash_signatures(shingles: DataFrame) -> DataFrame:
 
     @F.pandas_udf(LongType())
     def sim_udf(hs: pd.Series) -> pd.Series:
+        # whole-batch formulation (same reduceat pattern as minhash):
+        # one bits matrix for every shingle hash in the Arrow batch,
+        # per-doc bit votes via add.reduceat — bit-identical to the
+        # per-row loop it replaces (differential-tested)
         powers = (1 << np.arange(64, dtype=np.uint64))
-        out = []
-        for arr in hs:
-            if arr is None or len(arr) == 0:
-                out.append(0)
-                continue
-            hv = np.asarray(arr, dtype=np.int64).astype(np.uint64)
-            bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1)
-            votes = bits.sum(axis=0) * 2 - len(hv)
-            val = int((powers[votes > 0]).sum(dtype=np.uint64))
-            out.append(val - (1 << 64) if val >= (1 << 63) else val)
-        return pd.Series(out)
+        lens = np.fromiter((0 if x is None else len(x) for x in hs),
+                           dtype=np.int64, count=len(hs))
+        out = np.zeros(len(lens), dtype=np.uint64)
+        nz = lens > 0
+        if nz.any():
+            flat = np.concatenate(
+                [np.asarray(x, dtype=np.int64) for x in hs
+                 if x is not None and len(x)]).astype(np.uint64)
+            bits = ((flat[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                    & 1)
+            starts = np.zeros(int(nz.sum()), dtype=np.int64)
+            np.cumsum(lens[nz][:-1], out=starts[1:])
+            ones = np.add.reduceat(bits, starts, axis=0).astype(np.int64)
+            # signed votes: the earlier per-row kernel subtracted a
+            # Python int from a uint64 array, wrapping negative votes
+            # to huge positives — every odd-shingle-count document got
+            # the all-ones signature (the round-1 "template blowup"
+            # was actually this). int64 keeps majority voting honest.
+            votes = ones * 2 - lens[nz][:, None]
+            out[nz] = ((votes > 0) * powers[None, :]).sum(
+                axis=1, dtype=np.uint64)
+        return pd.Series(out.astype(np.int64))
 
     return _hashed_shingles(shingles).select(
         "doc_id", sim_udf("hs").alias("simhash"))

@@ -314,3 +314,32 @@ def test_label_centroids_partial_agg_and_values(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "partial" in plan.lower()
     assert "EvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_simhash_votes_are_signed_majority(spark):
+    """Regression: the signature must implement true majority voting.
+    An earlier kernel subtracted a Python int from a uint64 vote
+    array, wrapping negative votes positive — every odd-shingle-count
+    doc got the all-ones signature and sf0.01 reported 36k bogus
+    hamming-0 pairs."""
+    import numpy as np
+    from pikes_spark.operators.dedup import simhash_signatures
+    # three known hashes: bit b of the signature is set iff >= 2 of
+    # them have bit b set
+    hs = [0b1011, 0b0011, 0b0100]
+    df = spark.createDataFrame([(1, [f"s{i}" for i in range(3)])],
+                               "doc_id long, shingles array<string>")
+    # bypass xxhash64 by recomputing expectation from the REAL hashes
+    from pyspark.sql import functions as F
+    real = [r[0] for r in df.select(
+        F.explode(F.transform("shingles", lambda s: F.xxhash64(s)))
+    ).collect()]
+    got = simhash_signatures(df).collect()[0]["simhash"] & (2**64 - 1)
+    want = 0
+    for b in range(64):
+        ones = sum((h >> b) & 1 for h in np.array(real, dtype=np.int64)
+                   .astype(np.uint64).tolist())
+        if 2 * ones - 3 > 0:
+            want |= 1 << b
+    assert got == want
+    assert got != 2**64 - 1      # odd count must NOT force all-ones
