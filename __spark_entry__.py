@@ -583,6 +583,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_url_canon": weburl.url_canonicalize,
         "web_domain_stats": weburl.domain_stats,
         "web_corpus_filter": weburl.corpus_filter,
+        "web_url_dedup": weburl.url_dedup_groups,
         # dedup family
         "dedup_exact": dedup.exact_duplicates,
         "txt_decontaminate": dedup.decontaminate,
@@ -771,6 +772,7 @@ def oracle_sql() -> dict[str, str]:
         "web_url_canon": weburl.URL_CANON_SQL,
         "web_domain_stats": weburl.DOMAIN_STATS_SQL,
         "web_corpus_filter": weburl.CORPUS_FILTER_SQL,
+        "web_url_dedup": weburl.url_dedup_sql(),
         "dedup_exact": dedup.EXACT_DUP_SQL,
         "txt_decontaminate": dedup.DECONTAMINATE_SQL,
         "dedup_repeated_spans": dedup.REPEATED_SPANS_SQL,

@@ -275,3 +275,41 @@ CORPUS_FILTER_SQL = f"""
       AS keep
     FROM f ORDER BY doc_id
 """
+
+
+def url_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-level URL dedup: pages whose CANONICAL URLs collide
+    (fragment/tracking-param/port/slash variants of the same resource)
+    grouped under a representative doc_id — the step crawlers run
+    before any content dedup, since it needs no text comparison at
+    all. Output (rep_doc_id, doc_id, canon_url, group_size) for every
+    member of a >1 group.
+
+    Scale shape: identical to exact text dedup — groupBy on the
+    canonical-url hash with map-side combine, then a key join back;
+    nothing content-sized shuffles."""
+    c = url_canonicalize(spark, sf_dir).select("doc_id", "canon_url")
+    g = (c.groupBy("canon_url")
+         .agg(F.min("doc_id").alias("rep_doc_id"),
+              F.count("*").alias("group_size"))
+         .filter(F.col("group_size") > 1))
+    return (c.join(g, "canon_url")
+            .select("rep_doc_id", "doc_id", "canon_url", "group_size")
+            .orderBy("rep_doc_id", "doc_id"))
+
+
+URL_DEDUP_SQL = f"""
+    WITH c AS ({{canon}}),
+    g AS (
+      SELECT canon_url, min(doc_id) AS rep_doc_id, count(*) AS group_size
+      FROM c GROUP BY 1 HAVING count(*) > 1
+    )
+    SELECT g.rep_doc_id, c.doc_id, c.canon_url, g.group_size
+    FROM c JOIN g USING (canon_url)
+    ORDER BY g.rep_doc_id, c.doc_id
+"""
+
+
+def url_dedup_sql() -> str:
+    return URL_DEDUP_SQL.format(
+        canon=URL_CANON_SQL.replace("ORDER BY doc_id", ""))

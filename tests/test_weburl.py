@@ -102,3 +102,20 @@ def test_plan_stays_jvm_side(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "EvalPython" not in plan
         assert "PythonUDF" not in plan
+
+
+def test_url_dedup_groups(spark):
+    got = weburl.url_dedup_groups(spark, SF).collect()
+    assert got, "canonicalization must produce collision groups"
+    for r in got:
+        assert r["group_size"] >= 2
+        assert r["rep_doc_id"] <= r["doc_id"]
+    # parity with the DuckDB formulation
+    exp = sorted(tuple(r) for r in _oracle(weburl.url_dedup_sql()))
+    assert sorted(tuple(r) for r in got) == exp
+    # group members really canonicalize to the same URL
+    import collections
+    by_rep = collections.defaultdict(set)
+    for r in got:
+        by_rep[r["rep_doc_id"]].add(r["canon_url"])
+    assert all(len(v) == 1 for v in by_rep.values())
