@@ -313,6 +313,13 @@ def simhash_pairs(spark: SparkSession, sf_dir: str,
     sigs = simhash_signatures(sh)
     groups = (sigs.groupBy("simhash")
               .agg(F.sort_array(F.collect_list("doc_id")).alias("docs")))
+    # five downstream branches (blocks left/right, group expansion a/b,
+    # same-sig pairs) reference groups; without a checkpoint each one
+    # recomputes the shingle+signature stage from the scan (measured
+    # 5x the signature cost at sf0.1). groups is doc-count-sized —
+    # signature + id list per distinct signature — exactly what a
+    # production run would materialize before pairing.
+    groups = groups.localCheckpoint()
     n_blocks = max_hamming + 1
     width = SIMHASH_BITS // n_blocks
     blocks = groups.select(
