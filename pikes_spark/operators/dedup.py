@@ -89,20 +89,24 @@ ROWS_PER_BAND = N_HASHES // BANDS
 JACCARD_T = 0.8
 
 
-def shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingles:array<string>) — distinct word 3-grams of the
-    normalized text, built with Catalyst transform (no UDF).
-
-    The scan is re-split to the session's core count when the source
-    has fewer parquet splits than cores: a 100 TB corpus arrives in
-    thousands of files so this branch is a no-op there, but a small
-    single-file input would otherwise run every downstream shingle /
-    signature map on ONE task (measured: the whole minhash stage
-    serialized on one core at sf0.1 — 10.1 s vs 1.2 s re-split)."""
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents scan re-split to the session's core count when the
+    source has fewer parquet splits than cores: a 100 TB corpus
+    arrives in thousands of files so the branch is a no-op there, but
+    a small single-file input would otherwise run every downstream
+    token/gram/signature map on ONE task (measured: the whole minhash
+    stage serialized on one core at sf0.1 — 10.1 s vs 1.2 s re-split)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     par = spark.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < par:
         docs = docs.repartition(par)
+    return docs
+
+
+def shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingles:array<string>) — distinct word 3-grams of the
+    normalized text, built with Catalyst transform (no UDF)."""
+    docs = _documents(spark, sf_dir)
     toks = F.split(F.regexp_replace(F.trim(F.lower("text")), r"\s+", " "), " ")
     n = F.size(toks)
     grams = F.when(n >= NGRAM, F.array_distinct(F.transform(
@@ -540,7 +544,7 @@ def decontaminate(spark: SparkSession, sf_dir: str,
     known-small benchmark, wrap the right side in F.broadcast(). The
     per-doc aggregation shuffles only (doc_id, matched-gram) pairs,
     which contamination sparsity keeps near-empty."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _documents(spark, sf_dir)
     h8 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
     toks = F.split(F.regexp_replace(F.trim(F.lower("text")), r"\s+", " "), " ")
     sz = F.size(toks)
@@ -627,10 +631,7 @@ def repeated_spans(spark: SparkSession, sf_dir: str,
     sorting of every suffix; at n-token granularity this stays three
     shuffles of bounded-width rows."""
     from pyspark.sql import Window
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    par = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(par)
+    docs = _documents(spark, sf_dir)
     toks = F.split(F.regexp_replace(F.trim(F.lower("text")), r"\s+", " "), " ")
     sz = F.size(toks)
     grams = F.when(sz >= n, F.transform(
