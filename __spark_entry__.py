@@ -20,7 +20,7 @@ from pikes_spark.sources.pages import pages_from_documents, PAGES_ORACLE_CTE
 from pikes_spark.operators.annotate import (
     annotate_pages, distill_annotations, extract_pages_text, pages_to_triples)
 from pikes_spark.operators import (
-    textstats, dedup, similarity, events, kgquery, graph, skew, weburl)
+    textstats, dedup, similarity, events, kgquery, graph, skew, weburl, cdc)
 from pikes_spark.operators.linking import candidates_df, link_entities
 from pikes_spark.operators.canonicalize import canonicalize_triples
 
@@ -578,6 +578,14 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triangles": graph.triangles_top,
         "kg_pagerank": graph.pagerank_top20,
         "kg_degree_profile": graph.degree_profile_rel,
+        # common-neighbors link prediction (hub-capped inverted-index
+        # pair generation; the cap is part of the contract)
+        "kg_common_neighbors": graph.common_neighbors_rel,
+        # table maintenance: MERGE INTO + snapshot-diff CDC on the
+        # committed snapshot tables (real commit/time-travel machinery;
+        # oracle states the expected relational result)
+        "kg_merge_upsert": cdc.merge_upsert_customers,
+        "kg_snapshot_diff": cdc.snapshot_diff_customers,
         # web-URL hygiene family (Common-Crawl-style ingest)
         "web_url_parse": weburl.url_parse,
         "web_url_canon": weburl.url_canonicalize,
@@ -604,6 +612,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_brute_force_topk": lambda s, d: similarity.brute_force_topk(s, d, 0, 10),
         "sim_ivf_topk": _q_sim_ivf,
         "sim_label_centroids": similarity.label_centroids,
+        # exact all-docs k-NN graph via block-grid GEMM with
+        # cell-local top-k pruning (SemDeDup/clustering primitive)
+        "sim_knn_graph": similarity.knn_graph,
         # multimodal plumbing
         "mm_media_features": _q_media,
         # relational layer
@@ -713,6 +724,7 @@ def oracle_sql() -> dict[str, str]:
             "SIMHASH_STATS", ["hamming", "n_pairs", "pair_checksum"],
             order="hamming"),
         "sim_label_centroids": similarity.LABEL_CENTROIDS_SQL,
+        "sim_knn_graph": similarity.KNN_GRAPH_SQL,
         "sim_ivf_topk": _corpus_values_sql(
             "IVF_TOPK", ["vec_id", "cos_x1e6"], order="cos_x1e6 DESC, vec_id"),
         "kg_pagerank": _corpus_values_sql(
@@ -768,6 +780,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_bfs_reach": graph.BFS_REACH_SQL,
         "kg_triangles": graph.TRIANGLES_SQL,
         "kg_degree_profile": graph._degree_profile_sql(),
+        "kg_common_neighbors": graph.COMMON_NEIGHBORS_SQL,
+        "kg_merge_upsert": cdc.MERGE_UPSERT_SQL,
+        "kg_snapshot_diff": cdc.SNAPSHOT_DIFF_SQL,
         "web_url_parse": weburl.URL_PARSE_SQL,
         "web_url_canon": weburl.URL_CANON_SQL,
         "web_domain_stats": weburl.DOMAIN_STATS_SQL,

@@ -1,0 +1,148 @@
+"""MERGE upsert + snapshot-diff CDC over the snapshot tables.
+
+The reference materializes its graph into committed snapshot tables
+and resumes from the last commit (FolderOrchestrator.java:166-176,
+RDFGenerator.java:372-393); a production KG additionally needs the two
+table-maintenance verbs this module adds on the same machinery:
+
+- ``SnapshotTable.merge`` (sources/tables.py): Iceberg `MERGE INTO`
+  semantics — matched rows replaced, unmatched inserted, one atomic
+  overwrite commit, lineage carrying matched/inserted counts;
+- ``snapshot_diff``: change-data capture between two committed
+  snapshots (the incremental-consumer view: which keys appeared,
+  disappeared, or changed between commit A and commit B).
+
+Driver queries run the real machinery end-to-end on the ``customer`` /
+``orders`` tables (a read-modify-write balance rollup), so the DuckDB
+oracle can state the expected result as plain relational SQL while the
+Spark side exercises commit, time travel, merge, and diff.
+
+Scale shape: the diff is one full-outer join keyed on the merge keys —
+the same key the table sorts by, so an Iceberg backend prunes it to
+per-partition zone ranges; fixed-point integer balances (floor x100)
+keep the values bit-identical cross-engine.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from typing import List
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources.tables import SnapshotTable
+
+
+def snapshot_diff(tbl: SnapshotTable, spark: SparkSession,
+                  seq_a: int, seq_b: int, keys: List[str]) -> DataFrame:
+    """CDC between committed snapshots: one row per key whose row set
+    changed from snapshot ``seq_a`` to ``seq_b``, labeled
+    insert / delete / update, with before/after images."""
+    a = tbl.read(spark, sequence=seq_a)
+    b = tbl.read(spark, sequence=seq_b)
+    val_cols = [c for c in a.columns if c not in keys]
+    av = a.select(*keys, *[F.col(c).alias(f"_a_{c}") for c in val_cols],
+                  F.lit(1).alias("_in_a"))
+    bv = b.select(*keys, *[F.col(c).alias(f"_b_{c}") for c in val_cols],
+                  F.lit(1).alias("_in_b"))
+    j = av.join(bv, keys, "full_outer")
+    changed = F.lit(False)
+    for c in val_cols:
+        changed = changed | ~F.col(f"_a_{c}").eqNullSafe(F.col(f"_b_{c}"))
+    change = (F.when(F.col("_in_a").isNull(), F.lit("insert"))
+              .when(F.col("_in_b").isNull(), F.lit("delete"))
+              .otherwise(F.lit("update")))
+    return (j.filter(F.col("_in_a").isNull() | F.col("_in_b").isNull()
+                     | changed)
+            .select(*keys, change.alias("change"),
+                    *[F.col(f"_a_{c}").alias(f"{c}_before") for c in val_cols],
+                    *[F.col(f"_b_{c}").alias(f"{c}_after") for c in val_cols]))
+
+
+# ---------------------------------------------------------------------------
+# Driver queries: customer-balance rollup over the real table machinery
+# ---------------------------------------------------------------------------
+
+def _cents(col):
+    # floor, not round: IEEE multiply + floor is bit-identical across
+    # engines; double round() ties differ (HALF_UP vs HALF_EVEN).
+    return F.floor(col.cast("double") * 100).cast("bigint")
+
+
+def _build_customer_table(spark: SparkSession, sf_dir: str) -> SnapshotTable:
+    """Snapshot 1: balances (cents) for even-custkey customers.
+    Snapshot 2: MERGE of per-customer order totals — existing keys get
+    balance += delta, odd-custkey customers with orders insert."""
+    root = tempfile.mkdtemp(prefix="pikes_cdc_q_")
+    tbl = SnapshotTable(root, sort_cols=["c_custkey"], name="cust_bal")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    base = (cust.filter(F.col("c_custkey") % 2 == 0)
+            .select(F.col("c_custkey").cast("bigint").alias("c_custkey"),
+                    _cents(F.col("c_acctbal")).alias("bal_c")))
+    tbl.append(base, spark, lineage={"op": "base"})
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    deltas = (orders.groupBy(F.col("o_custkey").cast("bigint")
+                             .alias("c_custkey"))
+              .agg(F.sum(_cents(F.col("o_totalprice"))).alias("delta")))
+    cur = tbl.read(spark)
+    updates = (deltas.join(cur, "c_custkey", "left")
+               .select("c_custkey",
+                       (F.coalesce(F.col("bal_c"), F.lit(0))
+                        + F.col("delta")).alias("bal_c")))
+    tbl.merge(updates, ["c_custkey"], spark)
+    return tbl
+
+
+def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl = _build_customer_table(spark, sf_dir)
+    return tbl.read(spark).orderBy("c_custkey")
+
+
+def snapshot_diff_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl = _build_customer_table(spark, sf_dir)
+    out = snapshot_diff(tbl, spark, 0, 1, ["c_custkey"])
+    return (out.select("c_custkey", "change",
+                       F.coalesce("bal_c_before", F.lit(-1))
+                       .alias("bal_before"),
+                       F.coalesce("bal_c_after", F.lit(-1))
+                       .alias("bal_after"))
+            .orderBy("c_custkey"))
+
+
+_CDC_CTES = """
+base AS (
+  SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+         CAST(floor(CAST(c_acctbal AS DOUBLE) * 100) AS BIGINT) AS bal_c
+  FROM customer WHERE c_custkey % 2 = 0
+),
+upd AS (
+  SELECT CAST(o_custkey AS BIGINT) AS c_custkey,
+         SUM(CAST(floor(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT))
+           AS delta
+  FROM orders GROUP BY 1
+),
+merged AS (
+  SELECT COALESCE(b.c_custkey, u.c_custkey) AS c_custkey,
+         COALESCE(b.bal_c, 0) + COALESCE(u.delta, 0) AS bal_c
+  FROM base b FULL OUTER JOIN upd u ON b.c_custkey = u.c_custkey
+)
+"""
+
+MERGE_UPSERT_SQL = f"""
+WITH {_CDC_CTES}
+SELECT c_custkey, bal_c FROM merged ORDER BY c_custkey
+"""
+
+SNAPSHOT_DIFF_SQL = f"""
+WITH {_CDC_CTES}
+SELECT COALESCE(m.c_custkey, b.c_custkey) AS c_custkey,
+       CASE WHEN b.c_custkey IS NULL THEN 'insert'
+            WHEN m.c_custkey IS NULL THEN 'delete'
+            ELSE 'update' END AS change,
+       COALESCE(b.bal_c, -1) AS bal_before,
+       COALESCE(m.bal_c, -1) AS bal_after
+FROM base b FULL OUTER JOIN merged m ON b.c_custkey = m.c_custkey
+WHERE b.c_custkey IS NULL OR m.c_custkey IS NULL OR b.bal_c <> m.bal_c
+ORDER BY c_custkey
+"""

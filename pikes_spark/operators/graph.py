@@ -297,3 +297,77 @@ ORDER BY predicate
 def _degree_profile_sql() -> str:
     from pikes_spark.operators.kgquery import REL_TRIPLES_SQL
     return DEGREE_PROFILE_SQL_TEMPLATE.format(rel_triples=REL_TRIPLES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Common-neighbors link prediction
+# ---------------------------------------------------------------------------
+
+_CN_HUB_CAP = 40
+_CN_MIN_COMMON = 7
+
+
+def common_neighbors(edges: DataFrame, src: str = "src", dst: str = "dst",
+                     hub_cap: int = _CN_HUB_CAP,
+                     min_common: int = _CN_MIN_COMMON) -> DataFrame:
+    """Link prediction over a bipartite graph: node pairs ranked by the
+    number of shared neighbors (the classic common-neighbors score used
+    to propose missing KG edges / sameAs candidates before an expensive
+    verifier runs).
+
+    Scale shape (the well-known inverted-index pair generation):
+      - the self-join keyed on the shared neighbor emits ~d^2/2 pairs
+        per neighbor, so HUBS dominate: a neighbor of degree d at a
+        10^12-edge graph would explode the join. The hub cap prunes
+        neighbors with degree > hub_cap BEFORE the self-join (standard
+        practice — a neighbor shared by everyone carries no linking
+        signal, exactly the anchor-text/stopword argument);
+      - pruning is a broadcastable semi-join (degree table is
+        distinct-neighbor-sized after a partial agg);
+      - the pair count aggregation is map-side combinable.
+    The cap is part of the operator's CONTRACT (documented, mirrored in
+    the oracle), not a silent truncation."""
+    e = edges.select(F.col(src).alias("c"), F.col(dst).alias("p")).distinct()
+    small = (e.groupBy("p").count()
+             .filter(F.col("count") <= hub_cap).select("p"))
+    pruned = e.join(F.broadcast(small), "p")
+    a = pruned.select(F.col("c").alias("ca"), "p")
+    b = pruned.select(F.col("c").alias("cb"), "p")
+    return (a.join(b, "p")
+            .filter(F.col("ca") < F.col("cb"))
+            .groupBy("ca", "cb").agg(F.count("*").alias("common"))
+            .filter(F.col("common") >= min_common)
+            .orderBy(F.desc("common"), "ca", "cb"))
+
+
+def common_neighbors_rel(spark, sf_dir: str) -> DataFrame:
+    """Driver query: customer pairs that bought >= min_common of the
+    same parts (orders x lineitem bipartite graph)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = (l.join(o, l.l_orderkey == o.o_orderkey)
+             .select(F.col("o_custkey").alias("src"),
+                     F.col("l_partkey").alias("dst")))
+    out = common_neighbors(edges)
+    return out.select(F.col("ca").cast("bigint").alias("ca"),
+                      F.col("cb").cast("bigint").alias("cb"),
+                      F.col("common").cast("bigint").alias("common"))
+
+
+COMMON_NEIGHBORS_SQL = f"""
+WITH cp AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+deg AS (SELECT p, COUNT(*) AS d FROM cp GROUP BY p),
+pairs AS (
+  SELECT a.c AS ca, b.c AS cb, COUNT(*) AS common
+  FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
+  JOIN deg ON deg.p = a.p AND deg.d <= {_CN_HUB_CAP}
+  GROUP BY a.c, b.c
+)
+SELECT CAST(ca AS BIGINT) AS ca, CAST(cb AS BIGINT) AS cb,
+       CAST(common AS BIGINT) AS common
+FROM pairs WHERE common >= {_CN_MIN_COMMON}
+ORDER BY common DESC, ca, cb
+"""

@@ -177,3 +177,115 @@ SELECT label, dim,
 FROM ex GROUP BY label, dim
 ORDER BY label, dim
 """
+
+
+# ---------------------------------------------------------------------------
+# All-pairs k-NN graph (semantic-dedup / clustering primitive)
+# ---------------------------------------------------------------------------
+
+_KNN_K = 5
+
+
+def knn_graph(spark: SparkSession, sf_dir: str, k: int = _KNN_K,
+              n_blocks: int = 8) -> DataFrame:
+    """Exact cosine k-NN graph over EVERY embedding (the SemDeDup /
+    clustering primitive: each doc's k nearest neighbors), via the
+    same B x B block-grid GEMM as ``dedup.embedding_neardup_pairs`` —
+    never a row-level crossJoin.
+
+    Scale shape:
+      - the only cross product is over B x B block-METADATA rows; each
+        grid cell runs one vectorized numpy product for its chunk pair;
+      - each cell emits only its CELL-LOCAL top-k per source row
+        (selected under the same (cos desc, dst asc) total order the
+        final ranking uses, so the prune is exact even across ties):
+        the shuffle carries <= B*k rows per source, not n;
+      - the global per-src rank is a window over those <= B*k rows.
+    Fixed-point cos (floor x1e6) with the DuckDB sequential-fold
+    accumulation order, so ranks are bit-stable cross-engine."""
+    import pandas as pd
+    from typing import Iterator, List
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    blocks = (emb.select((F.col("vec_id") % n_blocks).alias("block"),
+                         F.struct(F.col("vec_id"), v.alias("v")).alias("row"))
+              .groupBy("block")
+              .agg(F.collect_list("row").alias("rows")))
+    left = blocks.select(F.col("block").alias("ba"), F.col("rows").alias("ra"))
+    right = blocks.select(F.col("block").alias("bb"), F.col("rows").alias("rb"))
+    grid = left.join(right, F.col("ba") <= F.col("bb"))
+
+    def cell_topk(ids_s: np.ndarray, ids_d: np.ndarray,
+                  fp: np.ndarray, out: List) -> None:
+        # per-source top-k of this cell under (cos desc, dst asc)
+        for i in range(fp.shape[0]):
+            row = fp[i]
+            mask = ids_d != ids_s[i]
+            cand_fp, cand_d = row[mask], ids_d[mask]
+            if len(cand_fp) > k:
+                order = np.lexsort((cand_d, -cand_fp))[:k]
+            else:
+                order = np.arange(len(cand_fp))
+            out.append((np.full(len(order), ids_s[i]),
+                        cand_d[order], cand_fp[order]))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parts: List = []
+            for row in pdf.itertuples(index=False):
+                ids_a = np.array([r["vec_id"] for r in row.ra])
+                va = np.array([r["v"] for r in row.ra], dtype=np.float64)
+                ids_b = np.array([r["vec_id"] for r in row.rb])
+                vb = np.array([r["v"] for r in row.rb], dtype=np.float64)
+                dim = va.shape[1]
+                # DuckDB list_cosine_similarity fold order (see
+                # embedding_neardup_pairs)
+                dots = np.zeros((len(va), len(vb)))
+                for d in range(dim):
+                    dots += np.outer(va[:, d], vb[:, d])
+                na = np.zeros(len(va))
+                nb = np.zeros(len(vb))
+                for d in range(dim):
+                    na += va[:, d] * va[:, d]
+                    nb += vb[:, d] * vb[:, d]
+                cos = dots / np.sqrt(np.outer(na, nb))
+                fp = np.floor(cos * 1e6).astype(np.int64)
+                cell_topk(ids_a, ids_b, fp, parts)
+                if row.ba != row.bb:
+                    cell_topk(ids_b, ids_a, fp.T, parts)
+            if parts:
+                yield pd.DataFrame({
+                    "src": np.concatenate([p[0] for p in parts]),
+                    "dst": np.concatenate([p[1] for p in parts]),
+                    "cos_x1e6": np.concatenate([p[2] for p in parts]),
+                }).astype("int64")
+
+    cand = grid.mapInPandas(gen, "src long, dst long, cos_x1e6 long")
+    w = Window.partitionBy("src").orderBy(F.desc("cos_x1e6"), F.asc("dst"))
+    return (cand.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("src", "dst", "cos_x1e6",
+                    F.col("rk").cast("bigint").alias("rk"))
+            .orderBy("src", "rk"))
+
+
+KNN_GRAPH_SQL = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+s AS (
+  SELECT x.vec_id AS src, y.vec_id AS dst,
+         CAST(floor(list_cosine_similarity(x.v, y.v) * 1000000) AS BIGINT)
+           AS cos_x1e6
+  FROM e x JOIN e y ON x.vec_id <> y.vec_id
+),
+r AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY src ORDER BY cos_x1e6 DESC, dst) AS rk
+  FROM s
+)
+SELECT src, dst, cos_x1e6, CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= {_KNN_K}
+ORDER BY src, rk
+"""
