@@ -574,6 +574,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_stratified_sample": textstats.stratified_sample,
         "txt_unigram_surprisal": textstats.unigram_surprisal,
         "txt_repetition": textstats.repetition_stats,
+        # feature-hashed linear classifier serving path (fastText-style)
+        "txt_hash_classifier": textstats.hash_classifier,
         "kg_bfs_reach": graph.bfs_reach,
         "kg_triangles": graph.triangles_top,
         "kg_pagerank": graph.pagerank_top20,
@@ -586,6 +588,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle states the expected relational result)
         "kg_merge_upsert": cdc.merge_upsert_customers,
         "kg_snapshot_diff": cdc.snapshot_diff_customers,
+        # RDF property-table materialization (star BGP -> one scan)
+        "kg_entity_pivot": kgquery.entity_property_table,
         # web-URL hygiene family (Common-Crawl-style ingest)
         "web_url_parse": weburl.url_parse,
         "web_url_canon": weburl.url_canonicalize,
@@ -630,6 +634,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # event-time RANGE-frame sliding count (burst detection)
         "evt_funnel_depth": events.funnel_depth,
         "evt_sliding_count": events.sliding_window_count,
+        "evt_retention_cohorts": events.retention_cohorts,
         # custom STATEFUL streaming operator (applyInPandasWithState):
         # driven end-to-end through Structured Streaming, flushed via a
         # watermark sentinel, and value-checked against the same SQL
@@ -777,6 +782,9 @@ def oracle_sql() -> dict[str, str]:
         "txt_stratified_sample": textstats.STRATIFIED_SAMPLE_SQL,
         "txt_unigram_surprisal": textstats.UNIGRAM_SURPRISAL_SQL,
         "txt_repetition": textstats.REPETITION_SQL,
+        "txt_hash_classifier": textstats.HASH_CLASSIFIER_SQL,
+        "evt_retention_cohorts": events.RETENTION_SQL,
+        "kg_entity_pivot": kgquery.entity_property_table_sql(),
         "kg_bfs_reach": graph.BFS_REACH_SQL,
         "kg_triangles": graph.TRIANGLES_SQL,
         "kg_degree_profile": graph._degree_profile_sql(),

@@ -48,6 +48,8 @@ def _run_queries(spark, sf_dir: str) -> dict:
         # retrieval, span dedup
         "web_corpus_filter", "txt_decontaminate", "txt_bm25_topk",
         "dedup_repeated_spans", "kg_sparql_describe",
+        # r4 session-4 additions: k-NN graph, link prediction, CDC
+        "sim_knn_graph", "kg_common_neighbors", "kg_snapshot_diff",
     ]
     for name in bench_queries:
         t0 = time.time()

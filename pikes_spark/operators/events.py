@@ -227,3 +227,51 @@ LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
 LEFT JOIN p USING (user_id)
 ORDER BY u.user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Weekly retention cohorts
+# ---------------------------------------------------------------------------
+
+def retention_cohorts(spark, sf_dir: str):
+    """Classic cohort-retention matrix: users grouped by first-activity
+    week (cohort), counted per week-offset of later activity.
+
+    Weeks are epoch-day // 7 (timezone-free integer arithmetic — the
+    same value in any engine; calendar WEEK() functions differ on
+    week-start conventions between engines).
+
+    Scale shape: everything is keyed by user_id until the final tiny
+    (cohort, offset) aggregate — the distinct (user, week) pre-agg and
+    the per-user min-week agg share one exchange key, and the join
+    between them is user-keyed (AQE broadcastable since the cohort
+    side is one row per user)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    week = F.floor(F.datediff(F.to_date("ts"), F.lit("1970-01-01")) / 7)
+    uw = ev.select("user_id", week.alias("week")).distinct()
+    cohort = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (uw.join(cohort, "user_id")
+            .withColumn("week_offset", F.col("week") - F.col("cohort_week"))
+            .groupBy("cohort_week", "week_offset")
+            .agg(F.countDistinct("user_id").alias("n_users"))
+            .select(F.col("cohort_week").cast("bigint").alias("cohort_week"),
+                    F.col("week_offset").cast("bigint").alias("week_offset"),
+                    F.col("n_users").cast("bigint").alias("n_users"))
+            .orderBy("cohort_week", "week_offset"))
+
+
+RETENTION_SQL = """
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS week
+  FROM events
+),
+cohort AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY user_id
+)
+SELECT CAST(c.cohort_week AS BIGINT) AS cohort_week,
+       CAST(uw.week - c.cohort_week AS BIGINT) AS week_offset,
+       CAST(COUNT(DISTINCT uw.user_id) AS BIGINT) AS n_users
+FROM uw JOIN cohort c USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""

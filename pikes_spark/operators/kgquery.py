@@ -1855,3 +1855,44 @@ SPARQL_DESCRIBE_SQL = f"""
     SELECT DISTINCT * FROM d
     ORDER BY subject, predicate, object, object_is_literal
 """
+
+
+# ---------------------------------------------------------------------------
+# Property-table materialization (triples -> wide entity table)
+# ---------------------------------------------------------------------------
+
+def entity_property_table(spark, sf_dir: str) -> DataFrame:
+    """Materialize the classic RDF *property table* layout (Jena /
+    Sempala / S2RDF): one wide row per subject, one column per chosen
+    single-valued predicate — the layout that turns star-shaped SPARQL
+    BGPs into a single scan instead of k self-joins.
+
+    Scale shape: ONE map-side-combined groupBy(subject) with
+    conditional-aggregation columns — no join at all; contrast with
+    the k-way self-join the triple layout needs for the same star.
+    Multi-valued predicates keep MAX semantics here (documented);
+    production would emit list columns for those."""
+    t = rel_triples(spark, sf_dir)
+    cust = t.filter(F.col("subject").startswith("cust:"))
+
+    def first_of(pred):
+        return F.max(F.when(F.col("predicate") == _EX + pred,
+                            F.col("object")))
+
+    return (cust.groupBy("subject")
+            .agg(first_of("inNation").alias("in_nation"),
+                 first_of("segment").alias("segment"),
+                 first_of("partOf").alias("part_of"))
+            .orderBy("subject"))
+
+
+def entity_property_table_sql() -> str:
+    return f"""
+WITH triples AS ({REL_TRIPLES_SQL})
+SELECT subject,
+       MAX(CASE WHEN predicate = '{_EX}inNation' THEN object END) AS in_nation,
+       MAX(CASE WHEN predicate = '{_EX}segment'  THEN object END) AS segment,
+       MAX(CASE WHEN predicate = '{_EX}partOf'   THEN object END) AS part_of
+FROM triples WHERE subject LIKE 'cust:%'
+GROUP BY subject ORDER BY subject
+"""

@@ -675,3 +675,68 @@ FROM ex e JOIN uni u USING (term) CROSS JOIN tot t
 GROUP BY e.doc_id
 ORDER BY e.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Feature-hashed linear quality classifier (fastText-style serving path)
+# ---------------------------------------------------------------------------
+
+_HC_DIM = 128          # hashed feature buckets
+_HC_MIX = 2654435761   # Knuth multiplicative constant -> frozen weights
+
+
+def hash_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving path of a feature-hashed linear text classifier (the
+    fastText / Vowpal-Wabbit trick used for CCNet-style quality and
+    language filters at corpus scale): token -> hash bucket ->
+    broadcast weight -> per-doc score.
+
+    The weight VECTOR here is frozen deterministically from the bucket
+    index ((b * Knuth) % 1001 - 500, integers in [-500, 500]) — the
+    serving plan is identical whatever training produced the weights,
+    and integer weights make the score an exact cross-engine value
+    (no float dot product to drift in the last ulp).
+
+    Scale shape: explode -> per-token polynomial hash (JVM-side
+    aggregate over the char array, same rolling hash as
+    ``fingerprints``) -> map-side-combined groupBy(doc_id) SUM. One
+    doc-keyed exchange carrying one partial sum per task — the weight
+    "table" is an expression, so nothing is broadcast at all."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = (docs.select("doc_id", F.explode(_tokens(F.col("text")))
+                        .alias("tok"))
+            .filter(F.length("tok") > 0))
+    polyhash = F.aggregate(
+        F.split(F.col("tok"), ""),
+        F.lit(0).cast("bigint"),
+        lambda acc, ch: (acc * FP_BASE + F.ascii(ch)) % FP_MOD)
+    bucket = polyhash % _HC_DIM
+    weight = (bucket * _HC_MIX) % 1001 - 500
+    scored = (toks.select("doc_id", weight.alias("w"))
+              .groupBy("doc_id")
+              .agg(F.sum("w").alias("score")))
+    return (scored.select(
+        "doc_id", F.col("score").cast("bigint").alias("score"),
+        F.when(F.col("score") > 0, F.lit("keep")).otherwise(F.lit("drop"))
+        .alias("verdict"))
+        .orderBy("doc_id"))
+
+
+HASH_CLASSIFIER_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, t.tok
+  FROM documents,
+       unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t(tok)
+  WHERE length(t.tok) > 0
+), h AS (
+  SELECT doc_id,
+         (list_reduce(list_prepend(CAST(0 AS BIGINT),
+            [CAST(ascii(c) AS BIGINT) for c in regexp_split_to_array(tok, '')]),
+            (acc, ch) -> (acc * {FP_BASE} + ch) % {FP_MOD})
+          % {_HC_DIM}) * {_HC_MIX} % 1001 - 500 AS w
+  FROM toks
+)
+SELECT doc_id, CAST(SUM(w) AS BIGINT) AS score,
+       CASE WHEN SUM(w) > 0 THEN 'keep' ELSE 'drop' END AS verdict
+FROM h GROUP BY doc_id ORDER BY doc_id
+"""
