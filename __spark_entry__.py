@@ -20,7 +20,8 @@ from pikes_spark.sources.pages import pages_from_documents, PAGES_ORACLE_CTE
 from pikes_spark.operators.annotate import (
     annotate_pages, distill_annotations, extract_pages_text, pages_to_triples)
 from pikes_spark.operators import (
-    textstats, dedup, similarity, events, kgquery, graph, skew, weburl, cdc)
+    textstats, dedup, similarity, events, kgquery, graph, skew, weburl, cdc,
+    sketches)
 from pikes_spark.operators.linking import candidates_df, link_entities
 from pikes_spark.operators.canonicalize import canonicalize_triples
 
@@ -576,6 +577,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_repetition": textstats.repetition_stats,
         # feature-hashed linear classifier serving path (fastText-style)
         "txt_hash_classifier": textstats.hash_classifier,
+        # deterministic integer-exact sketches (sketch-sized exchanges)
+        "txt_count_min": sketches.count_min_estimates,
+        "txt_hll_distinct": sketches.hll_distinct_tokens,
         "kg_bfs_reach": graph.bfs_reach,
         "kg_triangles": graph.triangles_top,
         "kg_pagerank": graph.pagerank_top20,
@@ -783,6 +787,8 @@ def oracle_sql() -> dict[str, str]:
         "txt_unigram_surprisal": textstats.UNIGRAM_SURPRISAL_SQL,
         "txt_repetition": textstats.REPETITION_SQL,
         "txt_hash_classifier": textstats.HASH_CLASSIFIER_SQL,
+        "txt_count_min": sketches.count_min_sql(),
+        "txt_hll_distinct": sketches.hll_sql(),
         "evt_retention_cohorts": events.RETENTION_SQL,
         "kg_entity_pivot": kgquery.entity_property_table_sql(),
         "kg_bfs_reach": graph.BFS_REACH_SQL,
