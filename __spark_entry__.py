@@ -21,7 +21,7 @@ from pikes_spark.operators.annotate import (
     annotate_pages, distill_annotations, extract_pages_text, pages_to_triples)
 from pikes_spark.operators import (
     textstats, dedup, similarity, events, kgquery, graph, skew, weburl, cdc,
-    sketches)
+    sketches, weblinks)
 from pikes_spark.operators.linking import candidates_df, link_entities
 from pikes_spark.operators.canonicalize import canonicalize_triples
 
@@ -600,6 +600,13 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_domain_stats": weburl.domain_stats,
         "web_corpus_filter": weburl.corpus_filter,
         "web_url_dedup": weburl.url_dedup_groups,
+        # hyperlink extraction -> link graph -> anchor-text EL priors
+        # (regex extraction checked against an INDEPENDENT arithmetic
+        # derivation on the oracle side; host PageRank value-frozen)
+        "web_page_links": weblinks.page_links,
+        "web_host_graph": weblinks.host_graph_rel,
+        "web_anchor_priors": weblinks.anchor_priors_rel,
+        "web_host_pagerank": weblinks.host_pagerank,
         # dedup family
         "dedup_exact": dedup.exact_duplicates,
         "txt_decontaminate": dedup.decontaminate,
@@ -802,6 +809,11 @@ def oracle_sql() -> dict[str, str]:
         "web_domain_stats": weburl.DOMAIN_STATS_SQL,
         "web_corpus_filter": weburl.CORPUS_FILTER_SQL,
         "web_url_dedup": weburl.url_dedup_sql(),
+        "web_page_links": weblinks.PAGE_LINKS_SQL,
+        "web_host_graph": weblinks.HOST_GRAPH_SQL,
+        "web_anchor_priors": weblinks.ANCHOR_PRIORS_SQL,
+        "web_host_pagerank": _corpus_values_sql(
+            "HOST_PAGERANK", ["host", "rank"], order="rank DESC, host"),
         "dedup_exact": dedup.EXACT_DUP_SQL,
         "txt_decontaminate": dedup.DECONTAMINATE_SQL,
         "dedup_repeated_spans": dedup.REPEATED_SPANS_SQL,

@@ -50,6 +50,10 @@ def _run_queries(spark, sf_dir: str) -> dict:
         "dedup_repeated_spans", "kg_sparql_describe",
         # r4 session-4 additions: k-NN graph, link prediction, CDC
         "sim_knn_graph", "kg_common_neighbors", "kg_snapshot_diff",
+        # r4 session-5 additions: hyperlink extraction -> host graph
+        # -> anchor EL priors -> host PageRank
+        "web_page_links", "web_host_graph", "web_anchor_priors",
+        "web_host_pagerank",
     ]
     for name in bench_queries:
         t0 = time.time()

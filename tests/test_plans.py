@@ -193,3 +193,17 @@ def test_repetition_no_python_partial_agg_pruned_scan(spark):
     plan = explain_formatted(out)
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     assert m and "lang" not in m.group(1) and "source" not in m.group(1), plan
+
+
+def test_weblinks_extraction_map_only_and_rollups_jvm_side(spark):
+    """Link extraction is map-only work fused into the scan (no
+    exchange touches page html); the host-graph/prior rollups are
+    pure Catalyst with partial aggregation."""
+    from pikes_spark.operators import weblinks
+    plan = explain_formatted(weblinks.page_links(spark, SF))
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert_no_python_eval(weblinks.page_links(spark, SF))
+    g = weblinks.host_graph_rel(spark, SF)
+    assert_no_python_eval(g)
+    assert_partial_aggregation(g)
+    assert_no_python_eval(weblinks.anchor_priors_rel(spark, SF))
