@@ -49,6 +49,11 @@ def _q_pages(spark, sf_dir):
             .orderBy("url"))
 
 
+def _q_warc_read(spark, sf_dir):
+    from pikes_spark.sources.warc import warc_read_pages
+    return warc_read_pages(spark, sf_dir).orderBy("url")
+
+
 def _q_extract(spark, sf_dir):
     """N1: byte-identical text extraction from html (the input_hint
     per-row invariant, checked VALUE-wise against the documents text)."""
@@ -527,6 +532,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG pipeline (SURVEY.md §2.1-2.4)
         "kg_pages_table": _q_pages,
+        # WARC container round trip (sources/warc): build + parse
+        "warc_read_pages": _q_warc_read,
         "kg_extract_text": _q_extract,
         "kg_annotations": _q_annotations,
         "kg_annotations_stats": _q_annotations_stats,
@@ -683,21 +690,38 @@ def _gold_triples_values_sql(list_name: str, cols, order: str) -> str:
     rows = getattr(gt, list_name)
     return ge.values_sql(rows, cols) + " ORDER BY " + order
 
+# DuckDB twin of the deterministic html wrap (sources/pages.html_col /
+# functions/htmltext.wrap_html) — shared by the pages-table oracle and
+# the WARC round-trip oracle.
+_HTML_WRAP_SQL = """(
+  '<!DOCTYPE html><html><head><title></title><style>body{margin:0}</style></head><body>'
+  || '<nav><ul><li><a href="/">Home</a></li><li><a href="/about">About</a></li></ul></nav>'
+  || '<main><article><p>'
+  || replace(replace(replace(replace(text, '&', '&amp;'),
+             '<', '&lt;'), '>', '&gt;'),
+             chr(10) || chr(10), '</p><p>')
+  || '</p></article></main>'
+  || '<footer>&copy; 2026 Example Corp. All rights reserved.</footer>'
+  || '<script>var x=1;</script></body></html>')"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
-        "kg_pages_table": PAGES_CTE + """
+        "kg_pages_table": PAGES_CTE + f"""
             SELECT url, strftime(warc_ts, '%Y-%m-%d %H:%M:%S') AS warc_ts_s,
-                   octet_length(encode(
-                     '<!DOCTYPE html><html><head><title></title><style>body{margin:0}</style></head><body>'
-                     || '<nav><ul><li><a href="/">Home</a></li><li><a href="/about">About</a></li></ul></nav>'
-                     || '<main><article><p>'
-                     || replace(replace(replace(replace(text, '&', '&amp;'),
-                                '<', '&lt;'), '>', '&gt;'),
-                                chr(10) || chr(10), '</p><p>')
-                     || '</p></article></main>'
-                     || '<footer>&copy; 2026 Example Corp. All rights reserved.</footer>'
-                     || '<script>var x=1;</script></body></html>')) AS n_html_bytes,
+                   octet_length(encode({_HTML_WRAP_SQL})) AS n_html_bytes,
                    lang
+            FROM pages ORDER BY url
+        """,
+        # WARC round trip: the oracle re-derives what the parser must
+        # recover from the framed records, without any WARC framing
+        "warc_read_pages": PAGES_CTE + f"""
+            SELECT url,
+                   strftime(warc_ts, '%Y-%m-%dT%H:%M:%SZ') AS warc_date_s,
+                   CAST(200 AS BIGINT) AS status,
+                   CAST(octet_length(encode({_HTML_WRAP_SQL})) AS BIGINT)
+                     AS n_bytes,
+                   md5({_HTML_WRAP_SQL}) AS html_md5
             FROM pages ORDER BY url
         """,
         "kg_extract_text": PAGES_CTE + """
