@@ -569,6 +569,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_gold_agg": _q_sparql_gold_agg,
         # text analysis
         "txt_token_counts": textstats.token_counts,
+        # tokenize-to-ids: vocab build (top-k heap, no global sort) +
+        # broadcast-join corpus encoding; ids_md5 pins the SEQUENCE
+        "txt_vocab": textstats.vocab_build,
+        "txt_encode": textstats.encode_corpus,
         "txt_lang_id": textstats.lang_id,
         "txt_quality": textstats.quality_scores,
         "txt_fingerprint": textstats.fingerprints,
@@ -798,6 +802,8 @@ def oracle_sql() -> dict[str, str]:
             "EXPECTED_SPARQL_GOLD_AGG", ["page", "n_entities"],
             order="page"),
         "txt_token_counts": textstats.TOKEN_COUNTS_SQL,
+        "txt_vocab": textstats.VOCAB_SQL,
+        "txt_encode": textstats.ENCODE_SQL,
         "txt_lang_id": textstats.LANG_ID_SQL,
         "txt_quality": textstats.QUALITY_SQL,
         "txt_fingerprint": textstats.FINGERPRINT_SQL,

@@ -53,7 +53,7 @@ def _run_queries(spark, sf_dir: str) -> dict:
         # r4 session-5 additions: hyperlink extraction -> host graph
         # -> anchor EL priors -> host PageRank
         "web_page_links", "web_host_graph", "web_anchor_priors",
-        "web_host_pagerank", "warc_read_pages",
+        "web_host_pagerank", "warc_read_pages", "txt_vocab", "txt_encode",
     ]
     for name in bench_queries:
         t0 = time.time()

@@ -740,3 +740,120 @@ SELECT doc_id, CAST(SUM(w) AS BIGINT) AS score,
        CASE WHEN SUM(w) > 0 THEN 'keep' ELSE 'drop' END AS verdict
 FROM h GROUP BY doc_id ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# tokenize-to-ids: vocabulary build + corpus encoding (the step every
+# LLM training pipeline runs between cleaning and batching)
+
+_VOCAB_K = 24  # the synthetic corpus has a 31-token vocabulary;
+# 24 leaves real OOV traffic for the encode check (k is a free
+# parameter; real BPE vocabs are 10^4-10^5)
+
+
+def vocab_build(spark: SparkSession, sf_dir: str,
+                k: int = _VOCAB_K) -> DataFrame:
+    """Top-k token vocabulary with dense ids (1..k), ordered by
+    (count DESC, token) so the id assignment is a total order.
+
+    Scale shape: the corpus-wide token count is one partially
+    aggregated groupBy (map-side combine collapses each partition to
+    its distinct tokens); the top-k is TakeOrderedAndProject — a
+    per-partition heap + driver merge of k rows, NOT a global sort of
+    the vocabulary. Only the k winning rows (k ~ 10^4-10^5 for real
+    BPE vocabs) pass through the final single-partition id window."""
+    from .dedup import _documents
+    docs = _documents(spark, sf_dir)
+    counts = (docs.select(F.explode(_tokens(F.col("text"))).alias("token"))
+              .filter(F.length("token") > 0)
+              .groupBy("token").agg(F.count("*").alias("cnt")))
+    top = counts.orderBy(F.desc("cnt"), F.asc("token")).limit(k)
+    from pyspark.sql.window import Window
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    return top.select(F.row_number().over(w).cast("bigint").alias("id"),
+                      "token", "cnt").orderBy("id")
+
+
+VOCAB_SQL_TEMPLATE = """
+WITH counts AS (
+  SELECT t.tok AS token, count(*) AS cnt
+  FROM documents,
+       unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t(tok)
+  WHERE length(t.tok) > 0
+  GROUP BY 1
+)
+SELECT * FROM (
+  SELECT row_number() OVER (ORDER BY cnt DESC, token) AS id, token, cnt
+  FROM counts
+) WHERE id <= {k} ORDER BY id
+"""
+
+VOCAB_SQL = VOCAB_SQL_TEMPLATE.format(k=_VOCAB_K)
+
+
+def encode_corpus(spark: SparkSession, sf_dir: str,
+                  k: int = _VOCAB_K) -> DataFrame:
+    """Encode every document to vocabulary ids (OOV -> 0) and emit
+    (doc_id, n_tokens, n_oov, ids_md5) where ids_md5 fingerprints the
+    exact id sequence (comma-joined, position order) — the value the
+    oracle recomputes, so the check covers ORDER, not just counts.
+
+    Scale shape: the vocabulary is broadcast (k rows); encoding is a
+    map-only broadcast-hash join on the exploded tokens, and the
+    sequence rebuild is one groupBy(doc_id) whose rows carry (pos,
+    id) pairs — int pairs, not text. No shuffle ever carries the
+    document text."""
+    from .dedup import _documents
+    docs = _documents(spark, sf_dir)
+    vocab = F.broadcast(vocab_build(spark, sf_dir, k).select("token", "id"))
+    toks = (docs.select("doc_id",
+                        F.posexplode(_tokens(F.col("text")))
+                        .alias("pos", "token"))
+            .filter(F.length("token") > 0))
+    enc = (toks.join(vocab, "token", "left")
+           .select("doc_id", "pos",
+                   F.coalesce("id", F.lit(0)).cast("bigint").alias("id")))
+    return (enc.groupBy("doc_id")
+            .agg(F.count("*").alias("n_tokens"),
+                 F.sum(F.when(F.col("id") == 0, 1).otherwise(0))
+                 .cast("bigint").alias("n_oov"),
+                 F.md5(F.array_join(
+                     F.transform(
+                         F.sort_array(F.collect_list(
+                             F.struct("pos", "id"))),
+                         lambda s: s["id"].cast("string")), ","))
+                 .alias("ids_md5"))
+            .orderBy("doc_id"))
+
+
+ENCODE_SQL_TEMPLATE = """
+WITH vocab AS (
+  SELECT * FROM (
+    SELECT row_number() OVER (ORDER BY cnt DESC, token) AS id, token
+    FROM (
+      SELECT t.tok AS token, count(*) AS cnt
+      FROM documents,
+           unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t(tok)
+      WHERE length(t.tok) > 0
+      GROUP BY 1)
+  ) WHERE id <= {k}
+),
+toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token,
+         unnest(range(0, len(regexp_split_to_array(trim(lower(text)),
+                                                   '\\s+')))) AS pos
+  FROM documents
+),
+enc AS (
+  SELECT toks.doc_id, toks.pos, COALESCE(vocab.id, 0) AS id
+  FROM toks LEFT JOIN vocab ON toks.token = vocab.token
+  WHERE length(toks.token) > 0
+)
+SELECT doc_id, count(*) AS n_tokens,
+       CAST(SUM(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       md5(string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos)) AS ids_md5
+FROM enc GROUP BY doc_id ORDER BY doc_id
+"""
+
+ENCODE_SQL = ENCODE_SQL_TEMPLATE.format(k=_VOCAB_K)
