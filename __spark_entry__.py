@@ -627,6 +627,11 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup_minhash_lsh for corpus-scale near-dup (its oracle IS
         # this query)
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
+        # prefix-filtering (AllPairs/PPJoin) EXACT similarity join —
+        # the scale path for exact Jaccard: only the floor((1-t)|s|)+1
+        # globally-rarest shingles of each doc are indexed, so hot
+        # shingles never explode the candidate join
+        "dedup_jaccard_prefix": dedup.jaccard_prefix_pairs,
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
         "dedup_simhash": dedup.simhash_pairs,
         "dedup_simhash_stats": _q_simhash_stats,
@@ -848,6 +853,10 @@ def oracle_sql() -> dict[str, str]:
         "txt_decontaminate": dedup.DECONTAMINATE_SQL,
         "dedup_repeated_spans": dedup.REPEATED_SPANS_SQL,
         "dedup_ngram_jaccard": dedup.NGRAM_JACCARD_SQL,
+        # prefix filtering is EXACT (completeness theorem in the
+        # docstring), so the all-pairs SQL is a strict oracle — unlike
+        # the probabilistic LSH bound below
+        "dedup_jaccard_prefix": dedup.NGRAM_JACCARD_SQL,
         # LSH candidates are exact-Jaccard verified, so output ⊆ exact set
         # always; equality additionally needs LSH recall 1.0 at t=0.8.
         # With 32 bands x 4 rows, P[miss] per true pair = (1-0.8^4)^32

@@ -168,6 +168,77 @@ ORDER BY a, b
 
 
 # ---------------------------------------------------------------------------
+# prefix-filtering exact similarity join (AllPairs / PPJoin family)
+# ---------------------------------------------------------------------------
+
+def jaccard_prefix_pairs(spark: SparkSession, sf_dir: str,
+                         threshold: float = JACCARD_T) -> DataFrame:
+    """Exact word-3-gram Jaccard >= threshold via prefix filtering
+    (Chaudhuri et al. SSJoin 2006 / Bayardo et al. AllPairs 2007) —
+    the SCALE path for EXACT set-similarity join; output identical to
+    ngram_jaccard_pairs (whose all-pairs formulation is the oracle).
+
+    Why this scales where the naive inverted-index join does not: the
+    naive plan joins documents on EVERY shared shingle, so one hot
+    shingle ("terms of service use") with f occurrences alone yields
+    f^2/2 join rows. Here each document indexes only its PREFIX — its
+    floor((1-t)|s|)+1 globally RAREST shingles under a frequency-
+    ascending total order. Completeness: if two sets overlap in no
+    prefix element of either side, the (t/(1+t))-overlap a Jaccard of
+    t requires cannot be reached, so every qualifying pair shares >= 1
+    prefix token (the standard prefix-filter theorem). At t=0.8 the
+    prefix is ~20% of each doc, drawn from the rare tail of the
+    shingle distribution — the head that causes the quadratic blowup
+    is never indexed. A length filter (min >= t*max, integer math)
+    prunes cross-size candidates before the distinct.
+
+    Implementation notes:
+      - shingles move as xxhash64 keys (8 bytes); hashing can only
+        MERGE tokens (J_hash >= J_gram), so hash-level prefix
+        candidates remain a superset of the true pairs — the exact
+        verify on the full gram arrays settles membership.
+      - document frequency comes from one map-side-combined groupBy
+        on the hash; the per-doc rank is a (df, gh) window keyed by
+        doc_id, rows of three ints.
+    """
+    from pyspark.sql import Window
+    t1000 = int(threshold * 1000)
+    sh = shingle_df(spark, sf_dir)
+    hset = sh.select(
+        "doc_id",
+        F.array_distinct(F.transform("shingles", lambda s: F.xxhash64(s)))
+        .alias("hset"))
+    ex = hset.select("doc_id", F.size("hset").alias("szh"),
+                     F.explode("hset").alias("gh"))
+    dfreq = ex.groupBy("gh").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "gh")
+    # prefix length |s| - ceil(t*|s|) + 1 over the hash-set size
+    prefix = (ex.join(dfreq, "gh")
+              .withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") <= F.col("szh")
+                      - F.ceil(F.col("szh") * threshold) + 1)
+              .select("doc_id", "szh", "gh"))
+    a = prefix.select(F.col("doc_id").alias("a"), F.col("szh").alias("sza"), "gh")
+    b = prefix.select(F.col("doc_id").alias("b"), F.col("szh").alias("szb"), "gh")
+    cands = (a.join(b, "gh")
+             .filter((F.col("a") < F.col("b"))
+                     & (F.least("sza", "szb") * 1000
+                        >= F.greatest("sza", "szb") * t1000))
+             .select("a", "b").distinct())
+    # exact verification on the true gram arrays (same as the LSH path)
+    sa = sh.select(F.col("doc_id").alias("a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("b"), F.col("shingles").alias("sh_b"))
+    verified = (cands.join(sa, "a").join(sb, "b")
+                .withColumn("i", F.size(F.array_intersect("sh_a", "sh_b")))
+                .withColumn("u", F.size("sh_a") + F.size("sh_b") - F.col("i"))
+                .withColumn("jaccard_x1000",
+                            F.floor(F.col("i") * 1000.0 / F.col("u"))
+                            .cast("bigint"))
+                .filter(F.col("jaccard_x1000") >= t1000))
+    return verified.select("a", "b", "jaccard_x1000").orderBy("a", "b")
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 

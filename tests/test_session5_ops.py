@@ -1,0 +1,66 @@
+"""Fifth-session operators: prefix-filter exact Jaccard join, Bloom
+semi-join reduction, bigram LM surprisal, BPE merge training."""
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# prefix-filtering exact Jaccard (AllPairs/PPJoin)
+# ---------------------------------------------------------------------------
+
+def test_jaccard_prefix_equals_all_pairs(spark):
+    from pikes_spark.operators.dedup import (
+        jaccard_prefix_pairs, ngram_jaccard_pairs)
+    pre = {(r["a"], r["b"], r["jaccard_x1000"])
+           for r in jaccard_prefix_pairs(spark, SF).collect()}
+    exact = {(r["a"], r["b"], r["jaccard_x1000"])
+             for r in ngram_jaccard_pairs(spark, SF).collect()}
+    assert pre == exact
+
+
+def test_jaccard_prefix_prunes_hot_shingles(spark):
+    """Documents that share only one globally-hot shingle must never
+    become candidates: the hot shingle is outside everyone's prefix."""
+    from pikes_spark.operators import dedup
+    tmp = tempfile.mkdtemp(prefix="pikes_prefix_")
+    hot = "the terms of service apply"
+    rows = []
+    # 12 documents, pairwise Jaccard ~0 except the shared hot tail;
+    # two genuine near-dups (doc 100/101) that must be found
+    for i in range(12):
+        rows.append((i, f"unique text body number {i} alpha beta gamma "
+                        f"delta {i} epsilon zeta eta theta {i} " + hot, "en"))
+    near = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the deep dark forest tonight")
+    rows.append((100, near, "en"))
+    rows.append((101, near + " extra", "en"))
+    spark.createDataFrame(rows, "doc_id long, text string, lang string") \
+         .write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+
+    out = {(r["a"], r["b"]) for r in
+           dedup.jaccard_prefix_pairs(spark, tmp, threshold=0.8).collect()}
+    exact = {(r["a"], r["b"]) for r in
+             dedup.ngram_jaccard_pairs(spark, tmp, threshold=0.8).collect()}
+    assert out == exact
+    assert (100, 101) in out
+    # pruning: the prefix index must be strictly smaller than the full
+    # inverted index (it holds ~(1-t) of each doc's shingles)
+    sh = dedup.shingle_df(spark, tmp)
+    full = sh.select(F.explode("shingles")).count()
+    hset = sh.select("doc_id", F.array_distinct(
+        F.transform("shingles", lambda s: F.xxhash64(s))).alias("h"))
+    ex = hset.select("doc_id", F.size("h").alias("szh"),
+                     F.explode("h").alias("gh"))
+    from pyspark.sql import Window
+    dfreq = ex.groupBy("gh").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "gh")
+    pref = (ex.join(dfreq, "gh").withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= F.col("szh")
+                    - F.ceil(F.col("szh") * 0.8) + 1))
+    assert pref.count() < full / 3
