@@ -585,6 +585,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_bm25_topk": textstats.bm25_topk,
         "txt_stratified_sample": textstats.stratified_sample,
         "txt_unigram_surprisal": textstats.unigram_surprisal,
+        # KenLM-shaped 2-gram LM quality signal (first token scored
+        # by the unigram backoff model)
+        "txt_bigram_surprisal": textstats.bigram_surprisal,
         "txt_repetition": textstats.repetition_stats,
         # feature-hashed linear classifier serving path (fastText-style)
         "txt_hash_classifier": textstats.hash_classifier,
@@ -652,6 +655,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_filter_agg": _q_rel_agg,
         "rel_join_window_topk": _q_rel_join_window,
         "rel_salted_join": _q_rel_salted_join,
+        # Bloom semi-join reduction: fact side pruned by a
+        # deterministic k-hash bitmap of the dim keys BEFORE the
+        # shuffle; exact join after = plain-join oracle
+        "rel_bloom_semi_join": skew.bloom_join_revenue,
         # event-stream operators (batch form; streaming uses same exprs)
         "evt_sessionize": events.sessionize,
         "evt_windowed_counts": events.windowed_counts,
@@ -827,6 +834,8 @@ def oracle_sql() -> dict[str, str]:
         "txt_bm25_topk": textstats.BM25_SQL,
         "txt_stratified_sample": textstats.STRATIFIED_SAMPLE_SQL,
         "txt_unigram_surprisal": textstats.UNIGRAM_SURPRISAL_SQL,
+        "txt_bigram_surprisal": textstats.BIGRAM_SURPRISAL_SQL,
+        "rel_bloom_semi_join": skew.BLOOM_JOIN_SQL,
         "txt_repetition": textstats.REPETITION_SQL,
         "txt_hash_classifier": textstats.HASH_CLASSIFIER_SQL,
         "txt_count_min": sketches.count_min_sql(),

@@ -857,3 +857,91 @@ FROM enc GROUP BY doc_id ORDER BY doc_id
 """
 
 ENCODE_SQL = ENCODE_SQL_TEMPLATE.format(k=_VOCAB_K)
+
+
+# ---------------------------------------------------------------------------
+# bigram language-model surprisal (the KenLM-shaped quality signal)
+# ---------------------------------------------------------------------------
+
+def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean bigram surprisal: -ln p(t_i | t_{i-1}) under
+    the corpus's own MLE bigram model, with the unigram model scoring
+    each document's FIRST token (CCNet scores with a KenLM 5-gram;
+    the 2-gram keeps the identical plan shape — an n-gram count table
+    joined back to the token stream — without shipping a model file).
+    Low = templated text whose transitions the corpus has seen; high
+    = rare transitions. Conditioned on the corpus itself, every
+    observed bigram has count >= 1, so the MLE conditional is always
+    defined and no smoothing branch is needed.
+
+    Determinism contract (same as unigram_surprisal): each token's
+    surprisal is floored to x1e6 fixed point BEFORE the per-doc mean,
+    so cross-engine agreement reduces to ln() on identical doubles;
+    all aggregation is integer.
+
+    Scale shape: the bigram table is (vocab x observed-successor)-
+    sized — Zipf keeps it ~10x the unigram table, still orders of
+    magnitude under the corpus — so AQE broadcasts it; the token
+    stream shuffles ONCE on doc_id for the lag() window, and the
+    same partitioning feeds the final per-doc aggregation, so adding
+    the model joins adds no fact-side exchange (the joins are
+    broadcast-hash on the exploded stream)."""
+    from .dedup import _documents
+    docs = _documents(spark, sf_dir)
+    from pyspark.sql import Window
+    toks = docs.select(
+        "doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    stream = toks.withColumn("prev", F.lag("tok").over(w))
+    uni = stream.groupBy("tok").agg(F.count("*").alias("c1"))
+    tot = stream.agg(F.count("*").alias("t"))
+    big = (stream.filter(F.col("prev").isNotNull())
+           .groupBy("prev", "tok").agg(F.count("*").alias("c2")))
+    lft = (stream.filter(F.col("prev").isNotNull())
+           .groupBy("prev").agg(F.count("*").alias("cl")))
+    s = (stream.join(uni, "tok")
+         .join(big, ["prev", "tok"], "left")
+         .join(lft, "prev", "left")
+         .crossJoin(F.broadcast(tot))
+         .withColumn(
+             "s_x1e6",
+             F.when(F.col("prev").isNull(),
+                    F.floor(-F.log(F.col("c1") * 1.0 / F.col("t")) * 1e6))
+             .otherwise(
+                 F.floor(-F.log(F.col("c2") * 1.0 / F.col("cl")) * 1e6))
+             .cast("bigint")))
+    return (s.groupBy("doc_id")
+            .agg(F.floor(F.sum("s_x1e6") / F.count("*")).cast("bigint")
+                 .alias("surprisal2_x1e6"))
+            .orderBy("doc_id"))
+
+
+BIGRAM_SURPRISAL_SQL = """
+WITH toks AS (
+  SELECT doc_id, pos, tok,
+         lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok,
+           unnest(range(0, len(regexp_split_to_array(trim(lower(text)),
+                                                     '\\s+')))) AS pos
+    FROM documents)
+),
+uni AS (SELECT tok, count(*) AS c1 FROM toks GROUP BY 1),
+tot AS (SELECT count(*) AS t FROM toks),
+big AS (SELECT prev, tok, count(*) AS c2 FROM toks
+        WHERE prev IS NOT NULL GROUP BY 1, 2),
+lft AS (SELECT prev, count(*) AS cl FROM toks
+        WHERE prev IS NOT NULL GROUP BY 1)
+SELECT s.doc_id,
+       CAST(floor(SUM(CASE WHEN s.prev IS NULL
+           THEN CAST(floor(-ln(u.c1 * 1.0 / t.t) * 1e6) AS BIGINT)
+           ELSE CAST(floor(-ln(b.c2 * 1.0 / l.cl) * 1e6) AS BIGINT)
+           END) / count(*)) AS BIGINT) AS surprisal2_x1e6
+FROM toks s
+JOIN uni u ON s.tok = u.tok
+LEFT JOIN big b ON s.prev = b.prev AND s.tok = b.tok
+LEFT JOIN lft l ON s.prev = l.prev
+CROSS JOIN tot t
+GROUP BY s.doc_id ORDER BY s.doc_id
+"""

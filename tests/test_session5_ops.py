@@ -64,3 +64,71 @@ def test_jaccard_prefix_prunes_hot_shingles(spark):
             .filter(F.col("rn") <= F.col("szh")
                     - F.ceil(F.col("szh") * 0.8) + 1))
     assert pref.count() < full / 3
+
+
+# ---------------------------------------------------------------------------
+# bigram LM surprisal
+# ---------------------------------------------------------------------------
+
+def test_bigram_surprisal_matches_duckdb(spark):
+    import duckdb
+    from pikes_spark.operators import textstats
+    got = {(r["doc_id"], r["surprisal2_x1e6"]) for r in
+           textstats.bigram_surprisal(spark, SF).collect()}
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS "
+            f"SELECT * FROM '{SF}/documents.parquet'")
+    want = set(map(tuple, con.sql(
+        textstats.BIGRAM_SURPRISAL_SQL).fetchall()))
+    assert got == want and len(got) > 0
+
+
+def test_bigram_surprisal_orders_template_below_rare(spark):
+    """A doc whose transitions dominate the corpus must score lower
+    than a doc made of one-off transitions."""
+    from pikes_spark.operators import textstats
+    tmp = tempfile.mkdtemp(prefix="pikes_big_")
+    rows = [(i, "the cat sat on the mat", "en") for i in range(20)]
+    rows.append((100, "zyx wvu tsr qpo nml kji", "en"))
+    spark.createDataFrame(rows, "doc_id long, text string, lang string") \
+         .write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    s = {r["doc_id"]: r["surprisal2_x1e6"] for r in
+         textstats.bigram_surprisal(spark, tmp).collect()}
+    assert s[0] < s[100]
+
+
+# ---------------------------------------------------------------------------
+# Bloom semi-join reduction
+# ---------------------------------------------------------------------------
+
+def test_bloom_semi_join_equals_plain_join(spark):
+    from pikes_spark.operators import skew
+    fact = spark.range(0, 5000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v"))
+    dim = spark.range(0, 5000, 100).select(
+        F.col("id").alias("dk"), F.lit("d").alias("tag"))
+    got = {(r["k"], r["v"], r["dk"]) for r in
+           skew.bloom_semi_join(fact, dim, "k", "dk")
+           .select("k", "v", "dk").collect()}
+    want = {(r["k"], r["v"], r["dk"]) for r in
+            fact.join(dim, fact["k"] == dim["dk"]).collect()}
+    assert got == want and len(got) == 50
+
+
+def test_bloom_filter_actually_prunes(spark):
+    """The Bloom pre-filter must reject almost all non-matching fact
+    rows before the join (k=3, m=64Kbit, 50 keys -> FP rate ~0)."""
+    from pikes_spark.operators import skew
+    fact = spark.range(0, 5000).select(F.col("id").alias("k"))
+    dim = spark.range(0, 5000, 100).select(F.col("id").alias("dk"))
+    bm = skew.bloom_bitmap(dim, "dk")
+    kept = fact.filter(skew.bloom_might_contain(bm, F.col("k"))).count()
+    assert 50 <= kept <= 60   # all 50 members + at most ~10 FPs
+
+
+def test_bloom_join_revenue_oracle_shape(spark):
+    from pikes_spark.operators import skew
+    out = skew.bloom_join_revenue(spark, SF)
+    rows = out.collect()
+    assert out.columns == ["o_orderpriority", "n_orders", "revenue_fl"]
+    assert sum(r["n_orders"] for r in rows) > 0
