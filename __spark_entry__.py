@@ -21,7 +21,7 @@ from pikes_spark.operators.annotate import (
     annotate_pages, distill_annotations, extract_pages_text, pages_to_triples)
 from pikes_spark.operators import (
     textstats, dedup, similarity, events, kgquery, graph, skew, weburl, cdc,
-    sketches, weblinks)
+    sketches, weblinks, bpe)
 from pikes_spark.operators.linking import candidates_df, link_entities
 from pikes_spark.operators.canonicalize import canonicalize_triples
 
@@ -588,6 +588,11 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # KenLM-shaped 2-gram LM quality signal (first token scored
         # by the unigram backoff model)
         "txt_bigram_surprisal": textstats.bigram_surprisal,
+        # BPE tokenizer training: distributed word-freq count +
+        # merge loop over the aggregated table (the SentencePiece/HF
+        # split); encode stats pin per-doc piece counts via bit_xor
+        "txt_bpe_merges": bpe.bpe_train,
+        "txt_bpe_encode_stats": bpe.bpe_encode_stats,
         "txt_repetition": textstats.repetition_stats,
         # feature-hashed linear classifier serving path (fastText-style)
         "txt_hash_classifier": textstats.hash_classifier,
@@ -836,6 +841,16 @@ def oracle_sql() -> dict[str, str]:
         "txt_unigram_surprisal": textstats.UNIGRAM_SURPRISAL_SQL,
         "txt_bigram_surprisal": textstats.BIGRAM_SURPRISAL_SQL,
         "rel_bloom_semi_join": skew.BLOOM_JOIN_SQL,
+        # iterative merge loop is not SQL-expressible; frozen-VALUES
+        # oracles (differential pytest vs an independent occurrence-
+        # level implementation backs the freeze)
+        "txt_bpe_merges": _corpus_values_sql(
+            "BPE_MERGES", ["rank", "lhs", "rhs", "pair_freq"],
+            order="rank"),
+        "txt_bpe_encode_stats": _corpus_values_sql(
+            "BPE_ENCODE_STATS",
+            ["n_docs", "n_words", "sum_pieces", "checksum"],
+            order="n_docs"),
         "txt_repetition": textstats.REPETITION_SQL,
         "txt_hash_classifier": textstats.HASH_CLASSIFIER_SQL,
         "txt_count_min": sketches.count_min_sql(),

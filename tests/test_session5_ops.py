@@ -132,3 +132,75 @@ def test_bloom_join_revenue_oracle_shape(spark):
     rows = out.collect()
     assert out.columns == ["o_orderpriority", "n_orders", "revenue_fl"]
     assert sum(r["n_orders"] for r in rows) > 0
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training
+# ---------------------------------------------------------------------------
+
+def _naive_bpe(texts, n_merges):
+    """Independent reference: operates on raw token OCCURRENCES (no
+    word-frequency aggregation) — validates bpe.train_merges's
+    aggregated formulation."""
+    occ = []
+    for t in texts:
+        for w in t.strip().lower().split():
+            occ.append(tuple(w) + ("</w>",))
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs = {}
+        for sym in occ:
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + 1
+        if not pairs:
+            break
+        (a, b), f = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, a, b, f))
+        nxt = []
+        for sym in occ:
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b); i += 2
+                else:
+                    out.append(sym[i]); i += 1
+            nxt.append(tuple(out))
+        occ = nxt
+    return merges
+
+
+def test_bpe_train_matches_naive_occurrence_impl(spark):
+    import duckdb
+    from pikes_spark.operators import bpe
+    texts = [r[0] for r in duckdb.sql(
+        f"SELECT text FROM '{SF}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()]
+    want = _naive_bpe(texts, 24)
+    got = [(r["rank"], r["lhs"], r["rhs"], r["pair_freq"])
+           for r in bpe.bpe_train(spark, SF, 24).collect()]
+    assert got == want and len(got) == 24
+
+
+def test_bpe_apply_merges_roundtrip():
+    from pikes_spark.operators import bpe
+    merges = bpe.train_merges([("hello", 5), ("help", 3), ("world", 2)], 8)
+    for w in ["hello", "help", "world", "hell", "x", ""]:
+        pieces = bpe.apply_merges(w, merges)
+        assert "".join(pieces) == w + "</w>"
+
+
+def test_bpe_encode_stats_consistent(spark):
+    from pikes_spark.operators import bpe
+    row = bpe_row = bpe.bpe_encode_stats(spark, SF).collect()[0]
+    assert row["n_docs"] > 0 and row["sum_pieces"] >= row["n_docs"]
+    # zero merges -> every piece is a single char+EOW: sum_pieces ==
+    # total chars + n_tokens
+    import duckdb
+    chars, toks = duckdb.sql(f"""
+        SELECT SUM(LEN(REPLACE(tok, ' ', ''))), COUNT(*) FROM (
+          SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+          FROM '{SF}/documents.parquet') WHERE LEN(tok) > 0
+    """).fetchone()
+    row0 = bpe.bpe_encode_stats(spark, SF, n_merges=0).collect()[0]
+    assert row0["sum_pieces"] == chars + toks
+    assert bpe_row["sum_pieces"] < row0["sum_pieces"]
