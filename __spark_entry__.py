@@ -593,6 +593,13 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # split); encode stats pin per-doc piece counts via bit_xor
         "txt_bpe_merges": bpe.bpe_train,
         "txt_bpe_encode_stats": bpe.bpe_encode_stats,
+        # concat-and-chunk packing efficiency (padding-vs-
+        # fragmentation accounting for fixed-length batching)
+        "txt_pack_sequences": textstats.pack_sequences,
+        # rendezvous-hash fetch sharding (per-host politeness with
+        # minimal movement on shard-count change); min_by argmin, no
+        # window exchange
+        "web_crawl_shards": weburl.crawl_shards,
         "txt_repetition": textstats.repetition_stats,
         # feature-hashed linear classifier serving path (fastText-style)
         "txt_hash_classifier": textstats.hash_classifier,
@@ -841,6 +848,8 @@ def oracle_sql() -> dict[str, str]:
         "txt_unigram_surprisal": textstats.UNIGRAM_SURPRISAL_SQL,
         "txt_bigram_surprisal": textstats.BIGRAM_SURPRISAL_SQL,
         "rel_bloom_semi_join": skew.BLOOM_JOIN_SQL,
+        "txt_pack_sequences": textstats.PACK_SEQUENCES_SQL,
+        "web_crawl_shards": weburl.CRAWL_SHARDS_SQL,
         # iterative merge loop is not SQL-expressible; frozen-VALUES
         # oracles (differential pytest vs an independent occurrence-
         # level implementation backs the freeze)

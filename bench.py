@@ -54,6 +54,10 @@ def _run_queries(spark, sf_dir: str) -> dict:
         # -> anchor EL priors -> host PageRank
         "web_page_links", "web_host_graph", "web_anchor_priors",
         "web_host_pagerank", "warc_read_pages", "txt_vocab", "txt_encode",
+        # r4 session-6 additions: prefix-filter exact similarity join,
+        # Bloom semi-join, bigram LM surprisal, BPE train+encode
+        "dedup_jaccard_prefix", "rel_bloom_semi_join",
+        "txt_bigram_surprisal", "txt_bpe_merges", "txt_bpe_encode_stats",
     ]
     for name in bench_queries:
         t0 = time.time()

@@ -945,3 +945,71 @@ LEFT JOIN lft l ON s.prev = l.prev
 CROSS JOIN tot t
 GROUP BY s.doc_id ORDER BY s.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# pretraining sequence packing (concat-and-chunk) efficiency stats
+# ---------------------------------------------------------------------------
+
+_SEQ_LEN = 128
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str,
+                   seq_len: int = _SEQ_LEN) -> DataFrame:
+    """GPT-style packing: per language, concatenate all documents'
+    token streams in doc_id order and cut fixed seq_len training
+    sequences. Reports, per lang: docs, total tokens, sequence count,
+    last-sequence fill, and how many documents SPAN a sequence
+    boundary (the rows a boundary-respecting packer would have to
+    pad around — the padding-vs-fragmentation tradeoff number).
+
+    Scale shape: token counting is a map-only projection (no
+    explode — F.size on the split); the running offset is ONE window
+    cumsum per lang partition over (doc_id-ordered) int rows; the
+    rollup is a map-side-combinable groupBy(lang). The document text
+    itself never enters the window exchange."""
+    from .dedup import _documents
+    from pyspark.sql import Window
+    docs = _documents(spark, sf_dir)
+    n = F.size(_tokens(F.col("text")))
+    w = (Window.partitionBy("lang").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    d = (docs.select("lang", "doc_id", n.alias("n"))
+         .withColumn("endo", F.sum("n").over(w))
+         .withColumn("starto", F.col("endo") - F.col("n")))
+    L = F.lit(seq_len)
+    spans = (F.col("n") > 0) & (
+        F.floor(F.col("starto") / L) != F.floor((F.col("endo") - 1) / L))
+    return (d.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n").cast("bigint").alias("total_tokens"),
+                 F.ceil(F.sum("n") / L).cast("bigint").alias("n_seqs"),
+                 (F.sum("n") - (F.ceil(F.sum("n") / L) - 1) * L)
+                 .cast("bigint").alias("last_fill"),
+                 F.sum(spans.cast("int")).cast("bigint")
+                 .alias("n_spanning"))
+            .orderBy("lang"))
+
+
+PACK_SEQUENCES_SQL = f"""
+WITH d AS (
+  SELECT lang, doc_id,
+         len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS n
+  FROM documents
+),
+o AS (
+  SELECT lang, doc_id, n,
+         SUM(n) OVER (PARTITION BY lang ORDER BY doc_id
+                      ROWS UNBOUNDED PRECEDING) AS endo
+  FROM d
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS total_tokens,
+       CAST(ceil(sum(n) / {_SEQ_LEN}.0) AS BIGINT) AS n_seqs,
+       CAST(sum(n) - (ceil(sum(n) / {_SEQ_LEN}.0) - 1) * {_SEQ_LEN} AS BIGINT)
+         AS last_fill,
+       CAST(SUM(CASE WHEN n > 0 AND
+                floor((endo - n) / {_SEQ_LEN}.0) <> floor((endo - 1) / {_SEQ_LEN}.0)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_spanning
+FROM o GROUP BY lang ORDER BY lang
+"""

@@ -204,3 +204,65 @@ def test_bpe_encode_stats_consistent(spark):
     row0 = bpe.bpe_encode_stats(spark, SF, n_merges=0).collect()[0]
     assert row0["sum_pieces"] == chars + toks
     assert bpe_row["sum_pieces"] < row0["sum_pieces"]
+
+
+# ---------------------------------------------------------------------------
+# sequence packing stats
+# ---------------------------------------------------------------------------
+
+def test_pack_sequences_small_exact(spark):
+    """3 docs of 5 tokens each, seq_len=4: offsets [0,5) [5,10)
+    [10,15) -> 4 seqs, last fill 3; docs 0 and 1 span a boundary
+    (4 and 8), doc 2 spans 12."""
+    from pikes_spark.operators import textstats
+    tmp = tempfile.mkdtemp(prefix="pikes_pack_")
+    rows = [(i, "a b c d e", "en") for i in range(3)]
+    spark.createDataFrame(rows, "doc_id long, text string, lang string") \
+         .write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    r = textstats.pack_sequences(spark, tmp, seq_len=4).collect()[0]
+    assert (r["n_docs"], r["total_tokens"], r["n_seqs"],
+            r["last_fill"], r["n_spanning"]) == (3, 15, 4, 3, 3)
+
+
+def test_pack_sequences_aligned_docs_never_span(spark):
+    from pikes_spark.operators import textstats
+    tmp = tempfile.mkdtemp(prefix="pikes_pack2_")
+    rows = [(i, "a b c d", "en") for i in range(5)]   # 4 tokens, L=4
+    spark.createDataFrame(rows, "doc_id long, text string, lang string") \
+         .write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    r = textstats.pack_sequences(spark, tmp, seq_len=4).collect()[0]
+    assert r["n_spanning"] == 0 and r["n_seqs"] == 5 and r["last_fill"] == 4
+
+
+# ---------------------------------------------------------------------------
+# rendezvous crawl sharding
+# ---------------------------------------------------------------------------
+
+def test_crawl_shards_minimal_movement(spark):
+    """Removing one shard moves ONLY the hosts that were on it —
+    the rendezvous property a mod-N assignment lacks."""
+    from pikes_spark.operators import weburl
+
+    def assign(n_shards):
+        hosts = (weburl.url_parse(spark, SF).select("host").distinct())
+        cand = hosts.select("host", F.explode(
+            F.sequence(F.lit(0), F.lit(n_shards - 1))).alias("shard"))
+        h = F.md5(F.concat_ws(":", "host", F.col("shard").cast("string")))
+        return {r["host"]: r["shard"] for r in
+                cand.withColumn("h", h).groupBy("host")
+                .agg(F.min_by("shard", "h").alias("shard")).collect()}
+
+    a8, a7 = assign(8), assign(7)
+    moved = {h for h in a8 if a8[h] != a7[h]}
+    # every moved host must have been on the removed shard (7)
+    assert all(a8[h] == 7 for h in moved)
+    assert any(a8[h] == 7 for h in a8)   # shard 7 was non-empty
+
+
+def test_crawl_shards_covers_all_pages(spark):
+    from pikes_spark.operators import weburl
+    rows = weburl.crawl_shards(spark, SF).collect()
+    n_pages = sum(r["n_pages"] for r in rows)
+    total = weburl.url_parse(spark, SF).count()
+    assert n_pages == total
+    assert all(0 <= r["shard"] < 8 for r in rows)
