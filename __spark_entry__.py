@@ -21,7 +21,7 @@ from pikes_spark.operators.annotate import (
     annotate_pages, distill_annotations, extract_pages_text, pages_to_triples)
 from pikes_spark.operators import (
     textstats, dedup, similarity, events, kgquery, graph, skew, weburl, cdc,
-    sketches, weblinks, bpe)
+    sketches, weblinks, bpe, layout)
 from pikes_spark.operators.linking import candidates_df, link_entities
 from pikes_spark.operators.canonicalize import canonicalize_triples
 
@@ -596,6 +596,14 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # concat-and-chunk packing efficiency (padding-vs-
         # fragmentation accounting for fixed-length batching)
         "txt_pack_sequences": textstats.pack_sequences,
+        # RAG chunking: stride windows with stable ids + fingerprint
+        "txt_chunk_windows": textstats.chunk_windows,
+        # OPTIMIZE ZORDER quantified: per-file min/max spans under
+        # linear vs Morton-interleaved layout (same z expression text
+        # runs in both engines)
+        "tbl_zorder_stats": layout.zorder_stats,
+        # int8 scalar-quantized ANN recall vs the exact float top-k
+        "sim_quantized_recall": similarity.quantized_recall,
         # rendezvous-hash fetch sharding (per-host politeness with
         # minimal movement on shard-count change); min_by argmin, no
         # window exchange
@@ -850,6 +858,9 @@ def oracle_sql() -> dict[str, str]:
         "rel_bloom_semi_join": skew.BLOOM_JOIN_SQL,
         "txt_pack_sequences": textstats.PACK_SEQUENCES_SQL,
         "web_crawl_shards": weburl.CRAWL_SHARDS_SQL,
+        "txt_chunk_windows": textstats.CHUNK_WINDOWS_SQL,
+        "tbl_zorder_stats": layout.ZORDER_STATS_SQL,
+        "sim_quantized_recall": similarity.quantized_recall_sql(0, 10),
         # iterative merge loop is not SQL-expressible; frozen-VALUES
         # oracles (differential pytest vs an independent occurrence-
         # level implementation backs the freeze)

@@ -289,3 +289,91 @@ SELECT src, dst, cos_x1e6, CAST(rk AS BIGINT) AS rk
 FROM r WHERE rk <= {_KNN_K}
 ORDER BY src, rk
 """
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization: memory-bound ANN serving, recall vs exact
+# ---------------------------------------------------------------------------
+
+def _quantize(v):
+    """Symmetric int8 scalar quantization: q_i = floor(v_i * 127 /
+    max|v| + 0.5). Scale factors cancel inside cosine, so ranking
+    uses only the integer vectors — integer dot products are EXACT in
+    doubles (values <= 127^2 * dim), which is what makes the oracle
+    deterministic: the only float ops left are one sqrt and one
+    divide on integer-valued doubles."""
+    ma = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    return F.transform(
+        v, lambda x: F.floor(x * 127.0 / ma + 0.5).cast("long"))
+
+
+def quantized_recall(spark: SparkSession, sf_dir: str,
+                     query_vec_id: int = 0, k: int = 10) -> DataFrame:
+    """Recall@k of int8-quantized cosine search against the exact
+    float top-k — the accuracy/cost tradeoff of serving embeddings at
+    1/4 the bytes (the scalar-quantization half of a PQ story).
+
+    Scale shape: quantization is a map-only projection; the search is
+    the same broadcast-query scan as brute_force_topk (one pass, top-k
+    via TakeOrderedAndProject); recall is a k-row join. At 100 TB the
+    win is bandwidth: the scan streams 1 byte/dim instead of 4."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    qz = e.select("vec_id", _quantize(F.col("v")).alias("q"))
+    qrow = (qz.filter(F.col("vec_id") == query_vec_id)
+            .select(F.col("q").alias("qq")))
+    dot = F.aggregate(F.zip_with("q", "qq", lambda a, b: a * b),
+                      F.lit(0).cast("long"), lambda acc, x: acc + x)
+    nrm = lambda c: F.aggregate(  # noqa: E731
+        c, F.lit(0).cast("long"), lambda acc, x: acc + x * x)
+    scored = (qz.crossJoin(F.broadcast(qrow))
+              .filter(F.col("vec_id") != query_vec_id)
+              .withColumn(
+                  "score_x1e6",
+                  F.floor(dot / F.sqrt(nrm(F.col("q")) * nrm(F.col("qq")))
+                          * 1e6).cast("bigint")))
+    approx = (scored.orderBy(F.desc("score_x1e6"), F.asc("vec_id"))
+              .select("vec_id").limit(k))
+    exact = brute_force_topk(spark, sf_dir, query_vec_id, k) \
+        .select("vec_id")
+    n_match = approx.join(exact, "vec_id").count()
+    return spark.createDataFrame(
+        [(k, n_match, n_match * 100 // k)],
+        "k int, n_match int, recall_x100 bigint")
+
+
+def quantized_recall_sql(query_vec_id: int = 0, k: int = 10) -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+qz AS (
+  SELECT vec_id,
+         list_transform(v, x -> CAST(floor(
+             x * 127.0 / list_max(list_transform(v, a -> abs(a))) + 0.5)
+             AS BIGINT)) AS q
+  FROM e
+),
+qq AS (SELECT q AS qv FROM qz WHERE vec_id = {query_vec_id}),
+scored AS (
+  SELECT z.vec_id,
+         CAST(floor(list_dot_product(z.q, qq.qv)
+              / sqrt(list_dot_product(z.q, z.q)
+                     * list_dot_product(qq.qv, qq.qv)) * 1e6) AS BIGINT)
+           AS score_x1e6
+  FROM qz z, qq WHERE z.vec_id <> {query_vec_id}
+),
+approx AS (SELECT vec_id FROM scored
+           ORDER BY score_x1e6 DESC, vec_id LIMIT {k}),
+exact AS (
+  SELECT e.vec_id,
+         CAST(floor(list_cosine_similarity(e.v, q2.qv) * 1000000) AS BIGINT)
+           AS cos_x1e6
+  FROM e, (SELECT v AS qv FROM e WHERE vec_id = {query_vec_id}) q2
+  WHERE e.vec_id <> {query_vec_id}
+  ORDER BY cos_x1e6 DESC, e.vec_id ASC LIMIT {k}
+)
+SELECT {k} AS k, CAST(count(*) AS INT) AS n_match,
+       CAST(count(*) * 100 // {k} AS BIGINT) AS recall_x100
+FROM approx JOIN exact USING (vec_id)
+"""

@@ -1013,3 +1013,64 @@ SELECT lang, count(*) AS n_docs,
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_spanning
 FROM o GROUP BY lang ORDER BY lang
 """
+
+
+# ---------------------------------------------------------------------------
+# RAG chunking: fixed-window token chunks with stride
+# ---------------------------------------------------------------------------
+
+_CHUNK_W = 64       # window tokens
+_CHUNK_S = 48       # stride (W - S = 16 tokens overlap)
+
+
+def chunk_windows(spark: SparkSession, sf_dir: str,
+                  w: int = _CHUNK_W, s: int = _CHUNK_S) -> DataFrame:
+    """Split every document into overlapping token windows (size w,
+    stride s) with stable chunk ids and a content fingerprint — the
+    retrieval-indexing step of a RAG pipeline. Emits (doc_id,
+    chunk_no, start_tok, n_tok, chunk_md5) ordered.
+
+    Scale shape: map-only — split, generate start offsets with
+    sequence(), explode, slice; no shuffle at all until the output
+    sort (which a real pipeline wouldn't do — it's oracle ordering).
+    A document yields ceil(max(n-w+s,1)/s)-ish rows; the text rides
+    only within its original partition."""
+    from .dedup import _documents
+    docs = _documents(spark, sf_dir)
+    toks = _tokens(F.col("text"))
+    n = F.size(toks)
+    starts = F.filter(
+        F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(s)),
+        lambda st: st < n)
+    d = (docs.select("doc_id", toks.alias("toks"), n.alias("n"),
+                     F.posexplode(starts).alias("chunk_no", "start_tok")))
+    chunk = F.slice(F.col("toks"), F.col("start_tok") + 1, w)
+    return (d.select("doc_id", "chunk_no", "start_tok",
+                     F.size(chunk).alias("n_tok"),
+                     F.md5(F.array_join(chunk, " ")).alias("chunk_md5"))
+            .orderBy("doc_id", "chunk_no"))
+
+
+CHUNK_WINDOWS_SQL = f"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+),
+st AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         unnest(range(0, greatest(len(toks) - 1, 0) + 1, {_CHUNK_S}))
+           AS start_tok,
+         generate_subscripts(range(0, greatest(len(toks) - 1, 0) + 1,
+                                   {_CHUNK_S}), 1) - 1 AS chunk_no
+  FROM d
+)
+SELECT doc_id, chunk_no, start_tok,
+       CAST(len(list_slice(toks, start_tok + 1,
+                           least(start_tok + {_CHUNK_W}, n))) AS INT)
+         AS n_tok,
+       md5(array_to_string(list_slice(toks, start_tok + 1,
+                           least(start_tok + {_CHUNK_W}, n)), ' '))
+         AS chunk_md5
+FROM st WHERE start_tok < n
+ORDER BY doc_id, chunk_no
+"""

@@ -266,3 +266,81 @@ def test_crawl_shards_covers_all_pages(spark):
     total = weburl.url_parse(spark, SF).count()
     assert n_pages == total
     assert all(0 <= r["shard"] < 8 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# RAG chunk windows
+# ---------------------------------------------------------------------------
+
+def test_chunk_windows_offsets_and_overlap(spark):
+    from pikes_spark.operators import textstats
+    tmp = tempfile.mkdtemp(prefix="pikes_chunk_")
+    text = " ".join(f"t{i}" for i in range(100))
+    spark.createDataFrame([(1, text, "en")],
+                          "doc_id long, text string, lang string") \
+         .write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    rows = textstats.chunk_windows(spark, tmp, w=64, s=48).collect()
+    # starts 0, 48, 96 -> sizes 64, 52, 4
+    assert [(r["chunk_no"], r["start_tok"], r["n_tok"]) for r in rows] \
+        == [(0, 0, 64), (1, 48, 52), (2, 96, 4)]
+
+
+def test_chunk_windows_matches_duckdb(spark):
+    import duckdb
+    from pikes_spark.operators import textstats
+    got = [(r["doc_id"], r["chunk_no"], r["start_tok"], r["n_tok"],
+            r["chunk_md5"])
+           for r in textstats.chunk_windows(spark, SF).collect()]
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    want = [tuple(t) for t in
+            con.sql(textstats.CHUNK_WINDOWS_SQL).fetchall()]
+    assert got == want and len(got) >= 500
+
+
+# ---------------------------------------------------------------------------
+# z-order layout stats
+# ---------------------------------------------------------------------------
+
+def test_zorder_beats_linear_on_nonsort_column(spark):
+    """The point of the operator: under the linear (date-sorted)
+    layout the custkey span per file is ~the full domain; z-order
+    bounds BOTH dimensions."""
+    from pikes_spark.operators import layout
+    # sf0.001 orders fill only 3 default-size files — shrink the file
+    # size so the layout effect is visible (~24 files)
+    rows = {r["layout"]: r for r in
+            layout.zorder_stats(spark, SF, rows_per_file=64).collect()}
+    lin, zed = rows["linear"], rows["zorder"]
+    assert lin["n_files"] == zed["n_files"]
+    # x (custkey) span: z-order must at least halve the linear total
+    assert zed["sum_x_span"] * 2 < lin["sum_x_span"]
+    # and not give up more than 8x on the date dimension
+    assert zed["sum_y_span"] < lin["sum_y_span"] * 8
+
+
+def test_z_expr_is_morton(spark):
+    from pikes_spark.operators.layout import _z_expr
+    df = spark.createDataFrame([(3, 5)], "x long, y long") \
+              .selectExpr(f"{_z_expr('x', 'y')} AS z")
+    # x=0b011, y=0b101 -> z bits y2x2 y1x1 y0x0 = 100111 = 39
+    assert df.collect()[0]["z"] == 39
+
+
+# ---------------------------------------------------------------------------
+# int8 quantized recall
+# ---------------------------------------------------------------------------
+
+def test_quantized_recall_matches_duckdb_and_is_high(spark):
+    import duckdb
+    from pikes_spark.operators import similarity
+    got = [tuple(r) for r in
+           similarity.quantized_recall(spark, SF).collect()]
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS "
+            f"SELECT * FROM '{SF}/embeddings.parquet'")
+    want = [tuple(t) for t in
+            con.sql(similarity.quantized_recall_sql(0, 10)).fetchall()]
+    assert got == want
+    # int8 cosine on these embeddings should keep most of the top-10
+    assert got[0][1] >= 7
