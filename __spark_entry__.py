@@ -621,6 +621,11 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # common-neighbors link prediction (hub-capped inverted-index
         # pair generation; the cap is part of the contract)
         "kg_common_neighbors": graph.common_neighbors_rel,
+        # TransE-style negative sampling: deterministic integer-hash
+        # corruption + LEFT ANTI join against the positive edge set
+        "kg_negative_samples": graph.negative_samples,
+        # characteristic sets (SPARQL cardinality statistics)
+        "kg_char_sets": kgquery.characteristic_sets,
         # table maintenance: MERGE INTO + snapshot-diff CDC on the
         # committed snapshot tables (real commit/time-travel machinery;
         # oracle states the expected relational result)
@@ -689,6 +694,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_funnel_depth": events.funnel_depth,
         "evt_sliding_count": events.sliding_window_count,
         "evt_retention_cohorts": events.retention_cohorts,
+        # SCD type-2 dimension build (consecutive-change collapse +
+        # validity intervals; one user_id exchange feeds lag AND lead)
+        "evt_scd2_history": events.scd2_history,
         # custom STATEFUL streaming operator (applyInPandasWithState):
         # driven end-to-end through Structured Streaming, flushed via a
         # watermark sentinel, and value-checked against the same SQL
@@ -861,6 +869,10 @@ def oracle_sql() -> dict[str, str]:
         "txt_chunk_windows": textstats.CHUNK_WINDOWS_SQL,
         "tbl_zorder_stats": layout.ZORDER_STATS_SQL,
         "sim_quantized_recall": similarity.quantized_recall_sql(0, 10),
+        "evt_scd2_history": events.SCD2_SQL,
+        # TPC-H nation is fixed at 25 rows at every SF
+        "kg_negative_samples": graph.negative_samples_sql(25),
+        "kg_char_sets": kgquery.CHAR_SETS_SQL,
         # iterative merge loop is not SQL-expressible; frozen-VALUES
         # oracles (differential pytest vs an independent occurrence-
         # level implementation backs the freeze)

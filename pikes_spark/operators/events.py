@@ -275,3 +275,56 @@ SELECT CAST(c.cohort_week AS BIGINT) AS cohort_week,
 FROM uw JOIN cohort c USING (user_id)
 GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# SCD type-2 history build
+# ---------------------------------------------------------------------------
+
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build from an event stream:
+    per user, collapse consecutive repeats of the tracked attribute
+    (event_type) and emit validity intervals [valid_from, valid_to)
+    in epoch microseconds (valid_to = -1 for the open current row).
+    The warehouse-dimension twin of sessionize: same single user_id
+    shuffle, lag to detect change, lead for the interval close.
+
+    Scale shape: ONE hash exchange on user_id feeds both windows
+    (lag + lead share the partitioning/sort); rows are (long, string,
+    long) — the event payload is projected away before the shuffle."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (ev.select("user_id", "event_id", "ts", "event_type")
+           .withColumn("prev", F.lag("event_type").over(w))
+           .filter(F.col("prev").isNull()
+                   | (F.col("prev") != F.col("event_type"))))
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; session tz is UTC, so the cast is epoch-exact
+    return (chg.withColumn(
+        "valid_from_us",
+        F.unix_micros(F.col("ts").cast("timestamp")))
+            .withColumn("valid_to_us",
+                        F.coalesce(F.lead("valid_from_us").over(w2),
+                                   F.lit(-1).cast("long")))
+            .select("user_id", "event_type", "valid_from_us",
+                    "valid_to_us")
+            .orderBy("user_id", "valid_from_us"))
+
+
+SCD2_SQL = """
+WITH chg AS (
+  SELECT user_id, event_id, ts, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+),
+v AS (
+  SELECT user_id, event_type, epoch_us(ts) AS valid_from_us, ts, event_id
+  FROM chg WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id, event_type, valid_from_us,
+       COALESCE(lead(valid_from_us) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id),
+                -1) AS valid_to_us
+FROM v ORDER BY user_id, valid_from_us
+"""

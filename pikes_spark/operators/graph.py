@@ -371,3 +371,65 @@ SELECT CAST(ca AS BIGINT) AS ca, CAST(cb AS BIGINT) AS cb,
 FROM pairs WHERE common >= {_CN_MIN_COMMON}
 ORDER BY common DESC, ca, cb
 """
+
+
+# ---------------------------------------------------------------------------
+# negative sampling for KG-embedding training (TransE-style data prep)
+# ---------------------------------------------------------------------------
+
+_NEG_K = 4
+_NEG_MULT = 2654435761   # Knuth multiplicative hash constant
+_NEG_STEP = 40503
+
+
+def negative_samples(spark, sf_dir: str, k: int = _NEG_K) -> DataFrame:
+    """For every positive (customer)-[inNation]->(nation) edge, emit k
+    deterministic corrupted tails that are NOT true edges — the
+    negative half of a margin-loss KG-embedding training batch.
+
+    Corruption is pure integer arithmetic ((head * Knuth + i * step)
+    mod n_tails) so both engines generate the identical candidate
+    stream with no RNG; false negatives (candidates that happen to be
+    real edges) are removed by a LEFT ANTI join against the positive
+    set — the semantics that matters at 10^9 edges, where "filter
+    against the single known tail" is wrong for multi-valued
+    relations.
+
+    Scale shape: the candidate expansion is map-only (k rows per
+    positive, 3 ints each); the anti-join shuffles on (head, tail) —
+    uniform keys by construction of the hash; nothing is collected."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n_tails = spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+    pos = cust.select(F.col("c_custkey").alias("head"),
+                      F.col("c_nationkey").alias("tail"))
+    cand = pos.select(
+        "head",
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("try_no"))
+    cand = cand.withColumn(
+        "neg_tail",
+        (F.col("head") * _NEG_MULT + F.col("try_no") * _NEG_STEP)
+        % n_tails)
+    neg = cand.alias("c").join(
+        pos.alias("p"),
+        (F.col("c.head") == F.col("p.head"))
+        & (F.col("c.neg_tail") == F.col("p.tail")), "left_anti")
+    return (neg.select("c.head", "c.try_no", "c.neg_tail")
+            .orderBy("head", "try_no"))
+
+
+def negative_samples_sql(n_tails: int, k: int = _NEG_K) -> str:
+    return f"""
+WITH pos AS (
+  SELECT c_custkey AS head, c_nationkey AS tail FROM customer
+),
+cand AS (
+  SELECT head, t.try_no,
+         (head * {_NEG_MULT} + t.try_no * {_NEG_STEP}) % {n_tails}
+           AS neg_tail
+  FROM pos, (SELECT unnest(range(0, {k})) AS try_no) t
+)
+SELECT c.head, c.try_no, c.neg_tail
+FROM cand c
+ANTI JOIN pos p ON c.head = p.head AND c.neg_tail = p.tail
+ORDER BY c.head, c.try_no
+"""

@@ -1896,3 +1896,47 @@ SELECT subject,
 FROM triples WHERE subject LIKE 'cust:%'
 GROUP BY subject ORDER BY subject
 """
+
+
+# ---------------------------------------------------------------------------
+# characteristic sets (Neumann & Moerkotte 2011) — SPARQL cardinality
+# estimation statistics
+# ---------------------------------------------------------------------------
+
+def characteristic_sets(spark, sf_dir: str) -> DataFrame:
+    """Group subjects by their exact SET of predicates and count each
+    set's subjects and triples — the statistic a SPARQL optimizer uses
+    to estimate star-join cardinalities without per-predicate
+    independence assumptions (Neumann & Moerkotte, ICDE 2011).
+
+    Scale shape: one groupBy(subject) with collect_set (map-side
+    partial aggregation collapses duplicate predicates early), then a
+    second groupBy on the sorted-set string — set-count-sized output.
+    At 10^12 triples the subject agg is the big exchange; it is keyed
+    by the same subject hash the spo layout already clusters by, so
+    on the bucketed table it becomes a shuffle-free re-read."""
+    t = rel_triples(spark, sf_dir)
+    per_subj = (t.groupBy("subject")
+                .agg(F.concat_ws(
+                    ",", F.sort_array(F.collect_set("predicate")))
+                    .alias("pred_set"),
+                    F.count("*").alias("n_triples")))
+    return (per_subj.groupBy("pred_set")
+            .agg(F.count("*").cast("bigint").alias("n_subjects"),
+                 F.sum("n_triples").cast("bigint").alias("n_triples"))
+            .orderBy("pred_set"))
+
+
+CHAR_SETS_SQL = f"""
+WITH triples AS ({REL_TRIPLES_SQL}),
+per_subj AS (
+  SELECT subject,
+         array_to_string(list_sort(list(DISTINCT predicate)), ',')
+           AS pred_set,
+         count(*) AS n_triples
+  FROM triples GROUP BY subject
+)
+SELECT pred_set, CAST(count(*) AS BIGINT) AS n_subjects,
+       CAST(sum(n_triples) AS BIGINT) AS n_triples
+FROM per_subj GROUP BY pred_set ORDER BY pred_set
+"""

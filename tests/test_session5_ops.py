@@ -344,3 +344,47 @@ def test_quantized_recall_matches_duckdb_and_is_high(spark):
     assert got == want
     # int8 cosine on these embeddings should keep most of the top-10
     assert got[0][1] >= 7
+
+
+# ---------------------------------------------------------------------------
+# SCD2, negative sampling, characteristic sets
+# ---------------------------------------------------------------------------
+
+def test_scd2_intervals_tile_and_collapse(spark):
+    from pikes_spark.operators import events
+    rows = events.scd2_history(spark, SF).collect()
+    assert rows
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for user_rows in by_user.values():
+        # intervals tile: each valid_to == next valid_from; last open
+        for a, b in zip(user_rows, user_rows[1:]):
+            assert a["valid_to_us"] == b["valid_from_us"]
+            # consecutive versions always differ (repeats collapsed)
+            assert a["event_type"] != b["event_type"]
+        assert user_rows[-1]["valid_to_us"] == -1
+
+
+def test_negative_samples_are_never_positive(spark):
+    from pikes_spark.operators import graph
+    import duckdb
+    neg = graph.negative_samples(spark, SF).collect()
+    pos = {(int(h), int(t)) for h, t in duckdb.sql(
+        f"SELECT c_custkey, c_nationkey FROM '{SF}/customer.parquet'"
+    ).fetchall()}
+    assert neg
+    for r in neg:
+        assert (r["head"], r["neg_tail"]) not in pos
+        assert 0 <= r["neg_tail"] < 25
+
+
+def test_char_sets_partition_subjects(spark):
+    from pikes_spark.operators import kgquery
+    rows = kgquery.characteristic_sets(spark, SF).collect()
+    n_subjects = sum(r["n_subjects"] for r in rows)
+    distinct_subjects = (kgquery.rel_triples(spark, SF)
+                         .select("subject").distinct().count())
+    assert n_subjects == distinct_subjects
+    # every customer has the same 4-predicate star -> one big set
+    assert max(r["n_subjects"] for r in rows) >= 100
