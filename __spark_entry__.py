@@ -588,6 +588,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # KenLM-shaped 2-gram LM quality signal (first token scored
         # by the unigram backoff model)
         "txt_bigram_surprisal": textstats.bigram_surprisal,
+        # DSIR data-selection importance weights (hashed unigram+bigram
+        # log-ratio vs the lang='en' target slice; fixed point before
+        # the per-doc sum)
+        "txt_dsir_weights": textstats.dsir_weights,
         # BPE tokenizer training: distributed word-freq count +
         # merge loop over the aggregated table (the SentencePiece/HF
         # split); encode stats pin per-doc piece counts via bit_xor
@@ -626,6 +630,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_negative_samples": graph.negative_samples,
         # characteristic sets (SPARQL cardinality statistics)
         "kg_char_sets": kgquery.characteristic_sets,
+        # k-core decomposition: distributed h-index fixpoint; frozen
+        # digest oracle backed by a differential peeling pytest
+        "kg_kcore": graph.kcore_digest,
         # table maintenance: MERGE INTO + snapshot-diff CDC on the
         # committed snapshot tables (real commit/time-travel machinery;
         # oracle states the expected relational result)
@@ -873,6 +880,13 @@ def oracle_sql() -> dict[str, str]:
         # TPC-H nation is fixed at 25 rows at every SF
         "kg_negative_samples": graph.negative_samples_sql(25),
         "kg_char_sets": kgquery.CHAR_SETS_SQL,
+        "txt_dsir_weights": textstats.DSIR_SQL,
+        # iterative h-index fixpoint is not SQL-expressible; frozen-
+        # VALUES digest (differential pytest vs sequential peeling
+        # backs the freeze)
+        "kg_kcore": _corpus_values_sql(
+            "KCORE_DIGEST", ["coreness", "n_nodes", "node_sum"],
+            order="coreness"),
         # iterative merge loop is not SQL-expressible; frozen-VALUES
         # oracles (differential pytest vs an independent occurrence-
         # level implementation backs the freeze)

@@ -433,3 +433,84 @@ FROM cand c
 ANTI JOIN pos p ON c.head = p.head AND c.neg_tail = p.tail
 ORDER BY c.head, c.try_no
 """
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (coreness) via distributed h-index iteration
+# ---------------------------------------------------------------------------
+
+def coreness(edges: DataFrame, max_iter: int = 64) -> DataFrame:
+    """Coreness (k-core number) of every node in the undirected graph,
+    by the distributed h-index fixpoint (Montresor, De Pellegrini &
+    Miorandi, "Distributed k-core decomposition", IEEE TPDS 2013; also
+    the locality lemma in Lu et al. 2016): initialize every node's
+    estimate to its degree, then repeatedly set
+
+        est(v) <- min(est(v), H({est(u) : u in N(v)}))
+
+    where H is the h-index of the neighbor-estimate multiset. The
+    estimates are non-increasing and lower-bounded by the true
+    coreness, so the iteration converges to it exactly; no tie-break
+    or ordering enters the result — fully deterministic.
+
+    Scale shape: per iteration ONE join (adjacency ⋈ estimates, both
+    hash-partitioned on node id) and ONE groupBy(node) computing the
+    h-index over the degree-bounded neighbor-estimate list
+    (sort_array(collect_list); the hub-node alternative — counting
+    |{u : est(u) >= h}| per candidate h without materializing the
+    list — swaps memory for an extra aggregation and matters only
+    past ~10^6-degree hubs). localCheckpoint per iteration truncates
+    lineage; the per-iteration driver action is one COUNT of changed
+    estimates (bounded by max_iter, typically << graph diameter —
+    h-index propagation converges in O(core-hierarchy depth)).
+    """
+    und = (edges.select(F.least("src", "dst").alias("a"),
+                        F.greatest("src", "dst").alias("b"))
+           .filter(F.col("a") != F.col("b")).distinct())
+    adj = (und.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+           .unionAll(und.select(F.col("b").alias("node"),
+                                F.col("a").alias("nbr")))
+           .localCheckpoint())
+    est = (adj.groupBy("node").agg(F.count("*").alias("est"))
+           .localCheckpoint())
+    # h-index of a desc-sorted list xs: max over 1-based positions i
+    # of min(i, xs[i]) — computed as a fold carrying (pos, best).
+    def _hindex(lst):
+        zero = F.lit(0).cast("bigint")
+        return F.aggregate(
+            F.reverse(F.sort_array(lst)),
+            F.struct(zero.alias("i"), zero.alias("h")),
+            lambda acc, x: F.struct(
+                (acc["i"] + 1).alias("i"),
+                F.greatest(acc["h"], F.least(acc["i"] + 1, x)).alias("h")),
+            lambda acc: acc["h"])
+    nbr_est = est.select(F.col("node").alias("nbr"),
+                         F.col("est").alias("nbr_est"))
+    for _ in range(max_iter):
+        upd = (adj.join(nbr_est, "nbr")
+               .groupBy("node")
+               .agg(_hindex(F.collect_list("nbr_est")).alias("h")))
+        new_est = (est.join(upd, "node")
+                   .select("node", F.least("est", "h").alias("est"))
+                   .localCheckpoint())
+        changed = (new_est.join(est.withColumnRenamed("est", "old"), "node")
+                   .filter(F.col("est") != F.col("old")).count())
+        est = new_est
+        if changed == 0:
+            break
+        nbr_est = est.select(F.col("node").alias("nbr"),
+                             F.col("est").alias("nbr_est"))
+    return est.select("node", F.col("est").alias("coreness"))
+
+
+def kcore_digest(spark, sf_dir: str) -> DataFrame:
+    """Driver query: coreness histogram of the orders-derived graph —
+    (coreness, n_nodes, node_sum). The iterative fixpoint is not
+    SQL-expressible; the oracle is a frozen-VALUES digest backed by a
+    differential pytest against an independent sequential peeling
+    implementation (tests/test_session5_ops.py)."""
+    c = coreness(orders_graph(spark, sf_dir))
+    return (c.groupBy(F.col("coreness").cast("bigint").alias("coreness"))
+            .agg(F.count("*").cast("bigint").alias("n_nodes"),
+                 F.sum("node").cast("bigint").alias("node_sum"))
+            .orderBy("coreness"))

@@ -1074,3 +1074,119 @@ SELECT doc_id, chunk_no, start_tok,
 FROM st WHERE start_tok < n
 ORDER BY doc_id, chunk_no
 """
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (Xie et al., "Data Selection for Language
+# Models via Importance Resampling", NeurIPS 2023): score every raw
+# document by how target-domain-like its hashed n-gram distribution is.
+# ---------------------------------------------------------------------------
+
+_DSIR_DIM = 512            # hashed feature buckets (unigram + bigram)
+_DSIR_SCALE = 1_000_000    # fixed-point scale for per-feature log-ratio
+
+
+def _dsir_features(docs):
+    """(doc_id, lang, bucket) rows: hashed unigram AND bigram features
+    of each document, polyhash -> bucket (same rolling hash as
+    ``fingerprints`` so both engines bucket identically)."""
+    toks = _tokens(F.col("text"))
+    uni = toks
+    big = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit("_"), b))
+    feats = F.filter(F.concat(uni, big), lambda t: F.length(t) > 0)
+    polyhash = F.aggregate(
+        F.split(F.col("feat"), ""),
+        F.lit(0).cast("bigint"),
+        lambda acc, ch: (acc * FP_BASE + F.ascii(ch)) % FP_MOD)
+    return (docs.select("doc_id", "lang",
+                        F.explode(feats).alias("feat"))
+            .select("doc_id", "lang", (polyhash % _DSIR_DIM)
+                    .alias("bucket")))
+
+
+def dsir_weights(spark: SparkSession, sf_dir: str,
+                 target_lang: str = "en") -> DataFrame:
+    """Per-document DSIR importance weight: sum over the doc's hashed
+    unigram+bigram features of the add-one-smoothed log probability
+    ratio between the target domain (here: ``lang == target_lang``
+    documents, standing in for the curated target corpus) and the raw
+    corpus. Positive = more target-like than the corpus average.
+
+    Fixed-point discipline (same as bm25/surprisal): the per-FEATURE
+    log-ratio is floored to integer millionths BEFORE the per-doc sum,
+    so the aggregate is exact integer arithmetic in both engines.
+
+    Scale shape: two bucket-keyed aggregations whose output is
+    feature-dim-sized (map-side combine collapses each partition to
+    <= _DSIR_DIM partial rows); the log-ratio table (512 rows) is
+    broadcast-joined onto the exploded feature stream; ONE doc-keyed
+    exchange carries the partially-summed weights. At 10^12 docs the
+    only large movement is that final map-side-combined sum — the
+    estimator itself costs two tiny aggregations, exactly why DSIR is
+    the standard cheap data-selection pass before expensive training.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    f = _dsir_features(docs)
+    raw = f.groupBy("bucket").agg(F.count("*").alias("cr"))
+    tgt = (f.filter(F.col("lang") == target_lang)
+           .groupBy("bucket").agg(F.count("*").alias("ct")))
+    tot = (raw.agg(F.sum("cr").alias("tr")).crossJoin(
+        f.filter(F.col("lang") == target_lang)
+        .agg(F.count("*").alias("tt"))))
+    lr = (raw.join(tgt, "bucket", "left")
+          .withColumn("ct", F.coalesce("ct", F.lit(0)))
+          .crossJoin(F.broadcast(tot))
+          .select(
+              "bucket",
+              F.floor(_DSIR_SCALE * (
+                  F.log(F.col("ct") + 1) - F.log(F.col("tt") + _DSIR_DIM)
+                  - F.log(F.col("cr") + 1) + F.log(F.col("tr") + _DSIR_DIM)))
+              .cast("bigint").alias("lr")))
+    return (f.join(F.broadcast(lr), "bucket")
+            .groupBy("doc_id")
+            .agg(F.sum("lr").cast("bigint").alias("dsir_w"))
+            .orderBy("doc_id"))
+
+
+DSIR_SQL = f"""
+WITH feats AS (
+  SELECT doc_id, lang, f.feat
+  FROM (
+    SELECT doc_id, lang,
+           list_concat(
+             toks,
+             [toks[i] || '_' || toks[i+1] for i in range(1, len(toks))]
+           ) AS fl
+    FROM (SELECT doc_id, lang,
+                 regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+          FROM documents)
+  ), unnest(fl) AS f(feat)
+  WHERE length(f.feat) > 0
+), fb AS (
+  SELECT doc_id, lang,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           [CAST(ascii(c) AS BIGINT) for c in regexp_split_to_array(feat, '')]),
+           (acc, ch) -> (acc * {FP_BASE} + ch) % {FP_MOD}) % {_DSIR_DIM}
+           AS bucket
+  FROM feats
+), raw AS (
+  SELECT bucket, count(*) AS cr FROM fb GROUP BY bucket
+), tgt AS (
+  SELECT bucket, count(*) AS ct FROM fb WHERE lang = 'en' GROUP BY bucket
+), tot AS (
+  SELECT (SELECT count(*) FROM fb) AS tr,
+         (SELECT count(*) FROM fb WHERE lang = 'en') AS tt
+), lr AS (
+  SELECT raw.bucket,
+         CAST(floor({_DSIR_SCALE} * (
+           ln(COALESCE(ct, 0) + 1) - ln(tt + {_DSIR_DIM})
+           - ln(cr + 1) + ln(tr + {_DSIR_DIM}))) AS BIGINT) AS lr
+  FROM raw LEFT JOIN tgt ON raw.bucket = tgt.bucket CROSS JOIN tot
+)
+SELECT fb.doc_id, CAST(SUM(lr.lr) AS BIGINT) AS dsir_w
+FROM fb JOIN lr ON fb.bucket = lr.bucket
+GROUP BY fb.doc_id ORDER BY fb.doc_id
+"""

@@ -388,3 +388,57 @@ def test_char_sets_partition_subjects(spark):
     assert n_subjects == distinct_subjects
     # every customer has the same 4-predicate star -> one big set
     assert max(r["n_subjects"] for r in rows) >= 100
+
+
+# ---------------------------------------------------------------------------
+# k-core coreness, DSIR importance weights
+# ---------------------------------------------------------------------------
+
+def test_coreness_matches_sequential_peeling(spark):
+    """Differential: distributed h-index fixpoint == independent
+    sequential bucket-peeling on the same sf0.001 graph (this test
+    backs the frozen KCORE_DIGEST oracle)."""
+    from collections import defaultdict
+    import duckdb
+    from pikes_spark.operators import graph as G
+    got = {r["node"]: r["coreness"]
+           for r in G.coreness(G.orders_graph(spark, SF)).collect()}
+    edges = duckdb.sql(f"""
+      SELECT DISTINCT LEAST(o_custkey % 997, o_orderkey % 997) a,
+                      GREATEST(o_custkey % 997, o_orderkey % 997) b
+      FROM '{SF}/orders.parquet'
+      WHERE o_custkey % 997 <> o_orderkey % 997""").fetchall()
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b); adj[b].add(a)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    core, remaining, k = {}, set(adj), 0
+    while remaining:
+        while True:
+            peel = [v for v in remaining if deg[v] <= k]
+            if not peel:
+                break
+            for v in peel:
+                core[v] = k
+                remaining.discard(v)
+                for u in adj[v]:
+                    if u in remaining:
+                        deg[u] -= 1
+        k += 1
+    assert got == core
+
+
+def test_dsir_target_docs_score_higher(spark):
+    """Sanity on the estimator itself: the mean DSIR weight of
+    target-domain (en) docs must exceed the mean weight of the rest —
+    the defining property of an importance-resampling score."""
+    import duckdb
+    from pikes_spark.operators import textstats as T
+    w = {r["doc_id"]: r["dsir_w"]
+         for r in T.dsir_weights(spark, SF).collect()}
+    langs = dict(duckdb.sql(
+        f"SELECT doc_id, lang FROM '{SF}/documents.parquet'").fetchall())
+    en = [w[d] for d, l in langs.items() if l == "en"]
+    rest = [w[d] for d, l in langs.items() if l != "en"]
+    assert en and rest
+    assert sum(en) / len(en) > sum(rest) / len(rest)
