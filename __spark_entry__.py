@@ -476,6 +476,24 @@ def _q_stream_dedup(spark, sf_dir):
     return uniq.select("doc_id").orderBy("doc_id")
 
 
+def _q_stream_view_click(spark, sf_dir):
+    """Stream-stream watermarked INNER join (ad-attribution shape)
+    driven through a real availableNow Structured Streaming run;
+    value-checked against the batch join SQL. INNER join emits
+    matches as found, so one pass is complete (watermark expiry only
+    GCs state)."""
+    import tempfile
+
+    from pikes_spark.streaming.stream_join import run_view_click_join
+
+    tmp = tempfile.mkdtemp(prefix="pikes_sjoin_q_")
+    landing, out, ckpt = f"{tmp}/landing", f"{tmp}/out", f"{tmp}/ckpt"
+    run_view_click_join(spark, sf_dir, landing, out, ckpt)
+    return (spark.read.parquet(out)
+            .select("user_id", "view_id", "click_id", "gap_us")
+            .orderBy("user_id", "view_id", "click_id"))
+
+
 def _q_rel_agg(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (li.filter(F.col("l_shipdate") < "1997-01-01")
@@ -710,6 +728,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle as the batch sessionizer
         "evt_sessionize_stateful": _q_sessionize_stateful,
         "stream_dedup_exact": _q_stream_dedup,
+        # stream-stream watermarked join (view->click attribution);
+        # real streaming run, batch-SQL value oracle
+        "stream_view_click_join": _q_stream_view_click,
     }
 
 
@@ -757,6 +778,7 @@ _HTML_WRAP_SQL = """(
 
 
 def oracle_sql() -> dict[str, str]:
+    from pikes_spark.streaming import stream_join
     return {
         "kg_pages_table": PAGES_CTE + f"""
             SELECT url, strftime(warc_ts, '%Y-%m-%d %H:%M:%S') AS warc_ts_s,
@@ -953,6 +975,7 @@ def oracle_sql() -> dict[str, str]:
         # late-arriving duplicates (shifted ids, same text) must be
         # dropped: the committed unique set == the original corpus's
         # per-norm min-doc_id representatives
+        "stream_view_click_join": stream_join.VIEW_CLICK_JOIN_SQL,
         "stream_dedup_exact": """
             SELECT min(doc_id) AS doc_id
             FROM (SELECT doc_id,

@@ -123,3 +123,21 @@ def test_stream_dedup_first_arrival_wins(spark, tmp_path):
     # replay with same checkpoint: no new epochs, table unchanged
     stream_dedup_exact(spark, landing, out, ckpt).awaitTermination(300)
     assert sorted(r.doc_id for r in table.read(spark).collect()) == [10, 30, 40]
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Stream-stream watermarked INNER join through a real availableNow
+    run == the batch time-range join, row for row."""
+    import duckdb
+    from pikes_spark.streaming.stream_join import (
+        run_view_click_join, VIEW_CLICK_JOIN_SQL)
+    run_view_click_join(spark, SF, str(tmp_path / "landing"),
+                        str(tmp_path / "out"), str(tmp_path / "ckpt"))
+    got = sorted(tuple(r) for r in spark.read.parquet(str(tmp_path / "out"))
+                 .select("user_id", "view_id", "click_id", "gap_us")
+                 .collect())
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    want = sorted(tuple(r) for r in con.sql(VIEW_CLICK_JOIN_SQL).fetchall())
+    assert got == want
+    assert got  # non-degenerate
