@@ -651,6 +651,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # k-core decomposition: distributed h-index fixpoint; frozen
         # digest oracle backed by a differential peeling pytest
         "kg_kcore": graph.kcore_digest,
+        # SHACL-core shape validation report (minCount/maxCount/in/
+        # nodeKind as predicate-pruned aggregations and anti-joins)
+        "kg_shacl_report": kgquery.shacl_report,
         # table maintenance: MERGE INTO + snapshot-diff CDC on the
         # committed snapshot tables (real commit/time-travel machinery;
         # oracle states the expected relational result)
@@ -903,6 +906,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_negative_samples": graph.negative_samples_sql(25),
         "kg_char_sets": kgquery.CHAR_SETS_SQL,
         "txt_dsir_weights": textstats.DSIR_SQL,
+        "kg_shacl_report": kgquery.shacl_sql(),
         # iterative h-index fixpoint is not SQL-expressible; frozen-
         # VALUES digest (differential pytest vs sequential peeling
         # backs the freeze)

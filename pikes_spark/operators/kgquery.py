@@ -1940,3 +1940,115 @@ SELECT pred_set, CAST(count(*) AS BIGINT) AS n_subjects,
        CAST(sum(n_triples) AS BIGINT) AS n_triples
 FROM per_subj GROUP BY pred_set ORDER BY pred_set
 """
+
+
+# ---------------------------------------------------------------------------
+# SHACL-lite shape validation (W3C SHACL core constraints as joins)
+# ---------------------------------------------------------------------------
+
+_SHACL_ALLOWED_SEGMENTS = ("AUTOMOBILE", "BUILDING", "FURNITURE",
+                           "HOUSEHOLD")  # sh:in — MACHINERY deliberately
+# excluded so the validator provably reports real violations
+
+
+def shacl_report(spark, sf_dir: str) -> DataFrame:
+    """Validate the relational triple view against a small SHACL-core
+    shape set and emit the violation report — the data-QA pass a KG
+    construction pipeline runs before committing a snapshot (W3C SHACL
+    Recommendation: sh:minCount / sh:maxCount / sh:in / sh:nodeKind).
+
+    Shapes (focus = subjects with prefix cust: / nat:):
+      S1 cust minCount  — every cust: must have >= 1 ex:inNation
+      S2 cust maxCount  — every cust: must have <= 1 ex:inNation
+      S3 cust sh:in     — ex:segment value must be in the allowed set
+                          (MACHINERY excluded on purpose: real rows)
+      S4 nat  nodeKind  — ex:inRegion object must be an IRI, and every
+                          nat: must have exactly one
+      S5 nat  minCount  — every nat: must have >= 1 ex:name literal
+
+    Each SHACL core constraint is ONE aggregation or anti-join over
+    the triple table — validation is a handful of Catalyst plans, not
+    a per-node interpreter, so the report costs a few predicate-pruned
+    scans of the (already predicate-partitionable) triple table at any
+    scale. Returns (shape_id, focus, n_violations) ordered; conforming
+    shapes appear with n_violations = 0 via the shape spine, so the
+    report schema is stable whatever the data.
+    """
+    t = rel_triples(spark, sf_dir)
+    ex = _EX
+    cust = (t.filter(F.col("subject").startswith("cust:"))
+            .select("subject").distinct())
+    nat = (t.filter(F.col("subject").startswith("nat:"))
+           .select("subject").distinct())
+
+    in_nation = t.filter(F.col("predicate") == ex + "inNation")
+    cnt = in_nation.groupBy("subject").agg(F.count("*").alias("c"))
+    s1 = cust.join(cnt, "subject", "left_anti")  # minCount 1
+    s2 = cnt.filter(F.col("c") > 1).select("subject")  # maxCount 1
+    s3 = (t.filter((F.col("predicate") == ex + "segment")
+                   & ~F.col("object").isin(*_SHACL_ALLOWED_SEGMENTS))
+          .select("subject"))
+    in_region = t.filter(F.col("predicate") == ex + "inRegion")
+    s4a = in_region.filter(F.col("object_is_literal")).select("subject")
+    s4b = nat.join(in_region.select("subject").distinct(),
+                   "subject", "left_anti")
+    s5 = nat.join(
+        t.filter((F.col("predicate") == ex + "name")
+                 & F.col("object_is_literal")).select("subject").distinct(),
+        "subject", "left_anti")
+
+    spine = [("S1_cust_minCount_inNation", s1),
+             ("S2_cust_maxCount_inNation", s2),
+             ("S3_cust_in_segment", s3),
+             ("S4_nat_nodeKind_inRegion", s4a.unionAll(s4b)),
+             ("S5_nat_minCount_name", s5)]
+    parts = [df.agg(F.count("*").cast("bigint").alias("n_violations"))
+             .select(F.lit(sid).alias("shape_id"), "n_violations")
+             for sid, df in spine]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("shape_id")
+
+
+SHACL_SQL = """
+WITH triples AS ({rel}),
+cust AS (SELECT DISTINCT subject FROM triples
+         WHERE subject LIKE 'cust:%'),
+nat AS (SELECT DISTINCT subject FROM triples
+        WHERE subject LIKE 'nat:%'),
+in_nation AS (SELECT subject, count(*) AS c FROM triples
+              WHERE predicate = '{ex}inNation' GROUP BY subject),
+in_region AS (SELECT subject, object, object_is_literal FROM triples
+              WHERE predicate = '{ex}inRegion')
+SELECT 'S1_cust_minCount_inNation' AS shape_id,
+       CAST((SELECT count(*) FROM cust
+             WHERE subject NOT IN (SELECT subject FROM in_nation))
+            AS BIGINT) AS n_violations
+UNION ALL
+SELECT 'S2_cust_maxCount_inNation',
+       CAST((SELECT count(*) FROM in_nation WHERE c > 1) AS BIGINT)
+UNION ALL
+SELECT 'S3_cust_in_segment',
+       CAST((SELECT count(*) FROM triples
+             WHERE predicate = '{ex}segment'
+               AND object NOT IN {seg_list}) AS BIGINT)
+UNION ALL
+SELECT 'S4_nat_nodeKind_inRegion',
+       CAST(((SELECT count(*) FROM in_region WHERE object_is_literal)
+             + (SELECT count(*) FROM nat WHERE subject NOT IN
+                (SELECT subject FROM in_region))) AS BIGINT)
+UNION ALL
+SELECT 'S5_nat_minCount_name',
+       CAST((SELECT count(*) FROM nat WHERE subject NOT IN
+             (SELECT subject FROM triples
+              WHERE predicate = '{ex}name' AND object_is_literal))
+            AS BIGINT)
+ORDER BY shape_id
+""".replace("{seg_list}",
+            "(" + ", ".join(f"'{s}'" for s in _SHACL_ALLOWED_SEGMENTS)
+            + ")")
+
+
+def shacl_sql() -> str:
+    return SHACL_SQL.format(rel=REL_TRIPLES_SQL, ex=_EX)

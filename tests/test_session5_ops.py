@@ -442,3 +442,21 @@ def test_dsir_target_docs_score_higher(spark):
     rest = [w[d] for d, l in langs.items() if l != "en"]
     assert en and rest
     assert sum(en) / len(en) > sum(rest) / len(rest)
+
+
+def test_shacl_report_flags_planted_violation(spark):
+    """The sh:in shape must report exactly the MACHINERY customers;
+    conforming shapes must be present with 0 (stable report spine)."""
+    import duckdb
+    from pikes_spark.operators import kgquery
+    rows = {r["shape_id"]: r["n_violations"]
+            for r in kgquery.shacl_report(spark, SF).collect()}
+    n_machinery = duckdb.sql(
+        f"SELECT count(*) FROM '{SF}/customer.parquet' "
+        f"WHERE c_mktsegment = 'MACHINERY'").fetchone()[0]
+    assert rows["S3_cust_in_segment"] == n_machinery > 0
+    assert rows["S1_cust_minCount_inNation"] == 0
+    assert rows["S2_cust_maxCount_inNation"] == 0
+    assert rows["S4_nat_nodeKind_inRegion"] == 0
+    assert rows["S5_nat_minCount_name"] == 0
+    assert len(rows) == 5
