@@ -207,3 +207,37 @@ def test_weblinks_extraction_map_only_and_rollups_jvm_side(spark):
     assert_no_python_eval(g)
     assert_partial_aggregation(g)
     assert_no_python_eval(weblinks.anchor_priors_rel(spark, SF))
+
+
+def test_session7_ops_plan_shapes(spark):
+    """New-op plan audit: DSIR stays JVM-side with its dictionary
+    joins broadcast; negative sampling, SCD2, char-sets, and SHACL
+    have no Python eval and no row-level cartesian; SCD2 reuses ONE
+    user_id exchange for both windows."""
+    from pikes_spark.operators import events, graph, kgquery, textstats
+
+    dsir = textstats.dsir_weights(spark, SF)
+    assert_no_python_eval(dsir)
+    assert_broadcast_join(dsir)
+    # (the totals crossJoin appears as a BroadcastNestedLoopJoin over
+    # exactly ONE broadcast row — allowed by design, same stance as
+    # the embedding block-grid; no row-level cartesian check here)
+
+    neg = graph.negative_samples(spark, SF)
+    assert_no_python_eval(neg)
+    assert_no_cartesian(neg)
+
+    cs = kgquery.characteristic_sets(spark, SF)
+    assert_no_python_eval(cs)
+    assert_partial_aggregation(cs)
+
+    shacl = kgquery.shacl_report(spark, SF)
+    assert_no_python_eval(shacl)
+    assert_no_cartesian(shacl)
+
+    scd2 = events.scd2_history(spark, SF)
+    assert_no_python_eval(scd2)
+    plan = explain_formatted(scd2)
+    # both lag and lead run over the same (user_id, ts, event_id)
+    # partitioning/sort: exactly one user_id hash exchange
+    assert plan.count("hashpartitioning(user_id") == 1, plan
