@@ -646,6 +646,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # TransE-style negative sampling: deterministic integer-hash
         # corruption + LEFT ANTI join against the positive edge set
         "kg_negative_samples": graph.negative_samples,
+        # DeepWalk walk-corpus generation: deterministic hash-argmin
+        # steps, one frontier row per walk per step
+        "kg_walk_corpus": graph.walk_corpus_rel,
         # characteristic sets (SPARQL cardinality statistics)
         "kg_char_sets": kgquery.characteristic_sets,
         # k-core decomposition: distributed h-index fixpoint; frozen
@@ -904,6 +907,7 @@ def oracle_sql() -> dict[str, str]:
         "evt_scd2_history": events.SCD2_SQL,
         # TPC-H nation is fixed at 25 rows at every SF
         "kg_negative_samples": graph.negative_samples_sql(25),
+        "kg_walk_corpus": graph.WALK_CORPUS_SQL,
         "kg_char_sets": kgquery.CHAR_SETS_SQL,
         "txt_dsir_weights": textstats.DSIR_SQL,
         "kg_shacl_report": kgquery.shacl_sql(),

@@ -514,3 +514,109 @@ def kcore_digest(spark, sf_dir: str) -> DataFrame:
             .agg(F.count("*").cast("bigint").alias("n_nodes"),
                  F.sum("node").cast("bigint").alias("node_sum"))
             .orderBy("coreness"))
+
+
+# ---------------------------------------------------------------------------
+# DeepWalk-style walk corpus (deterministic hash-random walks)
+# ---------------------------------------------------------------------------
+
+_WALK_LEN = 4             # steps per walk (walk has _WALK_LEN+1 nodes)
+_WALK_MOD = 1_000_000_007
+_WALK_K1 = 1_000_003      # mixes walk_id
+_WALK_K2 = 40_503         # mixes step
+_WALK_K3 = 2_654_435_761  # Knuth constant, mixes neighbor id
+
+
+def walk_corpus(edges: DataFrame, walk_len: int = _WALK_LEN) -> DataFrame:
+    """The DeepWalk / node2vec(p=q=1) data-prep stage: one walk per
+    node over the undirected graph, emitted as (walk_id, step, node)
+    rows — the 'sentence' corpus a skip-gram KG-embedding trainer
+    consumes (Perozzi et al., KDD 2014).
+
+    Randomness is replaced by a deterministic hash choice: at step s,
+    walk w moves to  argmin_{nbr}  H(w, s, nbr)  over cur's neighbors,
+    with H an integer polynomial hash and ties broken by neighbor id
+    (the argmin key is H * 2^20 + nbr, exact while node ids < 2^20 —
+    true for the driver graph's mod-997 ids; wider graphs should bump
+    the shift). Both engines replay the identical walks, so the whole
+    corpus is value-checkable — the property that makes distributed
+    walk generation testable at all.
+
+    Scale shape: walk_len iterations of (frontier ⋈ adjacency on the
+    current node) + a map-side-combinable min_by per walk — the same
+    checkpointed-frontier discipline as bfs_hops; frontier stays ONE
+    row per walk at every step, so each iteration moves O(nodes)
+    rows however big the neighbor fan-out (the min_by collapses it
+    before the exchange)."""
+    und = (edges.select(F.least("src", "dst").alias("a"),
+                        F.greatest("src", "dst").alias("b"))
+           .filter(F.col("a") != F.col("b")).distinct())
+    adj = (und.select(F.col("a").alias("cur"), F.col("b").alias("nbr"))
+           .unionAll(und.select(F.col("b").alias("cur"),
+                                F.col("a").alias("nbr")))
+           .localCheckpoint())
+    frontier = (adj.select(F.col("cur").alias("walk_id")).distinct()
+                .select("walk_id", F.col("walk_id").alias("node"),
+                        F.lit(0).cast("bigint").alias("step")))
+    out = frontier
+    for s in range(1, walk_len + 1):
+        h = (F.col("walk_id") * _WALK_K1 + F.lit(s) * _WALK_K2
+             + F.col("nbr") * _WALK_K3) % _WALK_MOD
+        nxt = (frontier.join(adj, frontier.node == adj.cur)
+               .select("walk_id", "nbr", (h * 1048576 + F.col("nbr"))
+                       .alias("hk"))
+               .groupBy("walk_id")
+               .agg(F.min_by("nbr", "hk").alias("node"))
+               .withColumn("step", F.lit(s).cast("bigint"))
+               .localCheckpoint())
+        out = out.unionAll(nxt.select("walk_id", "node", "step"))
+        frontier = nxt.select("walk_id", "node")
+    return (out.select(F.col("walk_id").cast("bigint").alias("walk_id"),
+                       F.col("step").cast("bigint").alias("step"),
+                       F.col("node").cast("bigint").alias("node"))
+            .orderBy("walk_id", "step"))
+
+
+def walk_corpus_rel(spark, sf_dir: str) -> DataFrame:
+    """Driver query: walk corpus over the orders-derived graph."""
+    return walk_corpus(orders_graph(spark, sf_dir))
+
+
+def _walk_sql_steps(walk_len: int = _WALK_LEN) -> str:
+    steps = []
+    prev = "s0"
+    sel = ["SELECT walk_id, step, node FROM s0"]
+    for s in range(1, walk_len + 1):
+        cur = f"s{s}"
+        steps.append(f"""{cur} AS (
+  SELECT walk_id, CAST({s} AS BIGINT) AS step,
+         arg_min(nbr,
+           ((walk_id * {_WALK_K1} + {s} * {_WALK_K2}
+             + nbr * {_WALK_K3}) % {_WALK_MOD}) * 1048576 + nbr)
+           AS node
+  FROM {prev} JOIN adj ON adj.cur = {prev}.node
+  GROUP BY walk_id
+)""")
+        sel.append(f"SELECT walk_id, step, node FROM s{s}")
+        prev = cur
+    return ",\n".join(steps) + "\n" + "\nUNION ALL ".join(sel)
+
+
+WALK_CORPUS_SQL = f"""
+WITH und AS (
+  SELECT DISTINCT LEAST(o_custkey % {_MOD}, o_orderkey % {_MOD}) AS a,
+                  GREATEST(o_custkey % {_MOD}, o_orderkey % {_MOD}) AS b
+  FROM orders
+  WHERE o_custkey % {_MOD} <> o_orderkey % {_MOD}
+),
+adj AS (
+  SELECT a AS cur, b AS nbr FROM und
+  UNION ALL SELECT b, a FROM und
+),
+s0 AS (
+  SELECT DISTINCT cur AS walk_id, CAST(0 AS BIGINT) AS step,
+         cur AS node FROM adj
+),
+{_walk_sql_steps()}
+ORDER BY walk_id, step
+"""

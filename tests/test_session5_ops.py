@@ -460,3 +460,29 @@ def test_shacl_report_flags_planted_violation(spark):
     assert rows["S4_nat_nodeKind_inRegion"] == 0
     assert rows["S5_nat_minCount_name"] == 0
     assert len(rows) == 5
+
+
+def test_walk_corpus_walks_follow_edges(spark):
+    """Every consecutive (node, next) in every walk must be a real
+    edge, every walk has full length, and the corpus is deterministic
+    across two runs (hash-random, no RNG)."""
+    import duckdb
+    from pikes_spark.operators import graph as G
+    rows = [tuple(r) for r in G.walk_corpus_rel(spark, SF).collect()]
+    rows2 = [tuple(r) for r in G.walk_corpus_rel(spark, SF).collect()]
+    assert rows == rows2
+    edges = set()
+    for a, b in duckdb.sql(f"""
+        SELECT DISTINCT o_custkey % 997, o_orderkey % 997
+        FROM '{SF}/orders.parquet'
+        WHERE o_custkey % 997 <> o_orderkey % 997""").fetchall():
+        edges.add((a, b)); edges.add((b, a))
+    walks = {}
+    for wid, step, node in rows:
+        walks.setdefault(wid, {})[step] = node
+    assert walks
+    for wid, w in walks.items():
+        assert sorted(w) == [0, 1, 2, 3, 4]
+        assert w[0] == wid
+        for s in range(4):
+            assert (w[s], w[s + 1]) in edges
