@@ -691,6 +691,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # globally-rarest shingles of each doc are indexed, so hot
         # shingles never explode the candidate join
         "dedup_jaccard_prefix": dedup.jaccard_prefix_pairs,
+        # sorted-neighborhood blocking (the ordering-aware third
+        # blocking family): blocked lead-window candidates + exact
+        # token-Jaccard verify
+        "dedup_snm_pairs": dedup.snm_pairs,
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
         "dedup_simhash": dedup.simhash_pairs,
         "dedup_simhash_stats": _q_simhash_stats,
@@ -910,6 +914,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_walk_corpus": graph.WALK_CORPUS_SQL,
         "kg_char_sets": kgquery.CHAR_SETS_SQL,
         "txt_dsir_weights": textstats.DSIR_SQL,
+        "dedup_snm_pairs": dedup.SNM_SQL,
         "kg_shacl_report": kgquery.shacl_sql(),
         # iterative h-index fixpoint is not SQL-expressible; frozen-
         # VALUES digest (differential pytest vs sequential peeling

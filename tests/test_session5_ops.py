@@ -486,3 +486,22 @@ def test_walk_corpus_walks_follow_edges(spark):
         assert w[0] == wid
         for s in range(4):
             assert (w[s], w[s + 1]) in edges
+
+
+def test_snm_window_bound_and_verify(spark):
+    """Every emitted SNM pair passes the Jaccard floor; candidate
+    generation respects the block (same lang) and the window bound."""
+    import duckdb
+    from pikes_spark.operators import dedup as D
+    rows = [tuple(r) for r in D.snm_pairs(spark, SF).collect()]
+    assert rows
+    langs = dict(duckdb.sql(
+        f"SELECT doc_id, lang FROM '{SF}/documents.parquet'").fetchall())
+    rn = {d: r for d, r in duckdb.sql(f"""
+      SELECT doc_id, row_number() OVER (PARTITION BY lang
+        ORDER BY substring(text, 1, 24), doc_id)
+      FROM '{SF}/documents.parquet'""").fetchall()}
+    for a, b, j in rows:
+        assert j >= 200_000
+        assert langs[a] == langs[b]
+        assert abs(rn[a] - rn[b]) <= 3
