@@ -610,6 +610,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # log-ratio vs the lang='en' target slice; fixed point before
         # the per-doc sum)
         "txt_dsir_weights": textstats.dsir_weights,
+        # distributed full-batch GD training of a hashed linear probe
+        # (integer fixed point -> bit-identical weights cross-engine)
+        "txt_train_linear_probe": textstats.train_linear_probe,
         # BPE tokenizer training: distributed word-freq count +
         # merge loop over the aggregated table (the SentencePiece/HF
         # split); encode stats pin per-doc piece counts via bit_xor
@@ -915,6 +918,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_char_sets": kgquery.CHAR_SETS_SQL,
         "txt_dsir_weights": textstats.DSIR_SQL,
         "dedup_snm_pairs": dedup.SNM_SQL,
+        "txt_train_linear_probe": textstats.LINEAR_PROBE_SQL,
         "kg_shacl_report": kgquery.shacl_sql(),
         # iterative h-index fixpoint is not SQL-expressible; frozen-
         # VALUES digest (differential pytest vs sequential peeling

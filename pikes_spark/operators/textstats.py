@@ -1190,3 +1190,140 @@ SELECT fb.doc_id, CAST(SUM(lr.lr) AS BIGINT) AS dsir_w
 FROM fb JOIN lr ON fb.bucket = lr.bucket
 GROUP BY fb.doc_id ORDER BY fb.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# distributed linear-probe training: full-batch gradient descent in
+# exact integer fixed point (deterministic, value-checkable training)
+# ---------------------------------------------------------------------------
+
+_LP_DIM = 64          # hashed feature buckets
+_LP_ITERS = 8         # unrolled GD iterations
+_LP_SCALE = 1_000_000
+
+
+# integer step division: Spark's `div` and DuckDB's `//` BOTH truncate
+# toward zero (verified: -7//2 = -3 in DuckDB), so plain `div` keeps
+# the two engines bit-identical on negative gradients.
+_LP_FLOORDIV = "({a}) div ({b})"
+
+
+def train_linear_probe(spark: SparkSession, sf_dir: str,
+                       iters: int = _LP_ITERS) -> DataFrame:
+    """Train a least-squares linear classifier (lang=='en' probe) on
+    hashed token-count features by FULL-BATCH gradient descent carried
+    out entirely in integer fixed point — the training counterpart of
+    ``hash_classifier``'s serving path, and the degenerate-but-exact
+    member of the distributed-training family (full-batch GD is the
+    one SGD variant whose result is independent of partitioning and
+    visit order, because each step is a pure corpus aggregation).
+
+        w_b <- w_b - floor( sum_d x_db * (score_d - y_d*S) / norm )
+        score_d = sum_b x_db * w_b ,  norm = sum x^2 (constant)
+
+    Every quantity is int64; divisions are explicit floor-divisions
+    (emulated in Spark, native `//` in DuckDB), so the learned weights
+    are bit-identical in both engines and across any cluster size.
+
+    Scale shape per iteration: one broadcast join of the 64-row weight
+    vector onto the (doc, bucket, x) feature table, one doc-keyed
+    partial-agg sum (scores), one bucket-keyed partial-agg sum
+    (gradient, output = dim rows). Nothing driver-side except the loop
+    counter; at 10^12 docs each step is two map-side-combined
+    aggregations — exactly how parameter-server-free full-batch
+    distributed training is shaped.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = (docs.select("doc_id", "lang",
+                        F.explode(_tokens(F.col("text"))).alias("tok"))
+            .filter(F.length("tok") > 0))
+    polyhash = F.aggregate(
+        F.split(F.col("tok"), ""),
+        F.lit(0).cast("bigint"),
+        lambda acc, ch: (acc * FP_BASE + F.ascii(ch)) % FP_MOD)
+    fb = (toks.select("doc_id", "lang", (polyhash % _LP_DIM).alias("bucket"))
+          .groupBy("doc_id", "lang", "bucket")
+          .agg(F.count("*").cast("bigint").alias("x"))
+          .localCheckpoint())
+    labels = (fb.select("doc_id", "lang").distinct()
+              .select("doc_id",
+                      F.when(F.col("lang") == "en", F.lit(1))
+                      .otherwise(F.lit(0)).cast("bigint").alias("y")))
+    norm = fb.agg(F.sum(F.col("x") * F.col("x")).alias("nrm"))
+    w = (spark.range(_LP_DIM).select(F.col("id").alias("bucket"),
+                                     F.lit(0).cast("bigint").alias("w"))
+         .localCheckpoint())
+    for _ in range(iters):
+        scores = (fb.join(F.broadcast(w), "bucket")
+                  .groupBy("doc_id")
+                  .agg(F.sum(F.col("x") * F.col("w")).alias("score")))
+        resid = (scores.join(labels, "doc_id")
+                 .select("doc_id",
+                         (F.col("score") - F.col("y") * _LP_SCALE)
+                         .alias("r")))
+        grad = (fb.join(resid, "doc_id")
+                .groupBy("bucket")
+                .agg(F.sum(F.col("x") * F.col("r")).alias("g")))
+        step = _LP_FLOORDIV.format(a="coalesce(g, 0L)", b="nrm")
+        w = (w.join(grad, "bucket", "left")
+             .crossJoin(F.broadcast(norm))
+             .select("bucket",
+                     (F.col("w") - F.expr(step)).alias("w"))
+             .localCheckpoint())
+    return w.orderBy("bucket")
+
+
+def _lp_iter_sql(k: int) -> str:
+    prev = f"w{k - 1}"
+    return f"""sc{k} AS (
+  SELECT fb.doc_id, sum(fb.x * {prev}.w) AS score
+  FROM fb JOIN {prev} ON fb.bucket = {prev}.bucket
+  GROUP BY fb.doc_id
+),
+rs{k} AS (
+  SELECT sc{k}.doc_id, sc{k}.score - labels.y * {_LP_SCALE} AS r
+  FROM sc{k} JOIN labels ON sc{k}.doc_id = labels.doc_id
+),
+gr{k} AS (
+  SELECT fb.bucket, sum(fb.x * rs{k}.r) AS g
+  FROM fb JOIN rs{k} ON fb.doc_id = rs{k}.doc_id
+  GROUP BY fb.bucket
+),
+w{k} AS (
+  SELECT {prev}.bucket,
+         {prev}.w - (COALESCE(gr{k}.g, 0) // (SELECT nrm FROM norm))
+           AS w
+  FROM {prev} LEFT JOIN gr{k} ON {prev}.bucket = gr{k}.bucket
+)"""
+
+
+LINEAR_PROBE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang, t.tok
+  FROM documents,
+       unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t(tok)
+  WHERE length(t.tok) > 0
+),
+fb AS (
+  SELECT doc_id, lang,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           [CAST(ascii(c) AS BIGINT) for c in regexp_split_to_array(tok, '')]),
+           (acc, ch) -> (acc * {FP_BASE} + ch) % {FP_MOD}) % {_LP_DIM}
+           AS bucket,
+         CAST(count(*) AS BIGINT) AS x
+  FROM toks GROUP BY doc_id, lang, 3
+),
+labels AS (
+  SELECT DISTINCT doc_id,
+         CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS y
+  FROM fb
+),
+norm AS (SELECT sum(x * x) AS nrm FROM fb),
+w0 AS (
+  SELECT CAST(range AS BIGINT) AS bucket, CAST(0 AS BIGINT) AS w
+  FROM range(0, {_LP_DIM})
+),
+__ITERS__
+SELECT bucket, w FROM w{_LP_ITERS} ORDER BY bucket
+""".replace("__ITERS__", ",\n".join(_lp_iter_sql(k)
+                                    for k in range(1, _LP_ITERS + 1)))

@@ -505,3 +505,42 @@ def test_snm_window_bound_and_verify(spark):
         assert j >= 200_000
         assert langs[a] == langs[b]
         assert abs(rn[a] - rn[b]) <= 3
+
+
+def test_linear_probe_training_reduces_loss(spark):
+    """Full-batch GD sanity: the trained weights strictly reduce the
+    corpus squared loss vs the zero initialization (the guarantee the
+    1/norm step size buys), and a second run is bit-identical."""
+    import duckdb
+    from pikes_spark.operators import textstats as T
+    w1 = [tuple(r) for r in T.train_linear_probe(spark, SF).collect()]
+    w2 = [tuple(r) for r in T.train_linear_probe(spark, SF).collect()]
+    assert w1 == w2
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * "
+            f"FROM '{SF}/documents.parquet'")
+    con.sql("CREATE TABLE w (bucket BIGINT, wv BIGINT)")
+    con.executemany("INSERT INTO w VALUES (?, ?)", w1)
+    loss0, loss1 = con.sql(f"""
+WITH toks AS (
+  SELECT doc_id, lang, t.tok FROM documents,
+       unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t(tok)
+  WHERE length(t.tok) > 0),
+fb AS (
+  SELECT doc_id, lang,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           [CAST(ascii(c) AS BIGINT) for c in
+            regexp_split_to_array(tok, '')]),
+           (acc, ch) -> (acc * 131 + ch) % 1000000007) % 64 AS bucket,
+         CAST(count(*) AS BIGINT) AS x
+  FROM toks GROUP BY 1, 2, 3),
+sc AS (
+  SELECT fb.doc_id,
+         CAST(CASE WHEN min(fb.lang) = 'en' THEN 1 ELSE 0 END
+              AS BIGINT) AS y,
+         sum(fb.x * w.wv) AS score
+  FROM fb JOIN w ON fb.bucket = w.bucket GROUP BY fb.doc_id)
+SELECT sum((0 - y * 1000000) ** 2) AS loss0,
+       sum((score - y * 1000000) ** 2) AS loss1
+FROM sc""").fetchone()
+    assert loss1 < loss0
