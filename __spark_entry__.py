@@ -629,6 +629,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tbl_zorder_stats": layout.zorder_stats,
         # int8 scalar-quantized ANN recall vs the exact float top-k
         "sim_quantized_recall": similarity.quantized_recall,
+        # hybrid retrieval: reciprocal-rank fusion of the BM25 top-20
+        # and the dense cosine top-20 (rank deep, fuse shallow)
+        "sim_hybrid_rrf": similarity.hybrid_rrf_topk,
         # rendezvous-hash fetch sharding (per-host politeness with
         # minimal movement on shard-count change); min_by argmin, no
         # window exchange
@@ -911,6 +914,7 @@ def oracle_sql() -> dict[str, str]:
         "txt_chunk_windows": textstats.CHUNK_WINDOWS_SQL,
         "tbl_zorder_stats": layout.ZORDER_STATS_SQL,
         "sim_quantized_recall": similarity.quantized_recall_sql(0, 10),
+        "sim_hybrid_rrf": similarity.hybrid_rrf_sql(),
         "evt_scd2_history": events.SCD2_SQL,
         # TPC-H nation is fixed at 25 rows at every SF
         "kg_negative_samples": graph.negative_samples_sql(25),

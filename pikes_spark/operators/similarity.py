@@ -377,3 +377,79 @@ SELECT {k} AS k, CAST(count(*) AS INT) AS n_match,
        CAST(count(*) * 100 // {k} AS BIGINT) AS recall_x100
 FROM approx JOIN exact USING (vec_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval: reciprocal-rank fusion of BM25 and dense top-k
+# ---------------------------------------------------------------------------
+
+_RRF_C = 60          # the standard RRF constant (Cormack et al. 2009)
+_RRF_POOL = 20       # depth of each input ranking
+_RRF_K = 15          # fused results returned
+
+
+def hybrid_rrf_topk(spark: SparkSession, sf_dir: str,
+                    query_vec_id: int = 0, k: int = _RRF_K) -> DataFrame:
+    """RAG-style hybrid retrieval: fuse the BM25 (sparse) top-20 and
+    the embedding-cosine (dense) top-20 for the same corpus by
+    reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009):
+
+        rrf(d) = sum over rankings of  1 / (C + rank_d)
+
+    computed as the exact integer 1000000 div (C + rank), so the fused
+    ordering is engine- and partitioning-independent. Documents found
+    by only one ranking contribute one term (standard RRF over pooled
+    lists). vec_id is doc_id in this corpus (aligned tables).
+
+    Scale shape: each input ranking is already a bounded top-k
+    (their own operators carry the scale argument — broadcast query
+    row / pruned term scan); fusion itself runs on 2×20 rows, so the
+    rank windows and the outer join are driver-scale no-ops however
+    large the corpus. That asymmetry — rank deep, fuse shallow — is
+    exactly why RRF is the production hybrid-retrieval default."""
+    from pyspark.sql import Window
+
+    from pikes_spark.operators.textstats import bm25_topk
+
+    sparse = bm25_topk(spark, sf_dir, k=_RRF_POOL)
+    dense = brute_force_topk(spark, sf_dir, query_vec_id, k=_RRF_POOL)
+    ws = Window.orderBy(F.desc("score_x1e6"), F.asc("doc_id"))
+    wd = Window.orderBy(F.desc("cos_x1e6"), F.asc("vec_id"))
+    s = (sparse.withColumn("sparse_rank", F.row_number().over(ws))
+         .select("doc_id", "sparse_rank"))
+    d = (dense.withColumn("dense_rank", F.row_number().over(wd))
+         .select(F.col("vec_id").alias("doc_id"), "dense_rank"))
+    fused = (s.join(d, "doc_id", "full_outer")
+             .select(
+                 "doc_id", "sparse_rank", "dense_rank",
+                 (F.expr(f"1000000 div ({_RRF_C} + coalesce(sparse_rank,"
+                         f" 1000000000))")
+                  + F.expr(f"1000000 div ({_RRF_C} + coalesce(dense_rank,"
+                           f" 1000000000))")).alias("rrf_x1e6")))
+    return (fused.orderBy(F.desc("rrf_x1e6"), F.asc("doc_id"))
+            .limit(k))
+
+
+def hybrid_rrf_sql(query_vec_id: int = 0, k: int = _RRF_K) -> str:
+    from pikes_spark.operators.textstats import BM25_SQL
+    return f"""
+WITH sparse AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score_x1e6 DESC, doc_id)
+           AS sparse_rank
+  FROM ({BM25_SQL})
+),
+dense AS (
+  SELECT vec_id AS doc_id,
+         row_number() OVER (ORDER BY cos_x1e6 DESC, vec_id)
+           AS dense_rank
+  FROM ({brute_force_topk_sql(query_vec_id, _RRF_POOL)})
+)
+SELECT COALESCE(sparse.doc_id, dense.doc_id) AS doc_id,
+       sparse_rank, dense_rank,
+       (1000000 // ({_RRF_C} + COALESCE(sparse_rank, 1000000000)))
+       + (1000000 // ({_RRF_C} + COALESCE(dense_rank, 1000000000)))
+         AS rrf_x1e6
+FROM sparse FULL OUTER JOIN dense ON sparse.doc_id = dense.doc_id
+ORDER BY rrf_x1e6 DESC, doc_id LIMIT {k}
+"""

@@ -544,3 +544,20 @@ SELECT sum((0 - y * 1000000) ** 2) AS loss0,
        sum((score - y * 1000000) ** 2) AS loss1
 FROM sc""").fetchone()
     assert loss1 < loss0
+
+
+def test_hybrid_rrf_fuses_both_rankings(spark):
+    """RRF output must contain contributions from BOTH rankings and
+    respect the fusion arithmetic on a spot row."""
+    from pikes_spark.operators import similarity as S
+    rows = S.hybrid_rrf_topk(spark, SF).collect()
+    assert rows
+    assert any(r["sparse_rank"] is not None for r in rows)
+    assert any(r["dense_rank"] is not None for r in rows)
+    for r in rows:
+        want = 0
+        if r["sparse_rank"] is not None:
+            want += 1_000_000 // (60 + r["sparse_rank"])
+        if r["dense_rank"] is not None:
+            want += 1_000_000 // (60 + r["dense_rank"])
+        assert r["rrf_x1e6"] == want
