@@ -613,6 +613,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # distributed full-batch GD training of a hashed linear probe
         # (integer fixed point -> bit-identical weights cross-engine)
         "txt_train_linear_probe": textstats.train_linear_probe,
+        # data-recipe mixture rebalancing: deterministic hash-threshold
+        # downsampling to target per-language token shares
+        "txt_domain_mix": textstats.domain_mix,
         # BPE tokenizer training: distributed word-freq count +
         # merge loop over the aggregated table (the SentencePiece/HF
         # split); encode stats pin per-doc piece counts via bit_xor
@@ -923,6 +926,7 @@ def oracle_sql() -> dict[str, str]:
         "txt_dsir_weights": textstats.DSIR_SQL,
         "dedup_snm_pairs": dedup.SNM_SQL,
         "txt_train_linear_probe": textstats.LINEAR_PROBE_SQL,
+        "txt_domain_mix": textstats.domain_mix_sql(),
         "kg_shacl_report": kgquery.shacl_sql(),
         # iterative h-index fixpoint is not SQL-expressible; frozen-
         # VALUES digest (differential pytest vs sequential peeling

@@ -1327,3 +1327,100 @@ __ITERS__
 SELECT bucket, w FROM w{_LP_ITERS} ORDER BY bucket
 """.replace("__ITERS__", ",\n".join(_lp_iter_sql(k)
                                     for k in range(1, _LP_ITERS + 1)))
+
+
+# ---------------------------------------------------------------------------
+# data-mixture rebalancing: deterministic downsampling to a target
+# per-domain token share (the "data recipe" step of LLM corpus prep)
+# ---------------------------------------------------------------------------
+
+# target token shares in ppm (parts per million); domains absent from
+# the recipe keep nothing — the recipe IS the corpus definition.
+_MIX_TARGET_PPM = {"en": 500_000, "de": 200_000,
+                   "fr": 200_000, "es": 100_000}
+
+
+def domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalance the corpus to a target per-language token mixture by
+    deterministic hash-threshold sampling — the data-recipe pass every
+    LLM pretraining pipeline runs between cleaning and packing (the
+    mixture tables in the LLaMA / Gopher / The-Pile reports).
+
+    For each domain d with raw token count T_d, the most
+    over-represented-vs-target domain is kept in full (rate 1e6 ppm)
+    and every other domain is kept at
+
+        rate_d = min(1e6, target_d/share_bound * T_total / T_d)
+
+    computed so the realized mixture approaches the target from below
+    without UP-sampling (no duplication — the conservative recipe).
+    Acceptance is per-document and deterministic: keep iff
+    pmod(polyhash(doc_id), 1e6) < rate_d, so ANY engine, partitioning
+    or corpus order selects the identical subset — reproducible data
+    recipes are exactly this property.
+
+    Scale shape: the per-domain token census is one map-side-combined
+    aggregation (domain-count rows); rates join back as a broadcast;
+    the keep-filter is pure codegen. Output: per-domain
+    (n_docs_kept, tokens_kept, rate_ppm) — the recipe audit table."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = (docs.select("doc_id", "lang",
+                        F.size(_tokens(F.col("text"))).cast("bigint")
+                        .alias("n_tok")))
+    census = toks.groupBy("lang").agg(F.sum("n_tok").alias("t_d"))
+    total = census.agg(F.sum("t_d").alias("t_all"))
+    tgt = F.create_map(*[F.lit(x) for kv in _MIX_TARGET_PPM.items()
+                         for x in kv])
+    rates = (census.crossJoin(F.broadcast(total))
+             .withColumn("tgt_ppm", tgt[F.col("lang")])
+             .select("lang",
+                     F.when(F.col("tgt_ppm").isNull(),
+                            F.lit(0).cast("bigint"))
+                     .otherwise(F.least(
+                         F.lit(1_000_000).cast("bigint"),
+                         F.expr("(t_all * tgt_ppm) div t_d")
+                         .cast("bigint")))
+                     .alias("rate_ppm")))
+    h = F.pmod(F.col("doc_id") * 2654435761 + 12345, F.lit(1_000_000))
+    kept = (toks.join(F.broadcast(rates), "lang")
+            .filter(h < F.col("rate_ppm")))
+    return (kept.groupBy("lang", "rate_ppm")
+            .agg(F.count("*").cast("bigint").alias("n_docs_kept"),
+                 F.sum("n_tok").cast("bigint").alias("tokens_kept"))
+            .select("lang", F.col("rate_ppm").cast("bigint"),
+                    "n_docs_kept", "tokens_kept")
+            .orderBy("lang"))
+
+
+def domain_mix_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in _MIX_TARGET_PPM.items())
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+              AS BIGINT) AS n_tok
+  FROM documents
+),
+census AS (SELECT lang, sum(n_tok) AS t_d FROM toks GROUP BY lang),
+total AS (SELECT sum(t_d) AS t_all FROM census),
+rates AS (
+  SELECT lang,
+         CASE WHEN tgt_ppm IS NULL THEN 0
+              ELSE LEAST(1000000, (t_all * tgt_ppm) // t_d) END
+           AS rate_ppm
+  FROM (SELECT lang, t_d,
+               CASE lang {cases} END AS tgt_ppm
+        FROM census) CROSS JOIN total
+),
+kept AS (
+  SELECT t.lang, r.rate_ppm, t.n_tok
+  FROM toks t JOIN rates r ON t.lang = r.lang
+  WHERE ((t.doc_id * 2654435761 + 12345) % 1000000 + 1000000) % 1000000
+        < r.rate_ppm
+)
+SELECT lang, CAST(rate_ppm AS BIGINT) AS rate_ppm,
+       CAST(count(*) AS BIGINT) AS n_docs_kept,
+       CAST(sum(n_tok) AS BIGINT) AS tokens_kept
+FROM kept GROUP BY lang, rate_ppm ORDER BY lang
+"""

@@ -561,3 +561,23 @@ def test_hybrid_rrf_fuses_both_rankings(spark):
         if r["dense_rank"] is not None:
             want += 1_000_000 // (60 + r["dense_rank"])
         assert r["rrf_x1e6"] == want
+
+
+def test_domain_mix_rates_and_determinism(spark):
+    """Over-represented domains are downsampled (rate < 1e6), no
+    domain is UP-sampled, kept tokens never exceed raw tokens, and a
+    re-run selects the identical subset."""
+    import duckdb
+    from pikes_spark.operators import textstats as T
+    r1 = [tuple(r) for r in T.domain_mix(spark, SF).collect()]
+    r2 = [tuple(r) for r in T.domain_mix(spark, SF).collect()]
+    assert r1 == r2 and r1
+    raw = dict(duckdb.sql(f"""
+      SELECT lang, sum(len(regexp_split_to_array(trim(lower(text)),
+                                                 '\\s+')))
+      FROM '{SF}/documents.parquet' GROUP BY lang""").fetchall())
+    for lang, rate, n_docs, toks in r1:
+        assert 0 < rate <= 1_000_000
+        assert toks <= raw[lang]
+        if rate == 1_000_000:
+            assert toks == raw[lang]  # kept in full
