@@ -630,6 +630,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # linear vs Morton-interleaved layout (same z expression text
         # runs in both engines)
         "tbl_zorder_stats": layout.zorder_stats,
+        # bucketed co-located join: bucketBy layout makes the big-big
+        # equi-join shuffle-free (plan-asserted); values must equal
+        # the plain join
+        "tbl_bucketed_join": layout.bucketed_join,
         # int8 scalar-quantized ANN recall vs the exact float top-k
         "sim_quantized_recall": similarity.quantized_recall,
         # hybrid retrieval: reciprocal-rank fusion of the BM25 top-20
@@ -916,6 +920,7 @@ def oracle_sql() -> dict[str, str]:
         "web_crawl_shards": weburl.CRAWL_SHARDS_SQL,
         "txt_chunk_windows": textstats.CHUNK_WINDOWS_SQL,
         "tbl_zorder_stats": layout.ZORDER_STATS_SQL,
+        "tbl_bucketed_join": layout.BUCKETED_JOIN_SQL,
         "sim_quantized_recall": similarity.quantized_recall_sql(0, 10),
         "sim_hybrid_rrf": similarity.hybrid_rrf_sql(),
         "evt_scd2_history": events.SCD2_SQL,

@@ -109,3 +109,105 @@ SELECT 'zorder', CAST(count(*) AS BIGINT), CAST(sum(xs) AS BIGINT),
        CAST(sum(ys) AS BIGINT) FROM zf
 ORDER BY layout
 """
+
+
+# ---------------------------------------------------------------------------
+# bucketed co-located join: the shuffle-free big-big join layout
+# ---------------------------------------------------------------------------
+
+_BUCKETS = 8
+
+
+def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write customer and an orders rollup as BUCKETED tables
+    (bucketBy(8, key) + sortBy) and join them — the layout that makes
+    a big-big equi-join SHUFFLE-FREE: both sides' files are already
+    hash-partitioned and sorted by the join key, so the sort-merge
+    join reads co-located buckets with NO Exchange on either side
+    (asserted in tests/test_plans.py).
+
+    This is the survey's spo/pos-layout principle applied to join
+    locality: at 100 TB the dominant cost of a repeated
+    customer⋈orders join is the two table-wide hash exchanges;
+    bucketing pays that shuffle ONCE at write time and amortizes it
+    over every subsequent join/aggregation on the key. The returned
+    rollup is value-checked against the plain (unbucketed) join SQL —
+    layout must never change results.
+
+    Mechanics: external bucketed tables under a temp warehouse path,
+    unique per-run names (driver reruns safe), dropped after
+    materialization; results land in a plain DataFrame."""
+    import tempfile
+    import uuid
+
+    tag = uuid.uuid4().hex[:8]
+    base = tempfile.mkdtemp(prefix="pikes_buckets_")
+    tc, to = f"bkt_cust_{tag}", f"bkt_ord_{tag}"
+    cust = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+            .select("c_custkey", "c_mktsegment"))
+    orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .groupBy("o_custkey")
+              .agg(F.count("*").cast("bigint").alias("n_orders"),
+                   F.sum(F.floor(F.col("o_totalprice") * 100)
+                         .cast("bigint")).alias("cents")))
+    (cust.write.bucketBy(_BUCKETS, "c_custkey").sortBy("c_custkey")
+     .option("path", f"{base}/{tc}").saveAsTable(tc))
+    (orders.write.bucketBy(_BUCKETS, "o_custkey").sortBy("o_custkey")
+     .option("path", f"{base}/{to}").saveAsTable(to))
+    try:
+        joined = (spark.table(tc).join(
+            spark.table(to),
+            F.col("c_custkey") == F.col("o_custkey"))
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").cast("bigint").alias("n_cust"),
+                 F.sum("n_orders").cast("bigint").alias("n_orders"),
+                 F.sum("cents").cast("bigint").alias("cents"))
+            .orderBy("c_mktsegment"))
+        out = spark.createDataFrame(joined.collect(), joined.schema)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tc}")
+        spark.sql(f"DROP TABLE IF EXISTS {to}")
+    return out
+
+
+def bucketed_join_plan(spark: SparkSession, sf_dir: str):
+    """The bucketed join frame itself (not materialized) plus its
+    table names, for plan assertions; caller must drop the tables."""
+    import tempfile
+    import uuid
+
+    tag = uuid.uuid4().hex[:8]
+    base = tempfile.mkdtemp(prefix="pikes_buckets_")
+    tc, to = f"bkt_cust_{tag}", f"bkt_ord_{tag}"
+    cust = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+            .select("c_custkey", "c_mktsegment"))
+    orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .groupBy("o_custkey")
+              .agg(F.count("*").cast("bigint").alias("n_orders")))
+    (cust.write.bucketBy(_BUCKETS, "c_custkey").sortBy("c_custkey")
+     .option("path", f"{base}/{tc}").saveAsTable(tc))
+    (orders.write.bucketBy(_BUCKETS, "o_custkey").sortBy("o_custkey")
+     .option("path", f"{base}/{to}").saveAsTable(to))
+    # force the sort-merge strategy: at sandbox scale the planner
+    # prefers broadcast (and then ignores bucketing); the property
+    # under test is the big-big layout, where SMJ is what runs
+    j = (spark.table(tc).hint("merge")
+         .join(spark.table(to).hint("merge"),
+               F.col("c_custkey") == F.col("o_custkey")))
+    return j, (tc, to)
+
+
+BUCKETED_JOIN_SQL = """
+WITH rollup_o AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY o_custkey
+)
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_cust,
+       CAST(sum(r.n_orders) AS BIGINT) AS n_orders,
+       CAST(sum(r.cents) AS BIGINT) AS cents
+FROM customer c JOIN rollup_o r ON c.c_custkey = r.o_custkey
+GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+"""

@@ -241,3 +241,19 @@ def test_session7_ops_plan_shapes(spark):
     # both lag and lead run over the same (user_id, ts, event_id)
     # partitioning/sort: exactly one user_id hash exchange
     assert plan.count("hashpartitioning(user_id") == 1, plan
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    """bucketBy(8, key) + sortBy on both sides -> the forced
+    sort-merge join runs with ZERO Exchange and both scans bucketed —
+    the write-once/join-many layout contract."""
+    from pikes_spark.operators import layout
+    j, (tc, to) = layout.bucketed_join_plan(spark, SF)
+    try:
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert plan.count("Bucketed: true") == 2, plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tc}")
+        spark.sql(f"DROP TABLE IF EXISTS {to}")
