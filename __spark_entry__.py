@@ -745,6 +745,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # SCD type-2 dimension build (consecutive-change collapse +
         # validity intervals; one user_id exchange feeds lag AND lead)
         "evt_scd2_history": events.scd2_history,
+        # schema-on-read JSON payload rollup (JVM-side get_json_object
+        # before the exchange)
+        "evt_json_props": events.json_props_rollup,
         # custom STATEFUL streaming operator (applyInPandasWithState):
         # driven end-to-end through Structured Streaming, flushed via a
         # watermark sentinel, and value-checked against the same SQL
@@ -924,6 +927,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_quantized_recall": similarity.quantized_recall_sql(0, 10),
         "sim_hybrid_rrf": similarity.hybrid_rrf_sql(),
         "evt_scd2_history": events.SCD2_SQL,
+        "evt_json_props": events.JSON_PROPS_SQL,
         # TPC-H nation is fixed at 25 rows at every SF
         "kg_negative_samples": graph.negative_samples_sql(25),
         "kg_walk_corpus": graph.WALK_CORPUS_SQL,

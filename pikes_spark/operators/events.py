@@ -328,3 +328,45 @@ SELECT user_id, event_type, valid_from_us,
                 -1) AS valid_to_us
 FROM v ORDER BY user_id, valid_from_us
 """
+
+
+# ---------------------------------------------------------------------------
+# semi-structured property extraction (JSON payload rollup)
+# ---------------------------------------------------------------------------
+
+def json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extract the JSON ``props`` payload (schema-on-read) and roll it
+    up per event type — the semi-structured path every event pipeline
+    needs: the payload column stays an opaque string in storage, the
+    engine projects typed fields at query time.
+
+    Scale shape: get_json_object is JVM-side (Jackson inside codegen,
+    no Python); extraction happens BEFORE the groupBy so the exchange
+    carries (event_type, k) longs, not JSON strings. At 10^12 events
+    the parse is the map stage's CPU; a repeated-access production
+    table would materialize the field once (schema evolution), which
+    is what the snapshot MERGE machinery here already covers."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (ev.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.sum("k").cast("bigint").alias("sum_k"),
+                 F.min("k").cast("bigint").alias("min_k"),
+                 F.max("k").cast("bigint").alias("max_k"),
+                 F.countDistinct("k").cast("bigint").alias("n_k"))
+            .orderBy("event_type"))
+
+
+JSON_PROPS_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(min(k) AS BIGINT) AS min_k,
+       CAST(max(k) AS BIGINT) AS max_k,
+       CAST(count(DISTINCT k) AS BIGINT) AS n_k
+FROM (SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events)
+GROUP BY event_type ORDER BY event_type
+"""

@@ -581,3 +581,21 @@ def test_domain_mix_rates_and_determinism(spark):
         assert toks <= raw[lang]
         if rate == 1_000_000:
             assert toks == raw[lang]  # kept in full
+
+
+def test_json_props_rollup_no_python_and_values(spark):
+    """JSON extraction stays JVM-side; a spot aggregate agrees with a
+    direct duckdb computation."""
+    import duckdb
+    from pikes_spark.operators import events
+    df = events.json_props_rollup(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    rows = {r["event_type"]: r for r in df.collect()}
+    want = duckdb.sql(f"""
+      SELECT count(*), sum(CAST(json_extract_string(props, '$.k')
+                                AS BIGINT))
+      FROM '{SF}/events.parquet' WHERE event_type = 'click'
+    """).fetchone()
+    assert rows["click"]["n"] == want[0]
+    assert rows["click"]["sum_k"] == want[1]
