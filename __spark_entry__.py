@@ -616,6 +616,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # data-recipe mixture rebalancing: deterministic hash-threshold
         # downsampling to target per-language token shares
         "txt_domain_mix": textstats.domain_mix,
+        # zlib compression-ratio quality signal (entropy proxy);
+        # Arrow-batched codec call, frozen digest oracle
+        "txt_compression_digest": textstats.compression_digest,
         # BPE tokenizer training: distributed word-freq count +
         # merge loop over the aggregated table (the SentencePiece/HF
         # split); encode stats pin per-doc piece counts via bit_xor
@@ -936,6 +939,12 @@ def oracle_sql() -> dict[str, str]:
         "dedup_snm_pairs": dedup.SNM_SQL,
         "txt_train_linear_probe": textstats.LINEAR_PROBE_SQL,
         "txt_domain_mix": textstats.domain_mix_sql(),
+        # codec output is not SQL-expressible; frozen digest
+        # (differential pytest vs direct zlib backs the freeze)
+        "txt_compression_digest": _corpus_values_sql(
+            "COMPRESSION_DIGEST",
+            ["n_docs", "sum_raw", "sum_comp", "checksum"],
+            order="n_docs"),
         "kg_shacl_report": kgquery.shacl_sql(),
         # iterative h-index fixpoint is not SQL-expressible; frozen-
         # VALUES digest (differential pytest vs sequential peeling
@@ -1010,7 +1019,7 @@ def oracle_sql() -> dict[str, str]:
         # dropped: the committed unique set == the original corpus's
         # per-norm min-doc_id representatives
         "stream_view_click_join": stream_join.VIEW_CLICK_JOIN_SQL,
-        "stream_dedup_exact": """
+        "stream_dedup_exact": r"""
             SELECT min(doc_id) AS doc_id
             FROM (SELECT doc_id,
                          regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm

@@ -1424,3 +1424,59 @@ SELECT lang, CAST(rate_ppm AS BIGINT) AS rate_ppm,
        CAST(sum(n_tok) AS BIGINT) AS tokens_kept
 FROM kept GROUP BY lang, rate_ppm ORDER BY lang
 """
+
+
+# ---------------------------------------------------------------------------
+# compression-ratio quality signal (zlib entropy proxy)
+# ---------------------------------------------------------------------------
+
+_ZR_LEVEL = 6  # fixed level => deterministic bytes for a given zlib
+
+
+def compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document zlib compression ratio — the entropy-proxy quality
+    signal production corpus filters use to drop boilerplate/spam
+    (highly repetitive pages compress far below prose; cf. the
+    repetition heuristics in the Gopher/RefinedWeb filter stacks,
+    which this complements with a single codec-level number).
+
+    This is a deliberate Python (Arrow-batched mapInPandas) operator:
+    no JVM builtin exposes a codec, and a per-batch C zlib call is the
+    right cost model — one Python task per Arrow batch, zero per-row
+    overhead, nothing but (doc_id, 3 ints) crosses back. Ratio is
+    integer fixed point (compressed*1e6 div raw). Deterministic for a
+    fixed zlib level, so the driver digest is frozen the same way the
+    media-codec features are."""
+    import pandas as pd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+
+    def batches(it):
+        import zlib
+        for pdf in it:
+            raw = pdf["text"].str.encode("utf-8")
+            comp = raw.map(lambda b: len(zlib.compress(b, _ZR_LEVEL)))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "raw_len": raw.str.len().astype("int64"),
+                "comp_len": comp.astype("int64")})
+
+    out = docs.mapInPandas(
+        batches, "doc_id bigint, raw_len bigint, comp_len bigint")
+    return (out.select(
+        "doc_id", "raw_len", "comp_len",
+        F.expr("(comp_len * 1000000) div raw_len").alias("ratio_ppm"))
+        .orderBy("doc_id"))
+
+
+def compression_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver digest: corpus-level compression stats + per-doc
+    checksum (bit_xor of doc_id*ratio mix) — frozen-VALUES oracle."""
+    cr = compression_ratio(spark, sf_dir)
+    return (cr.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("raw_len").cast("bigint").alias("sum_raw"),
+        F.sum("comp_len").cast("bigint").alias("sum_comp"),
+        F.expr("bit_xor(doc_id * 1048583 + ratio_ppm)").cast("bigint")
+        .alias("checksum")))

@@ -599,3 +599,19 @@ def test_json_props_rollup_no_python_and_values(spark):
     """).fetchone()
     assert rows["click"]["n"] == want[0]
     assert rows["click"]["sum_k"] == want[1]
+
+
+def test_compression_ratio_matches_direct_zlib(spark):
+    """Differential: the Arrow-batched codec path == direct per-doc
+    zlib at the same level (backs the frozen COMPRESSION_DIGEST)."""
+    import zlib
+    import duckdb
+    from pikes_spark.operators import textstats as T
+    got = {r["doc_id"]: (r["raw_len"], r["comp_len"], r["ratio_ppm"])
+           for r in T.compression_ratio(spark, SF).collect()}
+    for d, t in duckdb.sql(
+            f"SELECT doc_id, text FROM '{SF}/documents.parquet'"
+    ).fetchall():
+        b = t.encode("utf-8")
+        c = len(zlib.compress(b, 6))
+        assert got[d] == (len(b), c, (c * 1_000_000) // len(b))
