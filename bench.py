@@ -58,6 +58,13 @@ def _run_queries(spark, sf_dir: str) -> dict:
         # Bloom semi-join, bigram LM surprisal, BPE train+encode
         "dedup_jaccard_prefix", "rel_bloom_semi_join",
         "txt_bigram_surprisal", "txt_bpe_merges", "txt_bpe_encode_stats",
+        # r4 session-7 additions: SNM blocking, DSIR weights, k-core,
+        # walk corpus, GD-trained probe, hybrid RRF, mixture recipe,
+        # compression signal, bucketed join, SHACL, char-sets
+        "dedup_snm_pairs", "txt_dsir_weights", "kg_kcore",
+        "kg_walk_corpus", "txt_train_linear_probe", "sim_hybrid_rrf",
+        "txt_domain_mix", "txt_compression_digest", "tbl_bucketed_join",
+        "kg_shacl_report", "kg_char_sets", "evt_scd2_history",
     ]
     for name in bench_queries:
         t0 = time.time()
