@@ -711,6 +711,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # blocking family): blocked lead-window candidates + exact
         # token-Jaccard verify
         "dedup_snm_pairs": dedup.snm_pairs,
+        # incremental near-dup: new-batch band probes against the
+        # corpus band index; O(batch), never O(corpus^2)
+        "dedup_incremental": dedup.incremental_neardup,
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
         "dedup_simhash": dedup.simhash_pairs,
         "dedup_simhash_stats": _q_simhash_stats,
@@ -937,6 +940,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_char_sets": kgquery.CHAR_SETS_SQL,
         "txt_dsir_weights": textstats.DSIR_SQL,
         "dedup_snm_pairs": dedup.SNM_SQL,
+        "dedup_incremental": dedup.INCREMENTAL_NEARDUP_SQL,
         "txt_train_linear_probe": textstats.LINEAR_PROBE_SQL,
         "txt_domain_mix": textstats.domain_mix_sql(),
         # codec output is not SQL-expressible; frozen digest

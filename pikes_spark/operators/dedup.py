@@ -853,3 +853,135 @@ WHERE (1000000 * len(list_intersect(ta, tb)))
       // len(list_distinct(list_concat(ta, tb))) >= {_SNM_MIN_JACC}
 ORDER BY a, b
 """
+
+
+# ---------------------------------------------------------------------------
+# incremental near-dup: new-batch candidates against the corpus index
+# ---------------------------------------------------------------------------
+
+_INC_SHIFT = 10_000_000
+_INC_MOD = 5          # every 5th doc spawns a near-duplicate
+_INC_SUFFIX = " incremental marker tail"
+
+
+def _incremental_batch(docs: DataFrame) -> DataFrame:
+    """Deterministic synthetic arrival batch: every _INC_MOD-th corpus
+    doc re-arrives with a shifted id and a short appended tail — a
+    NEAR duplicate (above the Jaccard threshold, not byte-equal)."""
+    return (docs.filter(F.col("doc_id") % _INC_MOD == 0)
+            .select((F.col("doc_id") + _INC_SHIFT).alias("doc_id"),
+                    F.concat(F.col("text"), F.lit(_INC_SUFFIX))
+                    .alias("text")))
+
+
+def _shingles_of(df: DataFrame) -> DataFrame:
+    toks = F.split(F.regexp_replace(F.trim(F.lower("text")),
+                                    r"\s+", " "), " ")
+    n = F.size(toks)
+    grams = F.when(n >= NGRAM, F.array_distinct(F.transform(
+        F.sequence(F.lit(0), n - NGRAM),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, NGRAM)),
+    ))).otherwise(F.array(F.concat_ws(" ", toks)))
+    return df.select("doc_id", grams.alias("shingles"))
+
+
+def _bands_of(shingles: DataFrame) -> DataFrame:
+    sigs = minhash_signatures(shingles)
+    return sigs.select(
+        "doc_id",
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0), F.lit(BANDS - 1)),
+            lambda i: F.xxhash64(
+                F.slice("sig", i * ROWS_PER_BAND + 1, ROWS_PER_BAND)),
+        )).alias("band", "bucket"))
+
+
+def incremental_neardup(spark: SparkSession, sf_dir: str,
+                        threshold: float = JACCARD_T) -> DataFrame:
+    """The PRODUCTION shape of corpus dedup: a new arrival batch is
+    checked against the already-indexed corpus — batch bands join the
+    corpus band index, only (new, old) candidates are verified. The
+    cost is O(batch), never O(corpus²): the corpus side contributes
+    one (band, bucket)-partitioned index probe, which at 10^12 docs is
+    THE reason crawl pipelines index bands instead of re-running the
+    full pairwise job per crawl snapshot.
+
+    Candidates are verified with exact shingle Jaccard (array
+    intersection on the two bounded gram arrays), so the output equals
+    the exact new×old similarity join whenever LSH recall is 1.0 at
+    the threshold — the same banding guarantee minhash_lsh_pairs
+    carries (b=32 bands × r=4 rows at t=0.8).
+    """
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    batch = _incremental_batch(docs)
+    corpus_sh = _shingles_of(docs).localCheckpoint()
+    batch_sh = _shingles_of(batch).localCheckpoint()
+    idx = _bands_of(corpus_sh)
+    probes = _bands_of(batch_sh)
+    cands = (probes.select(F.col("doc_id").alias("new_id"),
+                           "band", "bucket")
+             .join(idx.select(F.col("doc_id").alias("old_id"),
+                              "band", "bucket"),
+                   ["band", "bucket"])
+             .select("new_id", "old_id").distinct())
+    verified = (cands
+                .join(batch_sh.select(F.col("doc_id").alias("new_id"),
+                                      F.col("shingles").alias("sn")),
+                      "new_id")
+                .join(corpus_sh.select(F.col("doc_id").alias("old_id"),
+                                       F.col("shingles").alias("so")),
+                      "old_id")
+                .select("new_id", "old_id",
+                        F.size(F.array_intersect("sn", "so"))
+                        .cast("bigint").alias("i"),
+                        (F.size("sn") + F.size("so")).cast("bigint")
+                        .alias("szsum")))
+    out = verified.select(
+        "new_id", "old_id",
+        F.floor(F.col("i") * 1000.0 / (F.col("szsum") - F.col("i")))
+        .cast("bigint").alias("jaccard_x1000"))
+    return (out.filter(F.col("jaccard_x1000") >= int(threshold * 1000))
+            .orderBy("new_id", "old_id"))
+
+
+INCREMENTAL_NEARDUP_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+),
+batch AS (
+  SELECT doc_id + {_INC_SHIFT} AS doc_id,
+         text || '{_INC_SUFFIX}' AS text
+  FROM corpus WHERE doc_id % {_INC_MOD} = 0
+),
+sh_all AS (
+  SELECT doc_id, side,
+         CASE WHEN len(t) >= {NGRAM} THEN
+           list_distinct([array_to_string(t[i:i+{NGRAM - 1}], ' ')
+                          for i in range(1, len(t) - {NGRAM - 2})])
+         ELSE [array_to_string(t, ' ')] END AS shingles
+  FROM (
+    SELECT doc_id, 0 AS side,
+           regexp_split_to_array(regexp_replace(trim(lower(text)),
+                                 '\\s+', ' ', 'g'), ' ') AS t
+    FROM corpus
+    UNION ALL
+    SELECT doc_id, 1 AS side,
+           regexp_split_to_array(regexp_replace(trim(lower(text)),
+                                 '\\s+', ' ', 'g'), ' ') AS t
+    FROM batch
+  )
+),
+pairs AS (
+  SELECT n.doc_id AS new_id, o.doc_id AS old_id,
+         CAST(len(list_intersect(n.shingles, o.shingles)) AS BIGINT)
+           AS i,
+         CAST(len(n.shingles) + len(o.shingles) AS BIGINT) AS szsum
+  FROM (SELECT * FROM sh_all WHERE side = 1) n
+  JOIN (SELECT * FROM sh_all WHERE side = 0) o ON TRUE
+)
+SELECT new_id, old_id,
+       CAST(floor(i * 1000.0 / (szsum - i)) AS BIGINT) AS jaccard_x1000
+FROM pairs
+WHERE i > 0 AND floor(i * 1000.0 / (szsum - i)) >= {int(JACCARD_T * 1000)}
+ORDER BY new_id, old_id
+"""

@@ -615,3 +615,30 @@ def test_compression_ratio_matches_direct_zlib(spark):
         b = t.encode("utf-8")
         c = len(zlib.compress(b, 6))
         assert got[d] == (len(b), c, (c * 1_000_000) // len(b))
+
+
+def test_incremental_neardup_finds_every_source(spark):
+    """Every synthetic arrival must match its own source doc (tail
+    append keeps Jaccard >= t), and all matches point at real corpus
+    docs."""
+    from pikes_spark.operators import dedup as D
+    rows = [tuple(r) for r in D.incremental_neardup(spark, SF).collect()]
+    assert rows
+    matched_sources = {(n - 10_000_000, o) for n, o, _ in rows}
+    new_ids = {n for n, _, _ in rows}
+    # every batch doc (doc_id % 5 == 0 in the corpus) found its source
+    import duckdb
+    batch_src = {d for (d,) in duckdb.sql(
+        f"SELECT doc_id FROM '{SF}/documents.parquet' "
+        f"WHERE doc_id % 5 = 0").fetchall()}
+    assert {n - 10_000_000 for n in new_ids} <= batch_src
+    # a short doc legitimately falls below t=0.8 once the tail is
+    # appended (the tail is a larger fraction of its shingle set);
+    # every LONG batch doc must find its own source
+    long_src = {d for (d,) in duckdb.sql(
+        f"SELECT doc_id FROM '{SF}/documents.parquet' "
+        f"WHERE doc_id % 5 = 0 AND len(regexp_split_to_array("
+        f"trim(text), '\\s+')) >= 40").fetchall()}
+    assert long_src
+    for src in long_src:
+        assert (src, src) in matched_sources, src
