@@ -642,6 +642,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hybrid retrieval: reciprocal-rank fusion of the BM25 top-20
         # and the dense cosine top-20 (rank deep, fuse shallow)
         "sim_hybrid_rrf": similarity.hybrid_rrf_topk,
+        # fixed-point Lloyd k-means codebook training (bit-identical
+        # centroids across engines/cluster sizes)
+        "sim_kmeans_codebook": similarity.kmeans_codebook,
         # rendezvous-hash fetch sharding (per-host politeness with
         # minimal movement on shard-count change); min_by argmin, no
         # window exchange
@@ -932,6 +935,7 @@ def oracle_sql() -> dict[str, str]:
         "tbl_bucketed_join": layout.BUCKETED_JOIN_SQL,
         "sim_quantized_recall": similarity.quantized_recall_sql(0, 10),
         "sim_hybrid_rrf": similarity.hybrid_rrf_sql(),
+        "sim_kmeans_codebook": similarity.KMEANS_SQL,
         "evt_scd2_history": events.SCD2_SQL,
         "evt_json_props": events.JSON_PROPS_SQL,
         # TPC-H nation is fixed at 25 rows at every SF

@@ -453,3 +453,144 @@ SELECT COALESCE(sparse.doc_id, dense.doc_id) AS doc_id,
 FROM sparse FULL OUTER JOIN dense ON sparse.doc_id = dense.doc_id
 ORDER BY rrf_x1e6 DESC, doc_id LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# distributed k-means (Lloyd) in integer fixed point — codebook training
+# ---------------------------------------------------------------------------
+
+_KM_K = 4
+_KM_ITERS = 2
+_KM_SCALE = 1_000_000
+_KM_DIM = 64
+
+
+def _km_int_vecs(spark, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return emb.select(
+        "vec_id",
+        F.transform("embedding",
+                    lambda x: F.floor(x.cast("double") * _KM_SCALE)
+                    .cast("bigint")).alias("v"))
+
+
+def _km_dist(v, c):
+    return F.aggregate(
+        F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+
+
+def kmeans_codebook(spark: SparkSession, sf_dir: str,
+                    k: int = _KM_K, iters: int = _KM_ITERS) -> DataFrame:
+    """Distributed Lloyd k-means over the embedding table, every step
+    in integer fixed point — the codebook-training stage of a vector
+    index (IVF coarse quantizer / PQ subspace codebooks), run as pure
+    DataFrame ops so the trained centroids are BIT-IDENTICAL across
+    engines and cluster sizes (floats are floored to millionths once,
+    then assignment = integer L2 argmin, update = truncating-div
+    component mean — no float accumulation anywhere).
+
+    Init: the k lowest vec_ids (deterministic; real trainers use a
+    sampled init, which is exactly as arbitrary). Empty clusters keep
+    their previous centroid (standard Lloyd convention).
+
+    Scale shape per iteration: assignment is a broadcast of the k×dim
+    codebook + a map-side min_by argmin (NO per-vector exchange);
+    update is one (cluster, pos)-keyed partial aggregation whose
+    output is k·dim rows. At 10^9 vectors each Lloyd round moves one
+    codebook-sized table plus the k·dim partial sums — the textbook
+    parameter-light distributed training loop. Returns (cluster, pos,
+    val) — the final codebook, value-checked in DuckDB via unrolled
+    CTEs."""
+    vecs = _km_int_vecs(spark, sf_dir).localCheckpoint()
+    # deterministic init: the k lowest vec_ids, renumbered 0..k-1
+    # (k rows — the only driver-side data in the loop)
+    init_ids = sorted(r["vec_id"] for r in
+                      vecs.select("vec_id").orderBy("vec_id")
+                      .limit(k).collect())
+    id2cluster = {vid: i for i, vid in enumerate(init_ids)}
+    cents = (vecs.filter(F.col("vec_id").isin(init_ids))
+             .select(F.udf(lambda v: id2cluster[v], "int")("vec_id")
+                     .alias("cluster"), F.col("v").alias("c")))
+    cents = spark.createDataFrame(cents.collect(), cents.schema)
+    for _ in range(iters):
+        assign = (vecs.crossJoin(F.broadcast(cents))
+                  .select("vec_id", "v", "cluster",
+                          _km_dist(F.col("v"), F.col("c")).alias("d"))
+                  .groupBy("vec_id")
+                  .agg(F.min_by("cluster",
+                                F.col("d") * k + F.col("cluster"))
+                       .alias("cluster"),
+                       F.first("v").alias("v")))
+        upd = (assign.select("cluster", F.posexplode("v")
+                             .alias("pos", "x"))
+               .groupBy("cluster", "pos")
+               .agg(F.sum("x").alias("s"),
+                    F.count("*").alias("n"))
+               .select("cluster", "pos",
+                       F.expr("s div n").alias("val")))
+        new_c = (upd.groupBy("cluster")
+                 .agg(F.transform(
+                     F.array_sort(F.collect_list(F.struct("pos", "val"))),
+                     lambda st: st["val"]).alias("c")))
+        cents = (cents.select("cluster").join(new_c, "cluster", "left")
+                 .join(cents.select(F.col("cluster").alias("cluster_old"),
+                                    F.col("c").alias("c_old")),
+                       F.col("cluster") == F.col("cluster_old"))
+                 .select("cluster", F.coalesce("c", "c_old").alias("c"))
+                 .localCheckpoint())
+    return (cents.select("cluster", F.posexplode("c").alias("pos", "val"))
+            .select(F.col("cluster").cast("bigint"),
+                    F.col("pos").cast("bigint"),
+                    F.col("val").cast("bigint"))
+            .orderBy("cluster", "pos"))
+
+
+def _km_iter_sql(t: int, k: int) -> str:
+    prev = f"c{t - 1}"
+    return f"""a{t} AS (
+  SELECT vec_id, arg_min(cluster, CAST(d AS BIGINT) * 4 + cluster)
+           AS cluster
+  FROM (
+    SELECT v.vec_id, c.cluster,
+           list_sum(list_transform(range(1, {_KM_DIM} + 1),
+             i -> (v.v[i] - c.c[i]) * (v.v[i] - c.c[i]))) AS d
+    FROM vecs v CROSS JOIN {prev} c
+  ) GROUP BY vec_id
+),
+u{t} AS (
+  SELECT a.cluster, p.pos, CAST(sum(v.v[p.pos]) AS BIGINT)
+           // count(*) AS val
+  FROM a{t} a JOIN vecs v USING (vec_id)
+  CROSS JOIN (SELECT unnest(range(1, {_KM_DIM} + 1)) AS pos) p
+  GROUP BY a.cluster, p.pos
+),
+c{t} AS (
+  SELECT prev.cluster,
+         COALESCE(nc.c, prev.c) AS c
+  FROM {prev} prev LEFT JOIN (
+    SELECT cluster, list(val ORDER BY pos) AS c
+    FROM u{t} GROUP BY cluster) nc USING (cluster)
+)"""
+
+
+KMEANS_SQL = f"""
+WITH vecs AS (
+  SELECT vec_id,
+         [CAST(floor(CAST(x AS DOUBLE) * {_KM_SCALE}) AS BIGINT)
+          for x in embedding] AS v
+  FROM embeddings
+),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+           AS cluster, v AS c
+  FROM (SELECT vec_id, v FROM vecs ORDER BY vec_id LIMIT {_KM_K})
+),
+__ITERS__
+SELECT cluster, CAST(p.pos - 1 AS BIGINT) AS pos,
+       CAST(c[p.pos] AS BIGINT) AS val
+FROM c{_KM_ITERS} CROSS JOIN
+     (SELECT unnest(range(1, {_KM_DIM} + 1)) AS pos) p
+ORDER BY cluster, pos
+""".replace("__ITERS__", ",\n".join(_km_iter_sql(t, _KM_K)
+                                    for t in range(1, _KM_ITERS + 1)))

@@ -642,3 +642,29 @@ def test_incremental_neardup_finds_every_source(spark):
     assert long_src
     for src in long_src:
         assert (src, src) in matched_sources, src
+
+
+def test_kmeans_codebook_reduces_inertia(spark):
+    """Lloyd sanity: total squared distance to the assigned centroid
+    after training <= after init (monotone non-increasing inertia),
+    and re-run is bit-identical."""
+    import numpy as np
+    import duckdb
+    from pikes_spark.operators import similarity as S
+    cb1 = [tuple(r) for r in S.kmeans_codebook(spark, SF).collect()]
+    cb2 = [tuple(r) for r in S.kmeans_codebook(spark, SF).collect()]
+    assert cb1 == cb2
+    vecs = {v: np.floor(np.array(e, dtype=np.float64) * 1_000_000)
+            for v, e in duckdb.sql(
+        f"SELECT vec_id, CAST(embedding AS DOUBLE[]) "
+        f"FROM '{SF}/embeddings.parquet'").fetchall()}
+    k = 1 + max(c for c, _, _ in cb1)
+    cents = np.zeros((k, 64))
+    for c, p, val in cb1:
+        cents[c][p] = val
+    init = np.stack([vecs[i] for i in sorted(vecs)[:k]])
+
+    def inertia(cb):
+        return sum(min(((v - c) ** 2).sum() for c in cb)
+                   for v in vecs.values())
+    assert inertia(cents) <= inertia(init)
