@@ -494,6 +494,66 @@ def _q_stream_view_click(spark, sf_dir):
             .orderBy("user_id", "view_id", "click_id"))
 
 
+# exact integer revenue: cents(price) x (1e6 - ppm(discount)) — both
+# factors round near-integers (2-decimal prices, 6-decimal discounts),
+# so the product and its sum are exact int64 in both engines
+def _rev_micro_cents():
+    ep_c = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    disc_ppm = F.round(F.col("l_discount") * 1_000_000).cast("bigint")
+    return ep_c * (F.lit(1_000_000) - disc_ppm)
+
+
+def _q_rel_q5(spark, sf_dir):
+    """TPC-H Q5 shape (local-supplier volume): the 6-way join with the
+    customer-and-supplier-same-nation constraint — the classic join-
+    order / broadcast-strategy stress query. nation and region are
+    broadcast (dimension-sized at any SF); customer/orders/lineitem/
+    supplier hash-join on their keys with AQE free to reorder."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    su = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    o = o.filter((F.col("o_orderdate") >= "1996-01-01")
+                 & (F.col("o_orderdate") < "1997-01-01"))
+    j = (li.join(o, li.l_orderkey == o.o_orderkey)
+         .join(c, o.o_custkey == c.c_custkey)
+         .join(su, li.l_suppkey == su.s_suppkey)
+         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+         .filter(F.col("r_name") == "ASIA"))
+    return (j.groupBy("n_name")
+            .agg(F.sum(_rev_micro_cents()).cast("bigint")
+                 .alias("revenue_mc"))
+            .orderBy(F.desc("revenue_mc"), F.asc("n_name")))
+
+
+def _q_rel_q14(spark, sf_dir):
+    """TPC-H Q14 shape (promo revenue share) per month of 1996: join
+    lineitem to part (partkey hash join), conditional aggregation,
+    integer ppm ratio."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    j = (li.filter((F.col("l_shipdate") >= "1996-01-01")
+                   & (F.col("l_shipdate") < "1997-01-01"))
+         .join(p, li.l_partkey == p.p_partkey))
+    rev = _rev_micro_cents()
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+    return (j.groupBy(F.date_format("l_shipdate", "yyyy-MM")
+                      .alias("month"))
+            .agg(F.sum(promo).cast("bigint").alias("promo_mc"),
+                 F.sum(rev).cast("bigint").alias("total_mc"))
+            .select("month", "promo_mc", "total_mc",
+                    # ratio on the cent scale: promo_mc*1e6 would
+                    # overflow int64 on monthly sums
+                    F.expr("((promo_mc div 1000000) * 1000000) "
+                           "div (total_mc div 1000000)")
+                    .alias("promo_ppm"))
+            .orderBy("month"))
+
+
 def _q_rel_agg(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (li.filter(F.col("l_shipdate") < "1997-01-01")
@@ -735,6 +795,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_media_features": _q_media,
         # relational layer
         "rel_filter_agg": _q_rel_agg,
+        # TPC-H Q5/Q14 shapes: 6-way join with broadcast dims; promo
+        # conditional agg — exact integer revenue (cents x ppm)
+        "rel_q5_local_supplier": _q_rel_q5,
+        "rel_q14_promo_share": _q_rel_q14,
         "rel_join_window_topk": _q_rel_join_window,
         "rel_salted_join": _q_rel_salted_join,
         # Bloom semi-join reduction: fact side pruned by a
@@ -1009,6 +1073,37 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_cosine": dedup.EMB_NEARDUP_SQL,
         "dedup_group_representatives": dedup.DEDUP_GROUPS_SQL,
         "sim_brute_force_topk": similarity.brute_force_topk_sql(0, 10),
+
+        "rel_q5_local_supplier": """
+SELECT n_name,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (1000000 - CAST(round(l_discount * 1000000) AS BIGINT))) AS BIGINT) AS revenue_mc
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name ORDER BY revenue_mc DESC, n_name
+""",
+        "rel_q14_promo_share": """
+WITH j AS (
+  SELECT strftime(l_shipdate, '%Y-%m') AS month,
+         CASE WHEN p_type = 'PROMO' THEN CAST(round(l_extendedprice * 100) AS BIGINT) * (1000000 - CAST(round(l_discount * 1000000) AS BIGINT)) ELSE 0 END AS promo,
+         CAST(round(l_extendedprice * 100) AS BIGINT) * (1000000 - CAST(round(l_discount * 1000000) AS BIGINT)) AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-01-01'
+)
+SELECT month, CAST(sum(promo) AS BIGINT) AS promo_mc,
+       CAST(sum(rev) AS BIGINT) AS total_mc,
+       ((CAST(sum(promo) AS BIGINT) // 1000000) * 1000000)
+         // (CAST(sum(rev) AS BIGINT) // 1000000) AS promo_ppm
+FROM j GROUP BY month ORDER BY month
+""",
         "rel_filter_agg": """
             SELECT l_returnflag, l_linestatus,
                    CAST(floor(sum(l_quantity)) AS BIGINT) AS sum_qty,

@@ -257,3 +257,13 @@ def test_bucketed_join_is_shuffle_free(spark):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tc}")
         spark.sql(f"DROP TABLE IF EXISTS {to}")
+
+
+def test_q5_broadcasts_dims_no_cartesian(spark):
+    """TPC-H Q5 shape: nation/region reach the plan as broadcasts; no
+    row-level cartesian anywhere in the 6-way join."""
+    import __spark_entry__ as e
+    df = e.queries()["rel_q5_local_supplier"](spark, SF)
+    assert_broadcast_join(df)
+    assert_no_cartesian(df)
+    assert_no_python_eval(df)
