@@ -554,6 +554,44 @@ def _q_rel_q14(spark, sf_dir):
             .orderBy("month"))
 
 
+def _q_stream_dedup_wm(spark, sf_dir):
+    """Native dropDuplicatesWithinWatermark through a real streaming
+    run over a twice-delivered landing dir; result == batch DISTINCT
+    (copies are byte-identical, so the kept row is well-defined)."""
+    import tempfile
+
+    from pikes_spark.streaming.stream_dedup import (
+        stream_dedup_within_watermark)
+
+    tmp = tempfile.mkdtemp(prefix="pikes_sdwm_q_")
+    stream_dedup_within_watermark(spark, sf_dir, f"{tmp}/landing",
+                                  f"{tmp}/out", f"{tmp}/ckpt")
+    return (spark.read.parquet(f"{tmp}/out")
+            .select("event_id", "user_id", "event_type")
+            .orderBy("event_id"))
+
+
+def _q_rel_rollup(spark, sf_dir):
+    """ROLLUP (region, nation) revenue in ONE pass — Spark and DuckDB
+    both evaluate the grouping-sets lattice with partial aggregation,
+    so the multi-level report costs one shuffle, not three queries.
+    grouping_id() disambiguates subtotal rows from real NULLs."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    j = (o.join(c, o.o_custkey == c.c_custkey)
+         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return (j.rollup("r_name", "n_name")
+            .agg(F.count("*").cast("bigint").alias("n_orders"),
+                 F.sum(cents).cast("bigint").alias("cents"),
+                 F.grouping_id().cast("bigint").alias("gid"))
+            .orderBy(F.asc_nulls_first("r_name"),
+                     F.asc_nulls_first("n_name")))
+
+
 def _q_rel_agg(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (li.filter(F.col("l_shipdate") < "1997-01-01")
@@ -798,6 +836,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # TPC-H Q5/Q14 shapes: 6-way join with broadcast dims; promo
         # conditional agg — exact integer revenue (cents x ppm)
         "rel_q5_local_supplier": _q_rel_q5,
+        # grouping-sets lattice in one shuffle (ROLLUP + grouping_id)
+        "rel_rollup_revenue": _q_rel_rollup,
         "rel_q14_promo_share": _q_rel_q14,
         "rel_join_window_topk": _q_rel_join_window,
         "rel_salted_join": _q_rel_salted_join,
@@ -830,6 +870,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stream-stream watermarked join (view->click attribution);
         # real streaming run, batch-SQL value oracle
         "stream_view_click_join": _q_stream_view_click,
+        # native dropDuplicatesWithinWatermark (bounded-state keyed
+        # dedup on an at-least-once stream)
+        "stream_dedup_within_wm": _q_stream_dedup_wm,
     }
 
 
@@ -1074,6 +1117,19 @@ def oracle_sql() -> dict[str, str]:
         "dedup_group_representatives": dedup.DEDUP_GROUPS_SQL,
         "sim_brute_force_topk": similarity.brute_force_topk_sql(0, 10),
 
+        "rel_rollup_revenue": """
+SELECT r_name, n_name,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents,
+       CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS BIGINT) AS gid
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
+""",
         "rel_q5_local_supplier": """
 SELECT n_name,
        CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (1000000 - CAST(round(l_discount * 1000000) AS BIGINT))) AS BIGINT) AS revenue_mc
@@ -1122,6 +1178,10 @@ FROM j GROUP BY month ORDER BY month
         # dropped: the committed unique set == the original corpus's
         # per-norm min-doc_id representatives
         "stream_view_click_join": stream_join.VIEW_CLICK_JOIN_SQL,
+        "stream_dedup_within_wm": """
+SELECT DISTINCT event_id, user_id, event_type
+FROM events ORDER BY event_id
+""",
         "stream_dedup_exact": r"""
             SELECT min(doc_id) AS doc_id
             FROM (SELECT doc_id,

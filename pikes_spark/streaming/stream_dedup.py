@@ -64,3 +64,38 @@ def stream_dedup_exact(spark: SparkSession, landing_dir: str,
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())
+
+
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str,
+                                  landing: str, out: str,
+                                  ckpt: str) -> None:
+    """Streaming duplicate-event suppression via Spark's native
+    ``dropDuplicatesWithinWatermark`` — the ingestion-side
+    exactly-once-per-key guard (at-least-once sources redeliver; the
+    dedup state is GC'd once the watermark passes, so state is
+    bounded by the redelivery horizon, not the stream's history —
+    the property that makes keyed dedup viable on an unbounded
+    stream).
+
+    The landing dir receives the events table TWICE (byte-identical
+    redelivery); the committed output must equal the batch DISTINCT.
+    """
+    schema = ("event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string")
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .select("event_id", "ts", "user_id", "event_type"))
+    ev.write.parquet(landing)
+    ev.write.mode("append").parquet(landing)
+    stream = spark.readStream.schema(schema).parquet(landing)
+    q = (stream.withWatermark("ts", "10 minutes")
+         .dropDuplicatesWithinWatermark(["event_id"])
+         .writeStream.format("parquet").outputMode("append")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(600)
+
+
+DEDUP_WITHIN_WM_SQL = """
+SELECT DISTINCT event_id, user_id, event_type
+FROM events ORDER BY event_id
+"""

@@ -141,3 +141,21 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     want = sorted(tuple(r) for r in con.sql(VIEW_CLICK_JOIN_SQL).fetchall())
     assert got == want
     assert got  # non-degenerate
+
+
+def test_dedup_within_watermark_suppresses_redelivery(spark, tmp_path):
+    """Twice-delivered events collapse to exactly the batch distinct
+    set through dropDuplicatesWithinWatermark."""
+    import duckdb
+    from pikes_spark.streaming.stream_dedup import (
+        stream_dedup_within_watermark)
+    stream_dedup_within_watermark(
+        spark, SF, str(tmp_path / "landing"), str(tmp_path / "out"),
+        str(tmp_path / "ckpt"))
+    got = sorted(tuple(r) for r in spark.read
+                 .parquet(str(tmp_path / "out"))
+                 .select("event_id", "user_id", "event_type").collect())
+    want = sorted(map(tuple, duckdb.sql(
+        f"SELECT DISTINCT event_id, user_id, event_type "
+        f"FROM '{SF}/events.parquet'").fetchall()))
+    assert got == want
