@@ -65,6 +65,8 @@ def _run_queries(spark, sf_dir: str) -> dict:
         "kg_walk_corpus", "txt_train_linear_probe", "sim_hybrid_rrf",
         "txt_domain_mix", "txt_compression_digest", "tbl_bucketed_join",
         "kg_shacl_report", "kg_char_sets", "evt_scd2_history",
+        "dedup_incremental", "sim_kmeans_codebook", "evt_json_props",
+        "rel_q5_local_supplier", "rel_rollup_revenue",
     ]
     for name in bench_queries:
         t0 = time.time()
