@@ -774,6 +774,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # SHACL-core shape validation report (minCount/maxCount/in/
         # nodeKind as predicate-pruned aggregations and anti-joins)
         "kg_shacl_report": kgquery.shacl_report,
+        # sorted N-Triples text serialization (the reference's RDF
+        # writer output contract), line-for-line value-checked
+        "kg_nt_export": kgquery.nt_export,
         # table maintenance: MERGE INTO + snapshot-diff CDC on the
         # committed snapshot tables (real commit/time-travel machinery;
         # oracle states the expected relational result)
@@ -1061,6 +1064,7 @@ def oracle_sql() -> dict[str, str]:
             ["n_docs", "sum_raw", "sum_comp", "checksum"],
             order="n_docs"),
         "kg_shacl_report": kgquery.shacl_sql(),
+        "kg_nt_export": kgquery.nt_export_sql(),
         # iterative h-index fixpoint is not SQL-expressible; frozen-
         # VALUES digest (differential pytest vs sequential peeling
         # backs the freeze)

@@ -2052,3 +2052,69 @@ ORDER BY shape_id
 
 def shacl_sql() -> str:
     return SHACL_SQL.format(rel=REL_TRIPLES_SQL, ex=_EX)
+
+
+# ---------------------------------------------------------------------------
+# sorted N-Triples serialization (the reference's RDF text output)
+# ---------------------------------------------------------------------------
+# Reference parity: the reference emits sorted RDF text via its TQL/
+# Turtle writers (rdfgen + the sorted spo/pos dumps, SURVEY §2 S4);
+# this operator is the Spark-side serializer: triple rows -> escaped
+# N-Triples lines in bytewise sorted order, value-checked line-for-
+# line in DuckDB.
+
+_NT_BASE = "http://example.org/"
+
+
+def _nt_escape(col):
+    # N-Triples string escaping (W3C N-Triples §2.3): backslash first,
+    # then quote, LF, CR, TAB — same replace() chain in both engines
+    out = F.replace(col, F.lit("\\"), F.lit("\\\\"))
+    out = F.replace(out, F.lit('"'), F.lit('\\"'))
+    out = F.replace(out, F.lit("\n"), F.lit("\\n"))
+    out = F.replace(out, F.lit("\r"), F.lit("\\r"))
+    out = F.replace(out, F.lit("\t"), F.lit("\\t"))
+    return out
+
+
+def nt_export(spark, sf_dir: str) -> DataFrame:
+    """Serialize the relational triple view to N-Triples lines in
+    bytewise sorted order — the text-RDF export stage. Pure Catalyst
+    string assembly; the sort is the same total-order write the spo
+    snapshot commits use (range partition + in-partition sort on a
+    cluster; the engine never collects the lines).
+
+    At 100 TB this is a map stage plus ONE range-partitioned sort; the
+    output contract (sorted, escaped, newline-terminated lines) is
+    what makes downstream text-diff / rdfpro-style processing and
+    byte-level dedup possible."""
+    t = rel_triples(spark, sf_dir)
+    subj = F.concat(F.lit("<" + _NT_BASE), F.col("subject"), F.lit(">"))
+    pred = F.concat(F.lit("<"), F.col("predicate"), F.lit(">"))
+    obj = F.when(
+        F.col("object_is_literal"),
+        F.concat(F.lit('"'), _nt_escape(F.col("object")), F.lit('"')))\
+        .otherwise(F.concat(F.lit("<" + _NT_BASE), F.col("object"),
+                            F.lit(">")))
+    line = F.concat_ws(" ", subj, pred, obj, F.lit("."))
+    return (t.select(line.alias("nt_line"))
+            .orderBy("nt_line"))
+
+
+NT_EXPORT_SQL = f"""
+WITH triples AS ({{rel}})
+SELECT concat_ws(' ',
+         '<{_NT_BASE}' || subject || '>',
+         '<' || predicate || '>',
+         CASE WHEN object_is_literal THEN
+           '"' || replace(replace(replace(replace(replace(object,
+             '\\', '\\\\'), '"', '\\"'), chr(10), '\\n'),
+             chr(13), '\\r'), chr(9), '\\t') || '"'
+         ELSE '<{_NT_BASE}' || object || '>' END,
+         '.') AS nt_line
+FROM triples ORDER BY nt_line
+"""
+
+
+def nt_export_sql() -> str:
+    return NT_EXPORT_SQL.format(rel=REL_TRIPLES_SQL)

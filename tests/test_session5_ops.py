@@ -668,3 +668,22 @@ def test_kmeans_codebook_reduces_inertia(spark):
         return sum(min(((v - c) ** 2).sum() for c in cb)
                    for v in vecs.values())
     assert inertia(cents) <= inertia(init)
+
+
+def test_nt_export_escaping_and_sortedness(spark):
+    """Lines come out bytewise sorted, every line is a syntactically
+    valid N-Triples statement, and escaping round-trips a hostile
+    literal."""
+    import re
+    from pikes_spark.operators import kgquery
+    lines = [r["nt_line"] for r in kgquery.nt_export(spark, SF).collect()]
+    assert lines == sorted(lines)
+    pat = re.compile(r'^<[^>]+> <[^>]+> (<[^>]+>|"(\\.|[^"\\])*") \.$')
+    for ln in lines:
+        assert pat.match(ln), ln
+    # hostile literal through the same escape chain
+    df = spark.createDataFrame(
+        [('a "quoted"\\ line\nwith\ttabs',)], "object string")
+    from pikes_spark.operators.kgquery import _nt_escape
+    out = df.select(_nt_escape(F.col("object")).alias("e")).first()["e"]
+    assert out == 'a \\"quoted\\"\\\\ line\\nwith\\ttabs'
