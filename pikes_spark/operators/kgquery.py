@@ -2057,8 +2057,9 @@ def shacl_sql() -> str:
 # ---------------------------------------------------------------------------
 # sorted N-Triples serialization (the reference's RDF text output)
 # ---------------------------------------------------------------------------
-# Reference parity: the reference emits sorted RDF text via its TQL/
-# Turtle writers (rdfgen + the sorted spo/pos dumps, SURVEY §2 S4);
+# Reference parity: the reference emits sorted RDF text via rdfpro's
+# TQL writer (RDFGenerator.java:382 ".tql.gz" output, Main.java:39
+# TQL registration; SURVEY §2 S4 sorted RDF writer);
 # this operator is the Spark-side serializer: triple rows -> escaped
 # N-Triples lines in bytewise sorted order, value-checked line-for-
 # line in DuckDB.
