@@ -727,6 +727,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_pack_sequences": textstats.pack_sequences,
         # RAG chunking: stride windows with stable ids + fingerprint
         "txt_chunk_windows": textstats.chunk_windows,
+        # contrastive (anchor, positive, negative) triplet mining for
+        # embedding-model training — bucket-local negatives, no global
+        # row numbering, no RNG
+        "txt_contrastive_pairs": textstats.contrastive_pairs,
         # OPTIMIZE ZORDER quantified: per-file min/max spans under
         # linear vs Morton-interleaved layout (same z expression text
         # runs in both engines)
@@ -1041,6 +1045,7 @@ def oracle_sql() -> dict[str, str]:
         "txt_pack_sequences": textstats.PACK_SEQUENCES_SQL,
         "web_crawl_shards": weburl.CRAWL_SHARDS_SQL,
         "txt_chunk_windows": textstats.CHUNK_WINDOWS_SQL,
+        "txt_contrastive_pairs": textstats.contrastive_sql(),
         "tbl_zorder_stats": layout.ZORDER_STATS_SQL,
         "tbl_bucketed_join": layout.BUCKETED_JOIN_SQL,
         "sim_quantized_recall": similarity.quantized_recall_sql(0, 10),

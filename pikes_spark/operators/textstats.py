@@ -1480,3 +1480,124 @@ def compression_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("comp_len").cast("bigint").alias("sum_comp"),
         F.expr("bit_xor(doc_id * 1048583 + ratio_ppm)").cast("bigint")
         .alias("checksum")))
+
+
+# ---------------------------------------------------------------------------
+# contrastive training-pair mining (embedding-model data prep)
+# ---------------------------------------------------------------------------
+
+_CTR_B = 32  # negative-sampling buckets
+
+
+def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mine (anchor, positive, negative) training triplets for a
+    text-embedding model from the chunk index — the SimCSE/E5-style
+    data-prep pass: positive = the next overlapping window of the SAME
+    document (adjacent strides share w-s tokens — related by
+    construction); negative = a deterministic hash-picked chunk of a
+    DIFFERENT document.
+
+    Negative selection is bucket-local, not global: chunks hash into
+    _CTR_B buckets, each bucket pre-aggregates its two lexicographic-
+    min fingerprints from DISTINCT documents, and every anchor joins
+    its hash-assigned bucket and takes whichever representative is
+    from another document. No global row numbering (a total-order
+    window would serialize), no RNG; the bucket-reps table is
+    _CTR_B-sized and broadcast.
+
+    Output: (doc_id, chunk_no, anchor_md5, pos_md5, neg_md5, neg_doc)
+    — anchors whose assigned bucket holds only their own document are
+    dropped (deterministically rare at corpus scale)."""
+    chunks = chunk_windows(spark, sf_dir).select(
+        "doc_id", "chunk_no", "chunk_md5")
+
+    def poly(col):
+        return F.aggregate(
+            F.split(col, ""),
+            F.lit(0).cast("bigint"),
+            lambda acc, ch: (acc * FP_BASE + F.ascii(ch)) % FP_MOD)
+
+    from pyspark.sql import Window
+    w = Window.partitionBy("doc_id").orderBy("chunk_no")
+    anch = (chunks
+            .withColumn("pos_md5", F.lead("chunk_md5").over(w))
+            .filter(F.col("pos_md5").isNotNull()))
+    bch = chunks.withColumn("bucket", poly(F.col("chunk_md5")) % _CTR_B)
+    r1 = (bch.groupBy("bucket")
+          .agg(F.min("chunk_md5").alias("m1"),
+               F.min_by("doc_id", "chunk_md5").alias("d1")))
+    r2 = (bch.join(r1, "bucket")
+          .filter(F.col("doc_id") != F.col("d1"))
+          .groupBy("bucket")
+          .agg(F.min("chunk_md5").alias("m2"),
+               F.min_by("doc_id", "chunk_md5").alias("d2")))
+    reps = r1.join(r2, "bucket", "left")
+    abucket = poly(F.concat_ws("#", F.col("doc_id"), F.col("chunk_no"))) \
+        % _CTR_B
+    joined = (anch.withColumn("bucket", abucket)
+              .join(F.broadcast(reps), "bucket"))
+    neg_md5 = F.when(F.col("d1") != F.col("doc_id"), F.col("m1")) \
+        .otherwise(F.col("m2"))
+    neg_doc = F.when(F.col("d1") != F.col("doc_id"), F.col("d1")) \
+        .otherwise(F.col("d2"))
+    return (joined.select("doc_id", "chunk_no",
+                          F.col("chunk_md5").alias("anchor_md5"),
+                          "pos_md5", neg_md5.alias("neg_md5"),
+                          neg_doc.cast("bigint").alias("neg_doc"))
+            .filter(F.col("neg_md5").isNotNull())
+            .orderBy("doc_id", "chunk_no"))
+
+
+CONTRASTIVE_SQL = f"""
+WITH chunks AS (
+  SELECT doc_id, chunk_no, chunk_md5 FROM ({{chunks}})
+),
+poly AS (
+  SELECT doc_id, chunk_no, chunk_md5,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           [CAST(ascii(c) AS BIGINT)
+            for c in regexp_split_to_array(chunk_md5, '')]),
+           (acc, ch) -> (acc * {FP_BASE} + ch) % {FP_MOD}) % {_CTR_B}
+           AS bucket
+  FROM chunks
+),
+anch AS (
+  SELECT doc_id, chunk_no, chunk_md5,
+         lead(chunk_md5) OVER (PARTITION BY doc_id ORDER BY chunk_no)
+           AS pos_md5,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           [CAST(ascii(c) AS BIGINT) for c in regexp_split_to_array(
+              doc_id || '#' || chunk_no, '')]),
+           (acc, ch) -> (acc * {FP_BASE} + ch) % {FP_MOD}) % {_CTR_B}
+           AS bucket
+  FROM chunks
+),
+r1 AS (
+  SELECT bucket, min(chunk_md5) AS m1,
+         arg_min(doc_id, chunk_md5) AS d1
+  FROM poly GROUP BY bucket
+),
+r2 AS (
+  SELECT p.bucket, min(p.chunk_md5) AS m2,
+         arg_min(p.doc_id, p.chunk_md5) AS d2
+  FROM poly p JOIN r1 ON p.bucket = r1.bucket
+  WHERE p.doc_id <> r1.d1
+  GROUP BY p.bucket
+)
+SELECT a.doc_id, a.chunk_no, a.chunk_md5 AS anchor_md5, a.pos_md5,
+       CASE WHEN r1.d1 <> a.doc_id THEN r1.m1 ELSE r2.m2 END AS neg_md5,
+       CAST(CASE WHEN r1.d1 <> a.doc_id THEN r1.d1 ELSE r2.d2 END
+            AS BIGINT) AS neg_doc
+FROM anch a JOIN r1 ON a.bucket = r1.bucket
+LEFT JOIN r2 ON a.bucket = r2.bucket
+WHERE a.pos_md5 IS NOT NULL
+  AND (CASE WHEN r1.d1 <> a.doc_id THEN r1.m1 ELSE r2.m2 END)
+      IS NOT NULL
+ORDER BY a.doc_id, a.chunk_no
+"""
+
+
+def contrastive_sql() -> str:
+    return CONTRASTIVE_SQL.format(
+        chunks=CHUNK_WINDOWS_SQL.replace(
+            "ORDER BY doc_id, chunk_no", ""))

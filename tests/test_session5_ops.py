@@ -687,3 +687,18 @@ def test_nt_export_escaping_and_sortedness(spark):
     from pikes_spark.operators.kgquery import _nt_escape
     out = df.select(_nt_escape(F.col("object")).alias("e")).first()["e"]
     assert out == 'a \\"quoted\\"\\\\ line\\nwith\\ttabs'
+
+
+def test_contrastive_pairs_semantics(spark):
+    """Positive = the anchor's own next window; negative never comes
+    from the anchor document; deterministic across runs."""
+    from pikes_spark.operators import textstats as T
+    r1 = [tuple(r) for r in T.contrastive_pairs(spark, SF).collect()]
+    r2 = [tuple(r) for r in T.contrastive_pairs(spark, SF).collect()]
+    assert r1 == r2 and r1
+    chunks = {(r["doc_id"], r["chunk_no"]): r["chunk_md5"]
+              for r in T.chunk_windows(spark, SF).collect()}
+    for doc, cno, amd5, pmd5, nmd5, ndoc in r1:
+        assert chunks[(doc, cno)] == amd5
+        assert chunks[(doc, cno + 1)] == pmd5
+        assert ndoc != doc
