@@ -571,6 +571,39 @@ def _q_stream_dedup_wm(spark, sf_dir):
             .orderBy("event_id"))
 
 
+def _q_tbl_schema_evolution(spark, sf_dir):
+    """Iceberg-style schema evolution on the snapshot machinery: commit
+    v0 without the `tier` column, commit v1 adding it; the unified
+    read surfaces NULL tier on v0 files, and time travel still reads
+    v0 under its own schema. Output digest: per (snapshot, tier)
+    counts + exact cent sums, value-checked in plain SQL."""
+    import tempfile
+
+    from pikes_spark.sources.tables import SnapshotTable
+
+    tmp = tempfile.mkdtemp(prefix="pikes_evo_q_")
+    t = SnapshotTable(f"{tmp}/cust", name="cust_evo")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents")
+    v0 = c.filter(F.col("c_custkey") % 3 != 0)           .select("c_custkey", cents)
+    v1 = c.filter(F.col("c_custkey") % 3 == 0)           .select("c_custkey", cents,
+                  F.col("c_mktsegment").alias("tier"))
+    t.append(v0, spark)
+    t.append(v1, spark)
+    cur = (t.read(spark, merge_schema=True)
+           .groupBy("tier")
+           .agg(F.count("*").cast("bigint").alias("n"),
+                F.sum("cents").cast("bigint").alias("cents"))
+           .select(F.lit("latest").alias("snap"), "tier", "n", "cents"))
+    v0r = (t.read(spark, sequence=0)
+           .agg(F.count("*").cast("bigint").alias("n"),
+                F.sum("cents").cast("bigint").alias("cents"))
+           .select(F.lit("v0").alias("snap"),
+                   F.lit(None).cast("string").alias("tier"), "n", "cents"))
+    return (cur.unionByName(v0r)
+            .orderBy("snap", F.asc_nulls_first("tier")))
+
+
 def _q_rel_rollup(spark, sf_dir):
     """ROLLUP (region, nation) revenue in ONE pass — Spark and DuckDB
     both evaluate the grouping-sets lattice with partial aggregation,
@@ -845,6 +878,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_q5_local_supplier": _q_rel_q5,
         # grouping-sets lattice in one shuffle (ROLLUP + grouping_id)
         "rel_rollup_revenue": _q_rel_rollup,
+        # Iceberg-style schema evolution: later-commit column reads as
+        # NULL on older files; time travel keeps the old schema
+        "tbl_schema_evolution": _q_tbl_schema_evolution,
         "rel_q14_promo_share": _q_rel_q14,
         "rel_join_window_topk": _q_rel_join_window,
         "rel_salted_join": _q_rel_salted_join,
@@ -1126,6 +1162,22 @@ def oracle_sql() -> dict[str, str]:
         "dedup_group_representatives": dedup.DEDUP_GROUPS_SQL,
         "sim_brute_force_topk": similarity.brute_force_topk_sql(0, 10),
 
+        "tbl_schema_evolution": """
+WITH c AS (
+  SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+         CASE WHEN c_custkey % 3 = 0 THEN c_mktsegment END AS tier,
+         c_custkey % 3 = 0 AS in_v1
+  FROM customer
+)
+SELECT 'latest' AS snap, tier, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS cents
+FROM c GROUP BY tier
+UNION ALL
+SELECT 'v0', NULL, CAST(count(*) AS BIGINT),
+       CAST(sum(cents) AS BIGINT)
+FROM c WHERE NOT in_v1
+ORDER BY snap, tier NULLS FIRST
+""",
         "rel_rollup_revenue": """
 SELECT r_name, n_name,
        CAST(count(*) AS BIGINT) AS n_orders,

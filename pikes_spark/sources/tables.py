@@ -134,14 +134,21 @@ class SnapshotTable:
         return None
 
     def read(self, spark: SparkSession,
-             sequence: Optional[int] = None) -> Optional[DataFrame]:
+             sequence: Optional[int] = None,
+             merge_schema: bool = False) -> Optional[DataFrame]:
         """Read the latest snapshot, or — time travel — a historical
-        one by its sequence number (Iceberg VERSION AS OF)."""
+        one by its sequence number (Iceberg VERSION AS OF).
+        merge_schema=True unifies data files written under different
+        schemas (Iceberg schema evolution: later columns read as NULL
+        on older files)."""
         snap = (self.latest_snapshot() if sequence is None
                 else self.snapshot(sequence))
         if snap is None or not snap["data_dirs"]:
             return None
-        return spark.read.parquet(*snap["data_dirs"])
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*snap["data_dirs"])
 
     def expire_snapshots(self, keep_last: int = 1) -> dict:
         """Table maintenance (Iceberg expire_snapshots): drop manifests

@@ -702,3 +702,21 @@ def test_contrastive_pairs_semantics(spark):
         assert chunks[(doc, cno)] == amd5
         assert chunks[(doc, cno + 1)] == pmd5
         assert ndoc != doc
+
+
+def test_schema_evolution_null_backfill_and_time_travel(spark, tmp_path):
+    """A column added in a later commit reads as NULL on older files
+    under the unified schema; time travel reads the old snapshot with
+    its own (narrower) schema."""
+    from pikes_spark.sources.tables import SnapshotTable
+    t = SnapshotTable(str(tmp_path / "t"), name="evo")
+    t.append(spark.createDataFrame([(1, 10)], "k long, v long"), spark)
+    t.append(spark.createDataFrame([(2, 20, "x")],
+                                   "k long, v long, extra string"), spark)
+    cur = t.read(spark, merge_schema=True)
+    assert set(cur.columns) == {"k", "v", "extra"}
+    rows = {r["k"]: r["extra"] for r in cur.collect()}
+    assert rows == {1: None, 2: "x"}
+    old = t.read(spark, sequence=0)
+    assert set(old.columns) == {"k", "v"}
+    assert old.count() == 1
