@@ -554,6 +554,43 @@ def _q_rel_q14(spark, sf_dir):
             .orderBy("month"))
 
 
+def _q_stream_windowed_counts(spark, sf_dir):
+    """Tumbling-window streaming aggregation through two availableNow
+    runs — the second lands a far-future sentinel that advances the
+    watermark past every real window, flushing the complete final
+    result set (same sentinel protocol as the stateful sessionizer);
+    value-checked against the batch windowed SQL."""
+    import datetime
+    import tempfile
+
+    from pikes_spark.streaming.stateful import streaming_windowed_counts
+
+    tmp = tempfile.mkdtemp(prefix="pikes_swin_q_")
+    landing, out, ckpt = f"{tmp}/landing", f"{tmp}/out", f"{tmp}/ckpt"
+    schema = "event_id bigint, ts timestamp, user_id bigint, value double, event_type string"
+    (spark.read.parquet(f"{sf_dir}/events.parquet")
+     .select("event_id", "ts", "user_id", "value", "event_type")
+     .write.parquet(landing))
+
+    def run_once() -> None:
+        stream = spark.readStream.schema(schema).parquet(landing)
+        q = (streaming_windowed_counts(stream).writeStream
+             .format("parquet").outputMode("append")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(600)
+
+    run_once()
+    spark.createDataFrame(
+        [(2 ** 40, datetime.datetime(2100, 1, 1), -1, 0.0, "sentinel")],
+        schema).write.mode("append").parquet(landing)
+    run_once()
+    return (spark.read.parquet(out)
+            .filter(F.col("event_type") != "sentinel")
+            .select("win_start", "event_type", "n", "sum_value_fl")
+            .orderBy("win_start", "event_type"))
+
+
 def _q_stream_dedup_wm(spark, sf_dir):
     """Native dropDuplicatesWithinWatermark through a real streaming
     run over a twice-delivered landing dir; result == batch DISTINCT
@@ -916,6 +953,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # native dropDuplicatesWithinWatermark (bounded-state keyed
         # dedup on an at-least-once stream)
         "stream_dedup_within_wm": _q_stream_dedup_wm,
+        # streaming tumbling-window agg behind a watermark (append
+        # mode; sentinel flush -> complete final windows)
+        "stream_windowed_counts": _q_stream_windowed_counts,
     }
 
 
@@ -1239,6 +1279,7 @@ FROM j GROUP BY month ORDER BY month
         # dropped: the committed unique set == the original corpus's
         # per-norm min-doc_id representatives
         "stream_view_click_join": stream_join.VIEW_CLICK_JOIN_SQL,
+        "stream_windowed_counts": events.WINDOWED_COUNTS_SQL,
         "stream_dedup_within_wm": """
 SELECT DISTINCT event_id, user_id, event_type
 FROM events ORDER BY event_id

@@ -128,3 +128,28 @@ def streaming_sessionize(events_stream: DataFrame,
                 stateStructType=STATE_SCHEMA,
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.EventTimeTimeout))
+
+
+# ---------------------------------------------------------------------------
+# streaming tumbling-window aggregation (watermark + append mode)
+# ---------------------------------------------------------------------------
+
+def streaming_windowed_counts(events_stream: DataFrame,
+                              watermark: str = "1 minute") -> DataFrame:
+    """The canonical Structured Streaming aggregation: tumbling 1-hour
+    event-time windows per event_type behind a watermark — append mode
+    emits a window only once the watermark passes its end, so results
+    are final (no retraction), state is bounded by the watermark
+    horizon, and the output is value-comparable to the batch windowed
+    SQL once all windows are flushed (the far-future sentinel run, as
+    with the stateful sessionizer)."""
+    return (events_stream
+            .withColumn("value", F.col("value").cast("decimal(38,6)"))
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.floor(F.sum("value")).cast("bigint")
+                 .alias("sum_value_fl"))
+            .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+                    .alias("win_start"),
+                    "event_type", "n", "sum_value_fl"))

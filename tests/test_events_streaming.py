@@ -159,3 +159,14 @@ def test_dedup_within_watermark_suppresses_redelivery(spark, tmp_path):
         f"SELECT DISTINCT event_id, user_id, event_type "
         f"FROM '{SF}/events.parquet'").fetchall()))
     assert got == want
+
+
+def test_streaming_windowed_counts_match_batch(spark):
+    """Watermarked tumbling-window agg through the sentinel-flush
+    protocol == the batch windowed aggregation, value for value."""
+    import __spark_entry__ as e
+    got = [tuple(r) for r in
+           e.queries()["stream_windowed_counts"](spark, SF).collect()]
+    want = [tuple(r) for r in
+            e.queries()["evt_windowed_counts"](spark, SF).collect()]
+    assert got == want and got
