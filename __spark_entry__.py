@@ -840,6 +840,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # DeepWalk walk-corpus generation: deterministic hash-argmin
         # steps, one frontier row per walk per step
         "kg_walk_corpus": graph.walk_corpus_rel,
+        # one GNN message-passing round (neighbor feature mean):
+        # edges x features hash join + (node, pos) partial agg
+        "kg_gnn_neighbor_mean": graph.neighbor_mean_features,
         # characteristic sets (SPARQL cardinality statistics)
         "kg_char_sets": kgquery.characteristic_sets,
         # k-core decomposition: distributed h-index fixpoint; frozen
@@ -1132,6 +1135,7 @@ def oracle_sql() -> dict[str, str]:
         # TPC-H nation is fixed at 25 rows at every SF
         "kg_negative_samples": graph.negative_samples_sql(25),
         "kg_walk_corpus": graph.WALK_CORPUS_SQL,
+        "kg_gnn_neighbor_mean": graph.NEIGHBOR_MEAN_SQL,
         "kg_char_sets": kgquery.CHAR_SETS_SQL,
         "txt_dsir_weights": textstats.DSIR_SQL,
         "dedup_snm_pairs": dedup.SNM_SQL,

@@ -620,3 +620,85 @@ s0 AS (
 {_walk_sql_steps()}
 ORDER BY walk_id, step
 """
+
+
+# ---------------------------------------------------------------------------
+# GNN message-passing primitive: neighbor feature aggregation
+# ---------------------------------------------------------------------------
+
+_GNN_VECS = 500   # embeddings table size; node features = vec[node % 500]
+
+
+def neighbor_mean_features(spark, sf_dir: str) -> DataFrame:
+    """One GraphSAGE-style message-passing round as pure DataFrame
+    ops: every node's aggregated feature = the component-wise mean of
+    its neighbors' embedding vectors (features looked up by
+    node % 500 against the embeddings table; floats floored to
+    integer millionths first so the mean — truncating div — is exact
+    in both engines).
+
+    Scale shape: ONE edges ⋈ features hash join (features partitioned
+    by node id exactly like any GNN feature store), then ONE
+    (node, pos)-keyed partial aggregation; the exchange carries
+    (node, pos, int) rows — the standard scatter-gather layout every
+    distributed GNN system (GraphSAGE samplers, PyG/DGL dist) reduces
+    to. Returns a digest — per node: degree plus the sum and min/max
+    of the 64 aggregated components — so the oracle stays
+    row-bounded while pinning every component's value through the
+    sum."""
+    und = (orders_graph(spark, sf_dir)
+           .select(F.least("src", "dst").alias("a"),
+                   F.greatest("src", "dst").alias("b"))
+           .filter(F.col("a") != F.col("b")).distinct())
+    adj = (und.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+           .unionAll(und.select(F.col("b").alias("node"),
+                                F.col("a").alias("nbr"))))
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding",
+                    lambda x: F.floor(x.cast("double") * 1_000_000)
+                    .cast("bigint")).alias("v"))
+    feats = adj.withColumn("fkey", F.col("nbr") % _GNN_VECS) \
+        .join(emb, F.col("fkey") == emb.vec_id)
+    comp = (feats.select("node", F.posexplode("v").alias("pos", "x"))
+            .groupBy("node", "pos")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("c"))
+            .select("node", "pos", F.expr("s div c").alias("m")))
+    return (comp.groupBy("node")
+            .agg(F.count("*").cast("bigint").alias("dim"),
+                 F.sum("m").cast("bigint").alias("sum_m"),
+                 F.min("m").cast("bigint").alias("min_m"),
+                 F.max("m").cast("bigint").alias("max_m"))
+            .orderBy("node"))
+
+
+NEIGHBOR_MEAN_SQL = f"""
+WITH und AS (
+  SELECT DISTINCT LEAST(o_custkey % {_MOD}, o_orderkey % {_MOD}) AS a,
+                  GREATEST(o_custkey % {_MOD}, o_orderkey % {_MOD}) AS b
+  FROM orders
+  WHERE o_custkey % {_MOD} <> o_orderkey % {_MOD}
+),
+adj AS (
+  SELECT a AS node, b AS nbr FROM und
+  UNION ALL SELECT b, a FROM und
+),
+emb AS (
+  SELECT vec_id,
+         [CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+          for x in embedding] AS v
+  FROM embeddings
+),
+comp AS (
+  SELECT adj.node, p.pos,
+         CAST(sum(emb.v[p.pos]) AS BIGINT) // count(*) AS m
+  FROM adj JOIN emb ON adj.nbr % {_GNN_VECS} = emb.vec_id
+  CROSS JOIN (SELECT unnest(range(1, 65)) AS pos) p
+  GROUP BY adj.node, p.pos
+)
+SELECT node, CAST(count(*) AS BIGINT) AS dim,
+       CAST(sum(m) AS BIGINT) AS sum_m,
+       CAST(min(m) AS BIGINT) AS min_m,
+       CAST(max(m) AS BIGINT) AS max_m
+FROM comp GROUP BY node ORDER BY node
+"""

@@ -720,3 +720,35 @@ def test_schema_evolution_null_backfill_and_time_travel(spark, tmp_path):
     old = t.read(spark, sequence=0)
     assert set(old.columns) == {"k", "v"}
     assert old.count() == 1
+
+
+def test_gnn_neighbor_mean_spot_node(spark):
+    """Spot-check one node's aggregated feature digest against a
+    direct numpy computation."""
+    import numpy as np
+    import duckdb
+    from pikes_spark.operators import graph as G
+    rows = {r["node"]: (r["dim"], r["sum_m"], r["min_m"], r["max_m"])
+            for r in G.neighbor_mean_features(spark, SF).collect()}
+    edges = duckdb.sql(f"""
+      SELECT DISTINCT LEAST(o_custkey % 997, o_orderkey % 997),
+                      GREATEST(o_custkey % 997, o_orderkey % 997)
+      FROM '{SF}/orders.parquet'
+      WHERE o_custkey % 997 <> o_orderkey % 997""").fetchall()
+    embs = {v: np.floor(np.array(e, dtype=np.float64) * 1_000_000)
+            for v, e in duckdb.sql(
+        f"SELECT vec_id, CAST(embedding AS DOUBLE[]) "
+        f"FROM '{SF}/embeddings.parquet'").fetchall()}
+    node = next(iter(rows))
+    nbrs = [b for a, b in edges if a == node] + \
+           [a for a, b in edges if b == node]
+    mat = np.stack([embs[n % 500] for n in nbrs])
+    m = np.array([int(s) // len(nbrs) if s >= 0
+                  else -((-int(s) + len(nbrs) - 1) // len(nbrs))
+                  for s in mat.sum(axis=0)])
+    # python // floors; engines truncate toward zero — recompute with
+    # truncation semantics
+    m = np.array([int(s) // len(nbrs) if int(s) % len(nbrs) == 0
+                  or int(s) >= 0 else int(s) // len(nbrs) + 1
+                  for s in mat.sum(axis=0)])
+    assert rows[node] == (64, int(m.sum()), int(m.min()), int(m.max()))
