@@ -267,3 +267,20 @@ def test_q5_broadcasts_dims_no_cartesian(spark):
     assert_broadcast_join(df)
     assert_no_cartesian(df)
     assert_no_python_eval(df)
+
+
+def test_session7_part2_plan_shapes(spark):
+    """Plan audit for the later seventh-session ops: NT export,
+    contrastive mining, k-means assignment, GNN aggregation, JSON
+    rollup — all JVM-side; broadcasts where claimed; partial
+    aggregation on the big groupBys."""
+    import __spark_entry__ as e
+    qs = e.queries()
+    for name in ("kg_nt_export", "txt_contrastive_pairs",
+                 "sim_kmeans_codebook", "kg_gnn_neighbor_mean",
+                 "evt_json_props", "rel_q14_promo_share",
+                 "rel_rollup_revenue"):
+        assert_no_python_eval(qs[name](spark, SF))
+    from pikes_spark.operators import graph, textstats
+    assert_partial_aggregation(graph.neighbor_mean_features(spark, SF))
+    assert_broadcast_join(textstats.contrastive_pairs(spark, SF))
