@@ -21,7 +21,7 @@ from pikes_spark.operators.annotate import (
     annotate_pages, distill_annotations, extract_pages_text, pages_to_triples)
 from pikes_spark.operators import (
     textstats, dedup, similarity, events, kgquery, graph, skew, weburl, cdc,
-    sketches, weblinks, bpe, layout)
+    sketches, weblinks, bpe, layout, rdfs)
 from pikes_spark.operators.linking import candidates_df, link_entities
 from pikes_spark.operators.canonicalize import canonicalize_triples
 
@@ -822,6 +822,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window exchange
         "web_crawl_shards": weburl.crawl_shards,
         "txt_repetition": textstats.repetition_stats,
+        # document-level token co-occurrence with exact-rational PMI
+        # lift (top-V vocab broadcast; per-doc pair work bounded v^2)
+        "txt_cooc_pmi": textstats.cooc_pmi,
         # feature-hashed linear classifier serving path (fastText-style)
         "txt_hash_classifier": textstats.hash_classifier,
         # deterministic integer-exact sketches (sketch-sized exchanges)
@@ -830,6 +833,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bfs_reach": graph.bfs_reach,
         "kg_triangles": graph.triangles_top,
         "kg_pagerank": graph.pagerank_top20,
+        # integer fixed-point HITS hubs/authorities (bit-deterministic
+        # under any partitioning; scalar max rejoined as a broadcast)
+        "kg_hits": graph.hits_top20,
         "kg_degree_profile": graph.degree_profile_rel,
         # common-neighbors link prediction (hub-capped inverted-index
         # pair generation; the cap is part of the contract)
@@ -845,6 +851,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_gnn_neighbor_mean": graph.neighbor_mean_features,
         # characteristic sets (SPARQL cardinality statistics)
         "kg_char_sets": kgquery.characteristic_sets,
+        # RDFS forward-chaining materialization (rdfpro-rules shape):
+        # driver-closed TBox broadcast against the fact scan; the only
+        # exchange is the distinct over the entailed rows
+        "kg_rdfs_entail": rdfs.rdfs_entail_rel,
         # k-core decomposition: distributed h-index fixpoint; frozen
         # digest oracle backed by a differential peeling pytest
         "kg_kcore": graph.kcore_digest,
@@ -1137,7 +1147,10 @@ def oracle_sql() -> dict[str, str]:
         "kg_walk_corpus": graph.WALK_CORPUS_SQL,
         "kg_gnn_neighbor_mean": graph.NEIGHBOR_MEAN_SQL,
         "kg_char_sets": kgquery.CHAR_SETS_SQL,
+        "kg_rdfs_entail": rdfs.rdfs_entail_sql(),
+        "kg_hits": graph.hits_sql(),
         "txt_dsir_weights": textstats.DSIR_SQL,
+        "txt_cooc_pmi": textstats.COOC_PMI_SQL,
         "dedup_snm_pairs": dedup.SNM_SQL,
         "dedup_incremental": dedup.INCREMENTAL_NEARDUP_SQL,
         "txt_train_linear_probe": textstats.LINEAR_PROBE_SQL,

@@ -702,3 +702,115 @@ SELECT node, CAST(count(*) AS BIGINT) AS dim,
        CAST(max(m) AS BIGINT) AS max_m
 FROM comp GROUP BY node ORDER BY node
 """
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (integer fixed point)
+# ---------------------------------------------------------------------------
+
+_HITS_ITERS = 3
+_HITS_SCALE = 1_000_000
+
+
+def hits_int(edges: DataFrame, iters: int = _HITS_ITERS,
+             src: str = "src", dst: str = "dst") -> DataFrame:
+    """Kleinberg HITS with all-integer arithmetic: authority gather,
+    max-normalize to `_HITS_SCALE` by floor division, hub gather,
+    max-normalize — so scores are BIT-DETERMINISTIC under any
+    partitioning (same rationale as pagerank_int: float HITS sums
+    depend on shuffle order and can't be value-checked distributed).
+
+    Per iteration: two shuffle joins + two groupBys (gather along in-
+    edges then out-edges) and one scalar-max aggregate each, shipped
+    back into the plan as a broadcast cross join (one row — never a
+    single-partition window). Lineage cut by localCheckpoint.
+    Returns (node, auth, hub) for every node."""
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         .distinct().localCheckpoint())
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionAll(e.select(F.col("dst").alias("node")))
+             .distinct().localCheckpoint())
+    hubs = nodes.withColumn("hub", F.lit(_HITS_SCALE).cast("bigint"))
+    auths = None
+    for _ in range(iters):
+        # authority = sum of hub scores over in-edges, then normalize
+        a = (hubs.join(e, hubs.node == e.src)
+             .groupBy(F.col("dst").alias("node"))
+             .agg(F.sum("hub").alias("a_raw")))
+        amax = a.agg(F.max("a_raw").alias("amax"))
+        auths = (nodes.join(a, "node", "left")
+                 .crossJoin(F.broadcast(amax))
+                 .select("node", F.expr(
+                     f"coalesce(a_raw, 0L) * {_HITS_SCALE} div amax")
+                     .alias("auth"))
+                 .localCheckpoint())
+        # hub = sum of authority scores over out-edges, then normalize
+        h = (auths.join(e, auths.node == e.dst)
+             .groupBy(F.col("src").alias("node"))
+             .agg(F.sum("auth").alias("h_raw")))
+        hmax = h.agg(F.max("h_raw").alias("hmax"))
+        hubs = (nodes.join(h, "node", "left")
+                .crossJoin(F.broadcast(hmax))
+                .select("node", F.expr(
+                    f"coalesce(h_raw, 0L) * {_HITS_SCALE} div hmax")
+                    .alias("hub"))
+                .localCheckpoint())
+    return nodes.join(auths, "node").join(hubs, "node")
+
+
+def hits_top20(spark, sf_dir: str) -> DataFrame:
+    """Driver query: HITS over the orders-derived digraph (same graph
+    as bfs_reach/pagerank), top 20 authorities."""
+    out = hits_int(orders_graph(spark, sf_dir))
+    return (out.select(F.col("node").cast("bigint").alias("node"),
+                       "auth", "hub")
+            .orderBy(F.desc("auth"), F.asc("node"))
+            .limit(20))
+
+
+def hits_sql(iters: int = _HITS_ITERS) -> str:
+    """DuckDB twin: the same integer iteration unrolled into CTEs
+    (scalar max via subquery; floor division `//` truncates toward
+    zero exactly like Spark's `div` — both operands nonnegative)."""
+    s = _HITS_SCALE
+    parts = [f"""
+    edges AS (
+      SELECT DISTINCT o_custkey % {_MOD} AS src, o_orderkey % {_MOD} AS dst
+      FROM orders
+    ),
+    nodes AS (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ),
+    h0 AS (SELECT node, CAST({s} AS BIGINT) AS hub FROM nodes)"""]
+    prev_h = "h0"
+    for t in range(1, iters + 1):
+        parts.append(f"""
+    a{t}_raw AS (
+      SELECT e.dst AS node, SUM(h.hub) AS a_raw
+      FROM {prev_h} h JOIN edges e ON e.src = h.node GROUP BY e.dst
+    ),
+    a{t} AS (
+      SELECT n.node,
+             COALESCE(a.a_raw, 0) * {s} // (SELECT MAX(a_raw) FROM a{t}_raw)
+               AS auth
+      FROM nodes n LEFT JOIN a{t}_raw a ON a.node = n.node
+    ),
+    h{t}_raw AS (
+      SELECT e.src AS node, SUM(a.auth) AS h_raw
+      FROM a{t} a JOIN edges e ON e.dst = a.node GROUP BY e.src
+    ),
+    h{t} AS (
+      SELECT n.node,
+             COALESCE(h.h_raw, 0) * {s} // (SELECT MAX(h_raw) FROM h{t}_raw)
+               AS hub
+      FROM nodes n LEFT JOIN h{t}_raw h ON h.node = n.node
+    )""")
+        prev_h = f"h{t}"
+    return ("WITH " + ",".join(parts) + f"""
+    SELECT CAST(n.node AS BIGINT) AS node,
+           CAST(a.auth AS BIGINT) AS auth,
+           CAST(h.hub AS BIGINT) AS hub
+    FROM nodes n JOIN a{iters} a ON a.node = n.node
+                 JOIN h{iters} h ON h.node = n.node
+    ORDER BY a.auth DESC, n.node ASC LIMIT 20
+    """)

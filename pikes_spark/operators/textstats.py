@@ -1601,3 +1601,76 @@ def contrastive_sql() -> str:
     return CONTRASTIVE_SQL.format(
         chunks=CHUNK_WINDOWS_SQL.replace(
             "ORDER BY doc_id, chunk_no", ""))
+
+
+# ---------------------------------------------------------------------------
+# token co-occurrence PMI (association mining over the corpus)
+# ---------------------------------------------------------------------------
+
+_PMI_V = 40          # vocabulary cap: top-V tokens by document frequency
+_PMI_MIN_PAIR = 5    # pair support floor
+_PMI_SCALE = 1_000_000
+
+
+def cooc_pmi(spark: SparkSession, sf_dir: str,
+             v: int = _PMI_V, min_pair: int = _PMI_MIN_PAIR) -> DataFrame:
+    """Document-level token co-occurrence with an exact-rational PMI
+    lift: lift_fp = floor(N * c12 * SCALE / (c1 * c2)) — all-integer,
+    so the score is hash-identical cross-engine (ln() would round
+    differently in the last ulp between libm builds; the monotone
+    rational lift avoids floats entirely).
+
+    Scale shape: the vocabulary is CAPPED at the top-`v` tokens by
+    document frequency (min_by-free: one partial-agg count + a top-k
+    that is v rows) and broadcast; the pair generation self-joins the
+    vocab-restricted doc-term table ON doc_id, so per-doc work is
+    bounded by v^2 and the pair aggregation is map-side combinable.
+    Nothing in the plan carries more than (docs x v) rows."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dt = (docs.select("doc_id",
+                      F.explode(_tokens(F.col("text"))).alias("tok"))
+          .distinct())
+    dfreq = dt.groupBy("tok").agg(F.count("*").alias("c"))
+    vocab = F.broadcast(
+        dfreq.orderBy(F.desc("c"), F.asc("tok")).limit(v))
+    dtv = dt.join(vocab, "tok").select("doc_id", "tok", "c")
+    n_docs = docs.select(F.count("*").alias("n"))
+    l, r = dtv.alias("l"), dtv.alias("r")
+    pairs = (l.join(r, (F.col("l.doc_id") == F.col("r.doc_id"))
+                    & (F.col("l.tok") < F.col("r.tok")))
+             .groupBy(F.col("l.tok").alias("t1"),
+                      F.col("r.tok").alias("t2"),
+                      F.col("l.c").alias("c1"),
+                      F.col("r.c").alias("c2"))
+             .agg(F.count("*").alias("c12"))
+             .filter(F.col("c12") >= min_pair))
+    return (pairs.crossJoin(F.broadcast(n_docs))
+            .select("t1", "t2", "c1", "c2", "c12",
+                    F.expr(f"n * c12 * {_PMI_SCALE} div (c1 * c2)")
+                    .alias("lift_fp"))
+            .orderBy(F.desc("lift_fp"), "t1", "t2"))
+
+
+COOC_PMI_SQL = f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, unnest(
+    regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+  FROM documents
+),
+dfreq AS (SELECT tok, COUNT(*) AS c FROM dt GROUP BY tok),
+vocab AS (SELECT tok, c FROM dfreq ORDER BY c DESC, tok ASC LIMIT {_PMI_V}),
+dtv AS (SELECT dt.doc_id, dt.tok, v.c FROM dt JOIN vocab v USING (tok)),
+n AS (SELECT COUNT(*) AS n FROM documents),
+pairs AS (
+  SELECT l.tok AS t1, r.tok AS t2, l.c AS c1, r.c AS c2,
+         COUNT(*) AS c12
+  FROM dtv l JOIN dtv r ON l.doc_id = r.doc_id AND l.tok < r.tok
+  GROUP BY l.tok, r.tok, l.c, r.c
+  HAVING COUNT(*) >= {_PMI_MIN_PAIR}
+)
+SELECT t1, t2, CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2,
+       CAST(c12 AS BIGINT) AS c12,
+       CAST(n.n * c12 * {_PMI_SCALE} // (c1 * c2) AS BIGINT) AS lift_fp
+FROM pairs, n
+ORDER BY lift_fp DESC, t1, t2
+"""

@@ -1,0 +1,114 @@
+"""Eighth-session operators: RDFS entailment, HITS, co-occurrence PMI,
+percentile filter, curation funnel, partition pruning."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pikes_spark.operators import rdfs
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# RDFS entailment
+# ---------------------------------------------------------------------------
+
+def test_transitive_closure_chain():
+    got = rdfs._transitive_closure([("a", "b"), ("b", "c"), ("c", "d")])
+    assert ("a", "d") in got and ("a", "c") in got and ("b", "d") in got
+    assert len(got) == 6
+
+
+def test_rdfs_entail_rules_fire(spark):
+    triples = spark.createDataFrame(
+        [("cust:1", rdfs._EX + "inNation", "nat:7", False),
+         ("nat:7", rdfs._EX + "name", "FRANCE", True)],
+        ["subject", "predicate", "object", "object_is_literal"])
+    out = {(r.subject, r.predicate, r.object)
+           for r in rdfs.rdfs_entail(triples).collect()}
+    # rdfs7: subproperty propagation (one hop and closed two-hop)
+    assert ("cust:1", rdfs._EX + "locatedIn", "nat:7") in out
+    assert ("cust:1", rdfs._EX + "relatedTo", "nat:7") in out
+    # rdfs2/rdfs3 + rdfs9: domain/range typing climbed to the roots
+    assert ("cust:1", rdfs._RDF_TYPE, rdfs._EX + "Customer") in out
+    assert ("cust:1", rdfs._RDF_TYPE, rdfs._EX + "Resource") in out
+    assert ("nat:7", rdfs._RDF_TYPE, rdfs._EX + "Nation") in out
+    assert ("nat:7", rdfs._RDF_TYPE, rdfs._EX + "Place") in out
+    # literal objects are never typed (rdfs3 guard)
+    assert not any(s == "FRANCE" for (s, _, _) in out)
+    # schema closure rows present exactly once
+    assert ("http://example.org/Customer", rdfs._SUBCLASS,
+            "http://example.org/Resource") in out
+
+
+def test_rdfs_entail_disjoint_from_input(spark):
+    """Derived predicates never collide with data predicates — the
+    invariant that lets the plan skip the anti-join."""
+    out = rdfs.rdfs_entail_rel(spark, SF)
+    data_preds = {r.predicate for r in
+                  rdfs.rel_triples(spark, SF).select("predicate")
+                  .distinct().collect()}
+    got_preds = {r.predicate for r in
+                 out.select("predicate").distinct().collect()}
+    assert not (data_preds & got_preds)
+
+
+def test_rdfs_entail_plan_broadcasts(spark):
+    plan = rdfs.rdfs_entail_rel(spark, SF)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# HITS
+# ---------------------------------------------------------------------------
+
+def test_hits_star_graph(spark):
+    """Hub center pointing at k leaves: center is the max hub, leaves
+    share the max authority; normalization pins both at the scale."""
+    from pikes_spark.operators.graph import hits_int, _HITS_SCALE
+    e = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], ["src", "dst"])
+    rows = {r.node: (r.auth, r.hub) for r in hits_int(e).collect()}
+    assert rows[0][1] == _HITS_SCALE          # the only hub
+    assert rows[0][0] == 0                    # no in-edges
+    for leaf in (1, 2, 3):
+        assert rows[leaf][0] == _HITS_SCALE   # symmetric authorities
+        assert rows[leaf][1] == 0             # no out-edges
+
+
+def test_hits_partitioning_invariance(spark):
+    """Integer arithmetic makes the scores identical under different
+    parallelism — the property the distributed value check relies on."""
+    from pikes_spark.operators.graph import hits_int
+    edges = [(i % 13, (i * 7) % 13) for i in range(60) if i % 13 != (i * 7) % 13]
+    a = spark.createDataFrame(edges, ["src", "dst"])
+    r1 = sorted(map(tuple, hits_int(a.repartition(1)).collect()))
+    r32 = sorted(map(tuple, hits_int(a.repartition(32)).collect()))
+    assert r1 == r32
+
+
+# ---------------------------------------------------------------------------
+# co-occurrence PMI
+# ---------------------------------------------------------------------------
+
+def test_cooc_pmi_exact_lift(spark, tmp_path):
+    """Three docs, hand-computable counts: lift is the exact rational."""
+    import pandas as pd
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "text": ["x y", "x y", "x y", "x y", "x y", "x z"],
+    })
+    p = str(tmp_path / "docs")
+    spark.createDataFrame(pdf).write.parquet(p + "/documents.parquet")
+    from pikes_spark.operators.textstats import cooc_pmi
+    out = {(r.t1, r.t2): r for r in
+           cooc_pmi(spark, p, v=3, min_pair=1).collect()}
+    r = out[("x", "y")]
+    # N=6, c(x)=6, c(y)=5, c12=5 -> lift = 6*5*1e6 // 30 = 1_000_000
+    assert (r.c1, r.c2, r.c12, r.lift_fp) == (6, 5, 5, 1_000_000)
+    r2 = out[("x", "z")]
+    # N=6, c(x)=6, c(z)=1, c12=1 -> 6*1*1e6 // 6 = 1_000_000
+    assert r2.lift_fp == 1_000_000
