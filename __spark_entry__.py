@@ -809,6 +809,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # equi-join shuffle-free (plan-asserted); values must equal
         # the plain join
         "tbl_bucketed_join": layout.bucketed_join,
+        # hive-partitioned event-log layout + partition-pruned scan
+        # (manifest-resolved date predicate; plan-asserted pruning)
+        "tbl_partition_prune": layout.partitioned_events_rollup,
         # int8 scalar-quantized ANN recall vs the exact float top-k
         "sim_quantized_recall": similarity.quantized_recall,
         # hybrid retrieval: reciprocal-rank fusion of the BM25 top-20
@@ -825,6 +828,12 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # document-level token co-occurrence with exact-rational PMI
         # lift (top-V vocab broadcast; per-doc pair work bounded v^2)
         "txt_cooc_pmi": textstats.cooc_pmi,
+        # per-language bottom-decile quality gate with exact integer
+        # rank semantics (deterministic MEMBERSHIP, not just counts)
+        "txt_percentile_filter": textstats.percentile_filter,
+        # the composed curation pipeline (quality -> exact dedup ->
+        # decontaminate -> per-lang cap) with per-stage survivor counts
+        "txt_curation_funnel": textstats.curation_funnel,
         # feature-hashed linear classifier serving path (fastText-style)
         "txt_hash_classifier": textstats.hash_classifier,
         # deterministic integer-exact sketches (sketch-sized exchanges)
@@ -836,6 +845,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # integer fixed-point HITS hubs/authorities (bit-deterministic
         # under any partitioning; scalar max rejoined as a broadcast)
         "kg_hits": graph.hits_top20,
+        # deterministic-argmax label propagation communities (integer
+        # cnt*ENC encoding -> one MAX partial agg per iteration)
+        "kg_label_prop": graph.label_prop_rel,
         "kg_degree_profile": graph.degree_profile_rel,
         # common-neighbors link prediction (hub-capped inverted-index
         # pair generation; the cap is part of the contract)
@@ -1151,6 +1163,10 @@ def oracle_sql() -> dict[str, str]:
         "kg_hits": graph.hits_sql(),
         "txt_dsir_weights": textstats.DSIR_SQL,
         "txt_cooc_pmi": textstats.COOC_PMI_SQL,
+        "txt_percentile_filter": textstats.PERCENTILE_FILTER_SQL,
+        "txt_curation_funnel": textstats.CURATION_FUNNEL_SQL,
+        "kg_label_prop": graph.label_prop_sql(),
+        "tbl_partition_prune": layout.PARTITION_PRUNE_SQL,
         "dedup_snm_pairs": dedup.SNM_SQL,
         "dedup_incremental": dedup.INCREMENTAL_NEARDUP_SQL,
         "txt_train_linear_probe": textstats.LINEAR_PROBE_SQL,

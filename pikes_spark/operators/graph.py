@@ -814,3 +814,99 @@ def hits_sql(iters: int = _HITS_ITERS) -> str:
                  JOIN h{iters} h ON h.node = n.node
     ORDER BY a.auth DESC, n.node ASC LIMIT 20
     """)
+
+
+# ---------------------------------------------------------------------------
+# semi-supervised label propagation (deterministic argmax)
+# ---------------------------------------------------------------------------
+
+_LP_ITERS = 3
+_LP_SEEDS = (0, 1, 2, 3, 4)
+_LP_ENC = 1024  # > _MOD, so cnt*ENC + (ENC-1-label) orders (cnt asc, label desc)
+
+
+def label_propagation(edges: DataFrame, seeds=_LP_SEEDS,
+                      iters: int = _LP_ITERS) -> DataFrame:
+    """Semi-supervised label propagation with a DETERMINISTIC update:
+    each unlabeled node takes the (most frequent, then smallest)
+    neighbor label; seed nodes are clamped. Float-free and order-free:
+    the argmax is one integer MAX over the encoding
+    cnt * ENC + (ENC - 1 - label), so the result is identical under
+    any partitioning — the property that makes a distributed LPA
+    value-checkable (same discipline as pagerank_int/hits_int).
+
+    Per iteration: one shuffle join (labels ⋈ undirected edges) + one
+    map-side-combinable (node,label) count + one per-node MAX partial
+    aggregation — no windows. Lineage cut by localCheckpoint."""
+    e = (edges.select("src", "dst")
+         .unionAll(edges.select(F.col("dst").alias("src"),
+                                F.col("src").alias("dst")))
+         .distinct().localCheckpoint())
+    spark = edges.sparkSession
+    seed_df = spark.createDataFrame([(int(s), int(s)) for s in seeds],
+                                    ["node", "label"]).localCheckpoint()
+    labels = seed_df
+    seed_list = ",".join(str(int(s)) for s in seeds)
+    for _ in range(iters):
+        msgs = (labels.join(e, labels.node == e.src)
+                .select(F.col("dst").alias("node"), "label"))
+        cnts = msgs.groupBy("node", "label").agg(F.count("*").alias("cnt"))
+        enc = (cnts.groupBy("node")
+               .agg(F.max(F.col("cnt") * _LP_ENC
+                          + (_LP_ENC - 1 - F.col("label"))).alias("m"))
+               .select("node",
+                       (F.lit(_LP_ENC - 1) - F.col("m") % _LP_ENC)
+                       .alias("label")))
+        labels = (seed_df.unionAll(
+            enc.filter(~F.expr(f"node in ({seed_list})")))
+            .localCheckpoint())
+    return labels
+
+
+def label_prop_rel(spark, sf_dir: str) -> DataFrame:
+    """Driver query: LPA communities over the orders-derived digraph
+    (undirected view), all labeled nodes."""
+    out = label_propagation(orders_graph(spark, sf_dir))
+    return (out.select(F.col("node").cast("bigint").alias("node"),
+                       F.col("label").cast("bigint").alias("label"))
+            .orderBy("node"))
+
+
+def label_prop_sql(seeds=_LP_SEEDS, iters: int = _LP_ITERS) -> str:
+    """DuckDB twin: the same integer iteration unrolled (argmax via
+    the identical cnt*ENC encoding — no arg_max/window semantics to
+    match across engines)."""
+    seed_rows = ", ".join(f"({int(s)}, {int(s)})" for s in seeds)
+    seed_list = ",".join(str(int(s)) for s in seeds)
+    parts = [f"""
+    dedges AS (
+      SELECT DISTINCT o_custkey % {_MOD} AS src, o_orderkey % {_MOD} AS dst
+      FROM orders
+    ),
+    edges AS (
+      SELECT src, dst FROM dedges UNION SELECT dst, src FROM dedges
+    ),
+    seeds (node, label) AS (VALUES {seed_rows}),
+    l0 AS (SELECT node, label FROM seeds)"""]
+    prev = "l0"
+    for t in range(1, iters + 1):
+        parts.append(f"""
+    c{t} AS (
+      SELECT e.dst AS node, l.label, COUNT(*) AS cnt
+      FROM {prev} l JOIN edges e ON e.src = l.node
+      GROUP BY e.dst, l.label
+    ),
+    l{t} AS (
+      SELECT node, label FROM seeds
+      UNION ALL
+      SELECT node,
+             {_LP_ENC - 1} - MAX(cnt * {_LP_ENC} + ({_LP_ENC - 1} - label))
+               % {_LP_ENC} AS label
+      FROM c{t} WHERE node NOT IN ({seed_list})
+      GROUP BY node
+    )""")
+        prev = f"l{t}"
+    return ("WITH " + ",".join(parts) + f"""
+    SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
+    FROM {prev} ORDER BY node
+    """)

@@ -211,3 +211,64 @@ SELECT c.c_mktsegment,
 FROM customer c JOIN rollup_o r ON c.c_custkey = r.o_custkey
 GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
 """
+
+
+# ---------------------------------------------------------------------------
+# partitioned layout + partition-pruned scan
+# ---------------------------------------------------------------------------
+
+_PRUNE_DAYS = ("2024-01-03", "2024-01-04")
+
+
+def partitioned_events_rollup(spark: SparkSession, sf_dir: str,
+                              days=_PRUNE_DAYS) -> DataFrame:
+    """Hive-partitioned layout + pruned read: the events table is
+    written partitioned by event_date (the storage layout a 100 TB
+    event log actually uses — one directory per day), then a
+    two-day rollup reads it back through a partition filter.
+
+    The point at scale: the date predicate is resolved against the
+    partition MANIFEST, not the data — the scan touches 2 of ~30
+    directories and the other 28 days are never opened (asserted on
+    the physical plan in tests/test_plans_session8.py via
+    PartitionFilters/'partitions read'). Values are checked against
+    the unpartitioned SQL — layout must never change results.
+
+    Integer cents (floor(value*100)) keep the sum exact cross-engine."""
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="pikes_partevents_")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    (ev.withColumn("event_date", F.to_date("ts"))
+     .write.partitionBy("event_date").mode("overwrite").parquet(base))
+    pruned = pruned_events_frame(spark, base, days)
+    out = spark.createDataFrame(pruned.collect(), pruned.schema)
+    import shutil
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+def pruned_events_frame(spark: SparkSession, base: str,
+                        days=_PRUNE_DAYS) -> DataFrame:
+    """The pruned-scan rollup frame (separate so tests can assert the
+    partition filters on the un-materialized plan)."""
+    part = spark.read.parquet(base)
+    return (part.filter(F.col("event_date")
+                        .isin([F.lit(d).cast("date") for d in days]))
+            .groupBy(F.col("event_date").cast("string").alias("event_date"),
+                     "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+                 .alias("cents"))
+            .orderBy("event_date", "event_type"))
+
+
+PARTITION_PRUNE_SQL = f"""
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM events
+WHERE (CAST(ts AS DATE) = DATE '{_PRUNE_DAYS[0]}'
+       OR CAST(ts AS DATE) = DATE '{_PRUNE_DAYS[1]}')
+GROUP BY 1, 2 ORDER BY 1, 2
+"""

@@ -1674,3 +1674,158 @@ SELECT t1, t2, CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2,
 FROM pairs, n
 ORDER BY lift_fp DESC, t1, t2
 """
+
+
+# ---------------------------------------------------------------------------
+# per-language percentile quality filter (bottom-decile drop)
+# ---------------------------------------------------------------------------
+
+def percentile_filter(spark: SparkSession, sf_dir: str,
+                      drop_pct: int = 10) -> DataFrame:
+    """CCNet-style per-language percentile gate: drop the bottom
+    `drop_pct`% of each language by an integer quality score (here
+    stopword-ratio x1000, ties broken by doc_id so the cut is
+    deterministic). Exact integer rank semantics — a doc is dropped
+    iff rank <= n * drop_pct // 100 under (score, doc_id) — so two
+    engines and any two cluster sizes agree on MEMBERSHIP, not just
+    counts (the same discipline as train_test_split).
+
+    Plan: one lang-partitioned rank window + one lang count over the
+    same exchange; the verdict is a codegen comparison. At 10^12 docs
+    the window is per-language (the natural partition) — skewed
+    languages shard with the same salting recipe as any hot key."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = _tokens(F.col("text"))
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*LANG_MARKERS["en"])))
+    scored = docs.select(
+        "doc_id", "lang",
+        F.floor((stop_hits * 1000) / F.size(toks)).cast("bigint")
+        .alias("score"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("lang").orderBy("score", "doc_id")
+    ranked = (scored
+              .withColumn("rn", F.row_number().over(w))
+              .withColumn("n", F.count("*").over(Window.partitionBy("lang"))))
+    return (ranked.select(
+        "doc_id", "lang", "score",
+        (F.col("rn") <= F.expr(f"n * {drop_pct} div 100")).alias("dropped"))
+        .orderBy("doc_id"))
+
+
+PERCENTILE_FILTER_SQL = """
+WITH scored AS (
+  SELECT doc_id, lang,
+         CAST(floor(len(list_filter(
+             regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x IN
+             ('the','and','of','to','in','is','that','with','for','was')))
+             * 1000.0 /
+             len(regexp_split_to_array(trim(lower(text)), '\\s+')))
+           AS BIGINT) AS score
+  FROM documents
+), ranked AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY lang ORDER BY score, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM scored
+)
+SELECT doc_id, lang, score, rn <= n * 10 // 100 AS dropped
+FROM ranked ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# curation funnel: the composed training-data pipeline, counted per stage
+# ---------------------------------------------------------------------------
+
+def curation_funnel(spark: SparkSession, sf_dir: str,
+                    cap_per_lang: int = 50) -> DataFrame:
+    """The end-to-end data-curation pipeline as ONE composed plan with
+    per-stage survivor accounting (the report every corpus release
+    publishes — C4/RefinedWeb/FineWeb all lead with this table):
+
+      s1 quality gate  — 20 <= tokens <= 1000 and mean token length
+                          in [3, 10) (integer x1000 semantics);
+      s2 exact dedup   — keep-first by md5(text), first = min doc_id;
+      s3 decontaminate — drop the held-out 'test' split (md5 threshold,
+                          same rule as train_test_split);
+      s4 per-lang cap  — smallest-k md5(doc_id) per language (same
+                          rule as stratified_sample).
+
+    Stages are CUMULATIVE (a doc is counted at s_k only if it survived
+    s_1..s_{k-1}), and every verdict is deterministic MEMBERSHIP, so
+    the whole funnel value-checks cross-engine.
+
+    Plan shape: one md5(text) window for the dedup verdict, one
+    lang window for the cap rank (computed over survivors), one final
+    per-lang conditional aggregation — three exchanges total, each on
+    a natural key; everything else is codegen column math."""
+    from pyspark.sql import Window
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = _tokens(F.col("text"))
+    n_tok = F.size(toks)
+    mean_len_x1000 = F.floor(
+        F.length(F.regexp_replace(F.trim(F.lower("text")), r"\s+", ""))
+        * F.lit(1000) / n_tok).cast("bigint")
+    d = docs.select(
+        "doc_id", "lang", "text",
+        ((n_tok >= 20) & (n_tok <= 1000)
+         & (mean_len_x1000 >= 3000) & (mean_len_x1000 < 10000))
+        .alias("q_ok"))
+    # s2: keep-first within md5(text) group, among quality survivors
+    wdup = Window.partitionBy(F.md5("text"), "q_ok")
+    d = d.withColumn(
+        "dedup_ok", F.col("q_ok") & (F.col("doc_id") == F.min("doc_id").over(wdup)))
+    # s3: decontamination = not in the held-out test split
+    h8 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    d = d.withColumn("decon_ok", F.col("dedup_ok") & (h8 >= "33333333"))
+    # s4: per-lang cap over s3 survivors
+    wcap = (Window.partitionBy("lang", "decon_ok")
+            .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id"))
+    d = d.withColumn(
+        "cap_ok",
+        F.col("decon_ok") & (F.row_number().over(wcap) <= cap_per_lang))
+    return (d.groupBy("lang")
+            .agg(F.count("*").alias("n0_all"),
+                 F.sum(F.col("q_ok").cast("long")).alias("n1_quality"),
+                 F.sum(F.col("dedup_ok").cast("long")).alias("n2_dedup"),
+                 F.sum(F.col("decon_ok").cast("long")).alias("n3_decon"),
+                 F.sum(F.col("cap_ok").cast("long")).alias("n4_capped"))
+            .orderBy("lang"))
+
+
+CURATION_FUNNEL_SQL = """
+WITH base AS (
+  SELECT doc_id, lang, text,
+         len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS n_tok,
+         CAST(floor(length(regexp_replace(trim(lower(text)), '\\s+', '', 'g'))
+              * 1000.0 /
+              len(regexp_split_to_array(trim(lower(text)), '\\s+')))
+           AS BIGINT) AS mlen
+  FROM documents
+), s1 AS (
+  SELECT doc_id, lang, text,
+         (n_tok >= 20 AND n_tok <= 1000 AND mlen >= 3000 AND mlen < 10000)
+           AS q_ok
+  FROM base
+), s2 AS (
+  SELECT *, q_ok AND doc_id = MIN(doc_id)
+             OVER (PARTITION BY md5(text), q_ok) AS dedup_ok
+  FROM s1
+), s3 AS (
+  SELECT *, dedup_ok AND
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) >= '33333333' AS decon_ok
+  FROM s2
+), s4 AS (
+  SELECT *, decon_ok AND
+         ROW_NUMBER() OVER (PARTITION BY lang, decon_ok
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           <= 50 AS cap_ok
+  FROM s3
+)
+SELECT lang, COUNT(*) AS n0_all,
+       SUM(CASE WHEN q_ok THEN 1 ELSE 0 END) AS n1_quality,
+       SUM(CASE WHEN dedup_ok THEN 1 ELSE 0 END) AS n2_dedup,
+       SUM(CASE WHEN decon_ok THEN 1 ELSE 0 END) AS n3_decon,
+       SUM(CASE WHEN cap_ok THEN 1 ELSE 0 END) AS n4_capped
+FROM s4 GROUP BY lang ORDER BY lang
+"""

@@ -112,3 +112,81 @@ def test_cooc_pmi_exact_lift(spark, tmp_path):
     r2 = out[("x", "z")]
     # N=6, c(x)=6, c(z)=1, c12=1 -> 6*1*1e6 // 6 = 1_000_000
     assert r2.lift_fp == 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# percentile filter / curation funnel
+# ---------------------------------------------------------------------------
+
+def test_percentile_filter_exact_decile(spark):
+    from pikes_spark.operators.textstats import percentile_filter
+    rows = percentile_filter(spark, "/root/testdata/sf0.001").collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        n = len(rs)
+        dropped = [r for r in rs if r.dropped]
+        assert len(dropped) == n * 10 // 100
+        # the dropped set is exactly the lowest (score, doc_id) prefix
+        order = sorted(rs, key=lambda r: (r.score, r.doc_id))
+        assert set((r.doc_id) for r in dropped) == \
+            set(r.doc_id for r in order[:n * 10 // 100])
+
+
+def test_curation_funnel_monotone(spark):
+    from pikes_spark.operators.textstats import curation_funnel
+    for r in curation_funnel(spark, "/root/testdata/sf0.001").collect():
+        assert (r.n0_all >= r.n1_quality >= r.n2_dedup
+                >= r.n3_decon >= r.n4_capped >= 0)
+        assert r.n4_capped <= 50
+
+
+# ---------------------------------------------------------------------------
+# label propagation
+# ---------------------------------------------------------------------------
+
+def test_label_prop_majority_and_clamp(spark):
+    """Node 10 has two '1'-labeled and one '0'-labeled neighbors ->
+    majority 1; node 11 ties 0 vs 1 -> smallest label 0; seeds stay."""
+    from pikes_spark.operators.graph import label_propagation
+    e = spark.createDataFrame(
+        [(1, 10), (2, 10), (0, 10),   # 1,2 carry label 1,2... build exact
+         (0, 11), (1, 11)],
+        ["src", "dst"])
+    out = {r.node: r.label for r in
+           label_propagation(e, seeds=(0, 1, 2), iters=1).collect()}
+    # node 10 neighbors: labels {1, 2, 0} -- all count 1, tie -> min = 0
+    assert out[10] == 0
+    # node 11 neighbors: labels {0, 1} -> tie -> 0
+    assert out[11] == 0
+    assert out[0] == 0 and out[1] == 1 and out[2] == 2
+
+
+def test_label_prop_partitioning_invariance(spark):
+    from pikes_spark.operators.graph import label_propagation
+    edges = [(i % 17, (i * 5) % 17) for i in range(80) if i % 17 != (i * 5) % 17]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    r1 = sorted(map(tuple, label_propagation(df.repartition(1)).collect()))
+    r32 = sorted(map(tuple, label_propagation(df.repartition(32)).collect()))
+    assert r1 == r32
+
+
+# ---------------------------------------------------------------------------
+# partition pruning
+# ---------------------------------------------------------------------------
+
+def test_partition_prune_plan(spark, tmp_path):
+    """The date predicate must land in PartitionFilters (manifest-level
+    pruning) — NOT in PushedFilters/DataFilters (row-level)."""
+    from pyspark.sql import functions as F
+    from pikes_spark.operators.layout import pruned_events_frame
+    base = str(tmp_path / "pe")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    (ev.withColumn("event_date", F.to_date("ts"))
+     .write.partitionBy("event_date").parquet(base))
+    plan = pruned_events_frame(spark, base)._jdf.queryExecution() \
+        .executedPlan().toString()
+    scan = [l for l in plan.splitlines() if "FileScan" in l][0]
+    assert "PartitionFilters: [event_date" in scan
+    assert "PushedFilters: []" in scan
