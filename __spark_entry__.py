@@ -867,6 +867,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver-closed TBox broadcast against the fact scan; the only
         # exchange is the distinct over the entailed rows
         "kg_rdfs_entail": rdfs.rdfs_entail_rel,
+        # OWL-lite data-scale rules: owl:TransitiveProperty closure via
+        # the checkpointed-frontier iteration + owl:inverseOf flip
+        "kg_owl_entail": rdfs.owl_entail_rel,
         # k-core decomposition: distributed h-index fixpoint; frozen
         # digest oracle backed by a differential peeling pytest
         "kg_kcore": graph.kcore_digest,
@@ -966,6 +969,11 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # schema-on-read JSON payload rollup (JVM-side get_json_object
         # before the exchange)
         "evt_json_props": events.json_props_rollup,
+        # item-item co-visitation counts (recommendation candidates);
+        # power users over the cap excluded — cap mirrored in oracle
+        "evt_covisitation": events.covisitation,
+        # daily trending top-k items (WindowGroupLimit rank cutoff)
+        "evt_trending": events.trending_items,
         # custom STATEFUL streaming operator (applyInPandasWithState):
         # driven end-to-end through Structured Streaming, flushed via a
         # watermark sentinel, and value-checked against the same SQL
@@ -1160,7 +1168,10 @@ def oracle_sql() -> dict[str, str]:
         "kg_gnn_neighbor_mean": graph.NEIGHBOR_MEAN_SQL,
         "kg_char_sets": kgquery.CHAR_SETS_SQL,
         "kg_rdfs_entail": rdfs.rdfs_entail_sql(),
+        "kg_owl_entail": rdfs.owl_entail_sql(),
         "kg_hits": graph.hits_sql(),
+        "evt_covisitation": events.COVISITATION_SQL,
+        "evt_trending": events.TRENDING_SQL,
         "txt_dsir_weights": textstats.DSIR_SQL,
         "txt_cooc_pmi": textstats.COOC_PMI_SQL,
         "txt_percentile_filter": textstats.PERCENTILE_FILTER_SQL,

@@ -370,3 +370,107 @@ FROM (SELECT event_type,
       FROM events)
 GROUP BY event_type ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# item co-visitation (recommendation counts)
+# ---------------------------------------------------------------------------
+
+_COVIS_MIN_USERS = 3
+_COVIS_USER_CAP = 100
+
+
+def covisitation(spark: SparkSession, sf_dir: str,
+                 min_users: int = _COVIS_MIN_USERS,
+                 user_cap: int = _COVIS_USER_CAP) -> DataFrame:
+    """Item-item co-visitation counts (the classic recommendation
+    candidate generator): items i1 < i2 both viewed/clicked by the
+    same user, counted by DISTINCT users.
+
+    Scale shape: the item id is parsed JVM-side (get_json_object)
+    BEFORE the exchange; the per-user item set is distinct-reduced,
+    and power users above `user_cap` distinct items are EXCLUDED
+    (the cap is part of the contract, mirrored in the oracle — same
+    discipline as common_neighbors' hub cap) so the per-user pair
+    blowup is bounded by cap^2; pair counting is map-side
+    combinable."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ui = (ev.filter(F.col("event_type").isin("view", "click"))
+          .select("user_id",
+                  F.get_json_object("props", "$.k").cast("bigint")
+                  .alias("item"))
+          .distinct())
+    deg = ui.groupBy("user_id").agg(F.count("*").alias("n_items"))
+    ui = ui.join(deg.filter(F.col("n_items") <= user_cap), "user_id")
+    l, r = ui.alias("l"), ui.alias("r")
+    return (l.join(r, (F.col("l.user_id") == F.col("r.user_id"))
+                   & (F.col("l.item") < F.col("r.item")))
+            .groupBy(F.col("l.item").alias("i1"),
+                     F.col("r.item").alias("i2"))
+            .agg(F.count("*").alias("n_users"))
+            .filter(F.col("n_users") >= min_users)
+            .orderBy(F.desc("n_users"), "i1", "i2"))
+
+
+COVISITATION_SQL = f"""
+WITH ui AS (
+  SELECT DISTINCT user_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+  FROM events WHERE event_type IN ('view', 'click')
+),
+capped AS (
+  SELECT user_id FROM ui GROUP BY user_id
+  HAVING COUNT(*) <= {_COVIS_USER_CAP}
+),
+uic AS (SELECT ui.* FROM ui JOIN capped USING (user_id))
+SELECT l.item AS i1, r.item AS i2, COUNT(*) AS n_users
+FROM uic l JOIN uic r ON l.user_id = r.user_id AND l.item < r.item
+GROUP BY l.item, r.item
+HAVING COUNT(*) >= {_COVIS_MIN_USERS}
+ORDER BY n_users DESC, i1, i2
+"""
+
+
+# ---------------------------------------------------------------------------
+# daily trending top-k items
+# ---------------------------------------------------------------------------
+
+_TREND_K = 3
+
+
+def trending_items(spark: SparkSession, sf_dir: str,
+                   k: int = _TREND_K) -> DataFrame:
+    """Top-k most-viewed items per day with deterministic ties
+    (count desc, item asc). One (day, item) partial-agg count + one
+    day-partitioned rank window whose k-cutoff Spark pushes below the
+    shuffle (WindowGroupLimit), so only ~k rows per day survive."""
+    from pyspark.sql import Window
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = (ev.filter(F.col("event_type") == "view")
+             .groupBy(F.to_date("ts").cast("string").alias("day"),
+                      F.get_json_object("props", "$.k").cast("bigint")
+                      .alias("item"))
+             .agg(F.count("*").alias("n")))
+    w = Window.partitionBy("day").orderBy(F.desc("n"), F.asc("item"))
+    return (daily.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("day", "item", "n", F.col("rk").cast("bigint").alias("rk"))
+            .orderBy("day", "rk"))
+
+
+TRENDING_SQL = f"""
+WITH daily AS (
+  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+         COUNT(*) AS n
+  FROM events WHERE event_type = 'view'
+  GROUP BY 1, 2
+)
+SELECT day, item, n, rk FROM (
+  SELECT day, item, n,
+         CAST(ROW_NUMBER() OVER (PARTITION BY day ORDER BY n DESC, item ASC)
+              AS BIGINT) AS rk
+  FROM daily
+) WHERE rk <= {_TREND_K}
+ORDER BY day, rk
+"""

@@ -197,3 +197,75 @@ def rdfs_entail_sql() -> str:
     )
     ORDER BY subject, predicate, object
     """
+
+
+# ---------------------------------------------------------------------------
+# OWL-lite entailment: owl:TransitiveProperty + owl:inverseOf
+# ---------------------------------------------------------------------------
+
+_PART_OF = _EX + "partOf"
+_HAS_PART = _EX + "hasPart"
+
+
+def owl_entail(triples: DataFrame, max_iter: int = 8) -> DataFrame:
+    """The two OWL-lite rules rdfpro's ruleset adds over RDFS that are
+    DATA-scale (not schema-scale) computations:
+
+    * owl:TransitiveProperty on ex:partOf — the closure runs over the
+      fact table itself via the checkpointed-frontier iteration
+      (kgquery._closure_edges, the same machinery as SPARQL `p+`),
+      one shuffle join + one left-anti dedup per depth level;
+    * owl:inverseOf(ex:partOf, ex:hasPart) — a projection flip over
+      the CLOSED relation, no extra exchange.
+
+    Returns entailed triples only: closure edges not asserted, plus
+    every ex:hasPart inverse (none are asserted)."""
+    from .kgquery import _closure_edges
+
+    part = (triples.filter(F.col("predicate") == _PART_OF)
+            .select(F.col("subject").alias("src"),
+                    F.col("object").alias("dst")))
+    closed = _closure_edges(part, max_iter=max_iter)  # subject, object
+    derived = (closed
+               .join(part.withColumnRenamed("src", "subject")
+                     .withColumnRenamed("dst", "object"),
+                     ["subject", "object"], "left_anti")
+               .select("subject", F.lit(_PART_OF).alias("predicate"),
+                       "object"))
+    inverse = closed.select(F.col("object").alias("subject"),
+                            F.lit(_HAS_PART).alias("predicate"),
+                            F.col("subject").alias("object"))
+    return (derived.unionAll(inverse)
+            .orderBy("subject", "predicate", "object"))
+
+
+def owl_entail_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return owl_entail(rel_triples(spark, sf_dir))
+
+
+def owl_entail_sql() -> str:
+    return f"""
+    WITH triples AS ({REL_TRIPLES_SQL}),
+    part AS (
+      SELECT subject AS src, object AS dst FROM triples
+      WHERE predicate = '{_PART_OF}'
+    ),
+    closed AS (
+      WITH RECURSIVE r (src, dst) AS (
+        SELECT src, dst FROM part
+        UNION
+        SELECT r.src, p.dst FROM r JOIN part p ON p.src = r.dst
+      ) SELECT * FROM r
+    ),
+    derived AS (
+      SELECT src AS subject, '{_PART_OF}' AS predicate, dst AS object
+      FROM closed
+      EXCEPT
+      SELECT src, '{_PART_OF}', dst FROM part
+    )
+    SELECT subject, predicate, object FROM derived
+    UNION ALL
+    SELECT dst AS subject, '{_HAS_PART}' AS predicate, src AS object
+    FROM closed
+    ORDER BY subject, predicate, object
+    """

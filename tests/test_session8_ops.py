@@ -190,3 +190,69 @@ def test_partition_prune_plan(spark, tmp_path):
     scan = [l for l in plan.splitlines() if "FileScan" in l][0]
     assert "PartitionFilters: [event_date" in scan
     assert "PushedFilters: []" in scan
+
+
+# ---------------------------------------------------------------------------
+# OWL-lite entailment
+# ---------------------------------------------------------------------------
+
+def test_owl_entail_chain(spark):
+    """a partOf b partOf c partOf d: derived = 3 new partOf edges
+    (a-c, a-d, b-d) + 6 hasPart inverses (all closed edges flipped)."""
+    from pikes_spark.operators.rdfs import owl_entail, _PART_OF, _HAS_PART
+    t = spark.createDataFrame(
+        [("a", _PART_OF, "b", False),
+         ("b", _PART_OF, "c", False),
+         ("c", _PART_OF, "d", False)],
+        ["subject", "predicate", "object", "object_is_literal"])
+    rows = owl_entail(t).collect()
+    part = {(r.subject, r.object) for r in rows if r.predicate == _PART_OF}
+    haspart = {(r.subject, r.object) for r in rows if r.predicate == _HAS_PART}
+    assert part == {("a", "c"), ("a", "d"), ("b", "d")}
+    assert haspart == {("b", "a"), ("c", "b"), ("d", "c"),
+                       ("c", "a"), ("d", "a"), ("d", "b")}
+
+
+# ---------------------------------------------------------------------------
+# co-visitation / trending
+# ---------------------------------------------------------------------------
+
+def test_covisitation_user_cap(spark, tmp_path):
+    """A power user over the cap contributes no pairs; normal users
+    are counted by DISTINCT users (duplicate events collapse)."""
+    import json
+    rows = []
+    eid = 0
+    # users 1..3 each view items 10 and 20 (user 1 views item 10 twice)
+    for u in (1, 2, 3):
+        for item in (10, 20):
+            rows.append((eid, "2024-01-05 00:00:00", u, "view",
+                         0.0, json.dumps({"k": item}))); eid += 1
+    rows.append((eid, "2024-01-05 01:00:00", 1, "view", 0.0,
+                 json.dumps({"k": 10}))); eid += 1
+    # power user 99 views 200 distinct items (over the cap of 100)
+    for item in range(1000, 1200):
+        rows.append((eid, "2024-01-06 00:00:00", 99, "view",
+                     0.0, json.dumps({"k": item}))); eid += 1
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).withColumn("ts", __import__("pyspark.sql.functions", fromlist=["F"])
+                 .to_timestamp("ts"))
+    p = str(tmp_path / "ev")
+    df.write.parquet(p + "/events.parquet")
+    from pikes_spark.operators.events import covisitation
+    out = [(r.i1, r.i2, r.n_users) for r in covisitation(spark, p).collect()]
+    assert out == [(10, 20, 3)]   # no pairs from user 99; distinct users
+
+
+def test_trending_deterministic_ties(spark):
+    from pikes_spark.operators.events import trending_items
+    out = trending_items(spark, "/root/testdata/sf0.001").collect()
+    by_day = {}
+    for r in out:
+        by_day.setdefault(r.day, []).append(r)
+    for day, rs in by_day.items():
+        assert [r.rk for r in rs] == list(range(1, len(rs) + 1))
+        # rank order respects (n desc, item asc)
+        for a, b in zip(rs, rs[1:]):
+            assert (a.n, -a.item) >= (b.n, -b.item) or a.n > b.n
