@@ -787,6 +787,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # zlib compression-ratio quality signal (entropy proxy);
         # Arrow-batched codec call, frozen digest oracle
         "txt_compression_digest": textstats.compression_digest,
+        # cross-document n-gram novelty under arrival order (grams
+        # md5-hashed before the exchange; exact integer ratio)
+        "txt_novelty": textstats.novelty_scores,
         # BPE tokenizer training: distributed word-freq count +
         # merge loop over the aggregated table (the SentencePiece/HF
         # split); encode stats pin per-doc piece counts via bit_xor
@@ -974,6 +977,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_covisitation": events.covisitation,
         # daily trending top-k items (WindowGroupLimit rank cutoff)
         "evt_trending": events.trending_items,
+        # first-order Markov item-transition counts (lead() on the
+        # sessionizer's user_id exchange; exact rational row share)
+        "evt_item_transitions": events.item_transitions,
         # custom STATEFUL streaming operator (applyInPandasWithState):
         # driven end-to-end through Structured Streaming, flushed via a
         # watermark sentinel, and value-checked against the same SQL
@@ -1172,6 +1178,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_hits": graph.hits_sql(),
         "evt_covisitation": events.COVISITATION_SQL,
         "evt_trending": events.TRENDING_SQL,
+        "evt_item_transitions": events.ITEM_TRANSITIONS_SQL,
+        "txt_novelty": textstats.NOVELTY_SQL,
         "txt_dsir_weights": textstats.DSIR_SQL,
         "txt_cooc_pmi": textstats.COOC_PMI_SQL,
         "txt_percentile_filter": textstats.PERCENTILE_FILTER_SQL,

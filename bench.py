@@ -67,6 +67,13 @@ def _run_queries(spark, sf_dir: str) -> dict:
         "kg_shacl_report", "kg_char_sets", "evt_scd2_history",
         "dedup_incremental", "sim_kmeans_codebook", "evt_json_props",
         "rel_q5_local_supplier", "rel_rollup_revenue",
+        # r4 session-8 additions: RDFS/OWL entailment, HITS, LPA,
+        # co-occurrence PMI, curation funnel, partition-pruned layout,
+        # co-visitation, trending
+        "kg_rdfs_entail", "kg_owl_entail", "kg_hits", "kg_label_prop",
+        "txt_cooc_pmi", "txt_curation_funnel", "txt_percentile_filter",
+        "tbl_partition_prune", "evt_covisitation", "evt_trending",
+        "evt_item_transitions", "txt_novelty",
     ]
     for name in bench_queries:
         t0 = time.time()

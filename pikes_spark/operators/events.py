@@ -474,3 +474,67 @@ SELECT day, item, n, rk FROM (
 ) WHERE rk <= {_TREND_K}
 ORDER BY day, rk
 """
+
+
+# ---------------------------------------------------------------------------
+# item transition matrix (first-order Markov counts)
+# ---------------------------------------------------------------------------
+
+_TRANS_MIN = 3
+
+
+def item_transitions(spark: SparkSession, sf_dir: str,
+                     min_n: int = _TRANS_MIN) -> DataFrame:
+    """First-order Markov transition counts over each user's
+    time-ordered view/click stream: (item_t -> item_{t+1}) pairs via
+    one lead() on the SAME (user_id)-partitioned exchange the
+    sessionizer uses, then a map-side-combinable pair count.
+    Self-transitions (same item twice) are kept — they are real
+    signal for dwell modeling. Ties in ts are broken by event_id so
+    the sequence is total-ordered and cross-engine identical.
+
+    Output: (src_item, dst_item, n) with n >= min_n, plus the exact
+    rational row share p_fp = n * 1e6 // row_total for ranking."""
+    from pyspark.sql import Window
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = (ev.filter(F.col("event_type").isin("view", "click"))
+              .select("user_id", "ts", "event_id",
+                      F.get_json_object("props", "$.k").cast("bigint")
+                      .alias("item")))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (stream
+             .withColumn("nxt", F.lead("item").over(w))
+             .filter(F.col("nxt").isNotNull())
+             .groupBy(F.col("item").alias("src_item"),
+                      F.col("nxt").alias("dst_item"))
+             .agg(F.count("*").alias("n")))
+    wrow = Window.partitionBy("src_item")
+    return (pairs
+            .withColumn("row_total", F.sum("n").over(wrow))
+            .filter(F.col("n") >= min_n)
+            .select("src_item", "dst_item", "n",
+                    F.expr("n * 1000000 div row_total").alias("p_fp"))
+            .orderBy("src_item", F.desc("n"), "dst_item"))
+
+
+ITEM_TRANSITIONS_SQL = f"""
+WITH stream AS (
+  SELECT user_id, ts, event_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+  FROM events WHERE event_type IN ('view', 'click')
+),
+seq AS (
+  SELECT item,
+         LEAD(item) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM stream
+),
+pairs AS (
+  SELECT item AS src_item, nxt AS dst_item, COUNT(*) AS n
+  FROM seq WHERE nxt IS NOT NULL GROUP BY item, nxt
+)
+SELECT src_item, dst_item, n,
+       CAST(n * 1000000 // SUM(n) OVER (PARTITION BY src_item) AS BIGINT)
+         AS p_fp
+FROM pairs QUALIFY n >= {_TRANS_MIN}
+ORDER BY src_item, n DESC, dst_item
+"""

@@ -1829,3 +1829,67 @@ SELECT lang, COUNT(*) AS n0_all,
        SUM(CASE WHEN cap_ok THEN 1 ELSE 0 END) AS n4_capped
 FROM s4 GROUP BY lang ORDER BY lang
 """
+
+
+# ---------------------------------------------------------------------------
+# corpus n-gram novelty (cross-document originality score)
+# ---------------------------------------------------------------------------
+
+_NOVELTY_N = 5
+
+
+def novelty_scores(spark: SparkSession, sf_dir: str,
+                   n: int = _NOVELTY_N) -> DataFrame:
+    """Per-document n-gram NOVELTY under doc_id arrival order: the
+    share of a document's distinct n-grams whose FIRST corpus
+    occurrence is this document (min doc_id over the gram group).
+    The cross-document originality signal curation pipelines pair
+    with repetition_stats' within-document one — near-template pages
+    score low, fresh content scores high.
+
+    Exact integer ratio (x1e6) — membership-deterministic.
+    Plan: gram explode -> distinct -> one gram-keyed exchange
+    computing min(doc_id) per gram (map-side combinable), rejoined on
+    the gram key; the final per-doc ratio is a partial-agg count
+    pair. Grams are md5-hashed to 16 bytes before the exchange so the
+    shuffle never carries raw text."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = _tokens(F.col("text"))
+    grams = (docs.select(
+        "doc_id",
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, n)))))
+        .alias("g"))
+        .distinct())
+    first = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (grams.join(first, "g")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_grams"),
+                 F.sum((F.col("doc_id") == F.col("first_doc"))
+                       .cast("long")).alias("n_novel"))
+            .select("doc_id", "n_grams", "n_novel",
+                    F.expr("n_novel * 1000000 div n_grams")
+                    .alias("novelty_fp"))
+            .orderBy("doc_id"))
+
+
+NOVELTY_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         md5(array_to_string(t[i : i + {_NOVELTY_N} - 1], ' ')) AS g
+  FROM toks, UNNEST(range(1, len(t) - {_NOVELTY_N} + 2)) AS u(i)
+),
+first AS (SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g)
+SELECT grams.doc_id, COUNT(*) AS n_grams,
+       CAST(SUM(CASE WHEN grams.doc_id = first.first_doc THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       CAST(SUM(CASE WHEN grams.doc_id = first.first_doc THEN 1 ELSE 0 END)
+            * 1000000 // COUNT(*) AS BIGINT) AS novelty_fp
+FROM grams JOIN first USING (g)
+GROUP BY grams.doc_id ORDER BY grams.doc_id
+"""

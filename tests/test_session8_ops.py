@@ -256,3 +256,48 @@ def test_trending_deterministic_ties(spark):
         # rank order respects (n desc, item asc)
         for a, b in zip(rs, rs[1:]):
             assert (a.n, -a.item) >= (b.n, -b.item) or a.n > b.n
+
+
+# ---------------------------------------------------------------------------
+# item transitions / novelty
+# ---------------------------------------------------------------------------
+
+def test_item_transitions_order_and_share(spark, tmp_path):
+    import json
+    from pyspark.sql import functions as F
+    rows = []
+    # user 1: 10 -> 20 -> 10 -> 20 ; user 2: 10 -> 20 (x via ties)
+    seq = [(1, "2024-01-05 00:00:0%d" % i, item)
+           for i, item in enumerate([10, 20, 10, 20])]
+    seq += [(2, "2024-01-05 00:00:00", 10), (2, "2024-01-05 00:00:01", 20)]
+    for eid, (u, ts, item) in enumerate(seq):
+        rows.append((eid, ts, u, "view", 0.0, json.dumps({"k": item})))
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).withColumn("ts", F.to_timestamp("ts"))
+    p = str(tmp_path / "ev")
+    df.write.parquet(p + "/events.parquet")
+    from pikes_spark.operators.events import item_transitions
+    out = {(r.src_item, r.dst_item): (r.n, r.p_fp)
+           for r in item_transitions(spark, p, min_n=1).collect()}
+    # 10->20 appears 3x (u1 twice, u2 once); 20->10 once
+    assert out[(10, 20)] == (3, 1_000_000)   # all of row 10's mass
+    assert out[(20, 10)] == (1, 1_000_000)   # all of row 20's mass
+
+
+def test_novelty_first_arrival(spark, tmp_path):
+    import pandas as pd
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a b c d e f",          # all grams novel (first doc)
+                 "a b c d e f",          # exact copy -> novelty 0
+                 "a b c d e x"],         # 1 of 2 grams novel
+    })
+    p = str(tmp_path / "docs")
+    spark.createDataFrame(pdf).write.parquet(p + "/documents.parquet")
+    from pikes_spark.operators.textstats import novelty_scores
+    out = {r.doc_id: (r.n_grams, r.n_novel, r.novelty_fp)
+           for r in novelty_scores(spark, p).collect()}
+    assert out[1] == (2, 2, 1_000_000)
+    assert out[2] == (2, 0, 0)
+    assert out[3] == (2, 1, 500_000)
