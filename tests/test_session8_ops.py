@@ -301,3 +301,44 @@ def test_novelty_first_arrival(spark, tmp_path):
     assert out[1] == (2, 2, 1_000_000)
     assert out[2] == (2, 0, 0)
     assert out[3] == (2, 1, 500_000)
+
+
+# ---------------------------------------------------------------------------
+# plan-shape audit (scale regressions)
+# ---------------------------------------------------------------------------
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_cooc_pmi_plan(spark):
+    """Vocab restriction is a broadcast join; the pair self-join is an
+    equi-join on doc_id (never a cartesian); no Python in the plan."""
+    from pikes_spark.operators.textstats import cooc_pmi
+    p = _plan(cooc_pmi(spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_covisitation_plan(spark):
+    from pikes_spark.operators.events import covisitation
+    p = _plan(covisitation(spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_novelty_plan_no_python_and_hashed_exchange(spark):
+    """Pure Catalyst; the gram exchange carries the md5 hash, not raw
+    text (no `text` column survives past the project under the
+    exchange)."""
+    from pikes_spark.operators.textstats import novelty_scores
+    p = _plan(novelty_scores(spark, SF))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_trending_window_group_limit(spark):
+    from pikes_spark.operators.events import trending_items
+    p = _plan(trending_items(spark, SF))
+    assert "WindowGroupLimit" in p
