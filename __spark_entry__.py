@@ -413,6 +413,11 @@ def _q_media(spark, sf_dir):
             .orderBy("media_id"))
 
 
+def multimodal_phash(spark, sf_dir):
+    from pikes_spark.operators.multimodal import phash_pairs
+    return phash_pairs(spark, sf_dir)
+
+
 # relational layer (SURVEY.md §2.6: scan/filter/agg/join/window on the
 # TPC-H-ish tables) — exact SQL oracles
 def _q_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -790,6 +795,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cross-document n-gram novelty under arrival order (grams
         # md5-hashed before the exchange; exact integer ratio)
         "txt_novelty": textstats.novelty_scores,
+        # positional-index exact phrase search (adjacency equi-join on
+        # the phrase terms' posting lists only)
+        "txt_phrase_search": textstats.phrase_search,
         # BPE tokenizer training: distributed word-freq count +
         # merge loop over the aggregated table (the SentencePiece/HF
         # split); encode stats pin per-doc piece counts via bit_xor
@@ -887,6 +895,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle states the expected relational result)
         "kg_merge_upsert": cdc.merge_upsert_customers,
         "kg_snapshot_diff": cdc.snapshot_diff_customers,
+        # write-audit-publish: batch staged as an invisible snapshot,
+        # audited declaratively, only passing rows atomically published
+        "tbl_write_audit_publish": cdc.write_audit_publish,
         # RDF property-table materialization (star BGP -> one scan)
         "kg_entity_pivot": kgquery.entity_property_table,
         # web-URL hygiene family (Common-Crawl-style ingest)
@@ -939,6 +950,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_knn_graph": similarity.knn_graph,
         # multimodal plumbing
         "mm_media_features": _q_media,
+        # image aHash near-dup pairs: banded pigeonhole blocking +
+        # JVM-side bit_count(xor) verify; frozen-VALUES oracle backed
+        # by a brute-force differential pytest
+        "mm_phash_pairs": multimodal_phash,
         # relational layer
         "rel_filter_agg": _q_rel_agg,
         # TPC-H Q5/Q14 shapes: 6-way join with broadcast dims; promo
@@ -1110,6 +1125,10 @@ def oracle_sql() -> dict[str, str]:
             "MEDIA_FEATURES",
             ["media_id", "kind", "n_bytes", "sha256", "frames"],
             order="media_id"),
+        # codec-backed hashes are not SQL-expressible; frozen VALUES
+        # (brute-force hamming differential pytest backs the freeze)
+        "mm_phash_pairs": _corpus_values_sql(
+            "PHASH_PAIRS", ["id1", "id2", "hamming"], order="id1, id2"),
         "kg_gold_compaction": _gold_triples_values_sql(
             "EXPECTED_COMPACTION_STATS", ["component", "n", "n_graphs"],
             order="component"),
@@ -1180,6 +1199,8 @@ def oracle_sql() -> dict[str, str]:
         "evt_trending": events.TRENDING_SQL,
         "evt_item_transitions": events.ITEM_TRANSITIONS_SQL,
         "txt_novelty": textstats.NOVELTY_SQL,
+        "txt_phrase_search": textstats.PHRASE_SEARCH_SQL,
+        "tbl_write_audit_publish": cdc.WAP_SQL,
         "txt_dsir_weights": textstats.DSIR_SQL,
         "txt_cooc_pmi": textstats.COOC_PMI_SQL,
         "txt_percentile_filter": textstats.PERCENTILE_FILTER_SQL,

@@ -73,7 +73,8 @@ def _run_queries(spark, sf_dir: str) -> dict:
         "kg_rdfs_entail", "kg_owl_entail", "kg_hits", "kg_label_prop",
         "txt_cooc_pmi", "txt_curation_funnel", "txt_percentile_filter",
         "tbl_partition_prune", "evt_covisitation", "evt_trending",
-        "evt_item_transitions", "txt_novelty",
+        "evt_item_transitions", "txt_novelty", "txt_phrase_search",
+        "tbl_write_audit_publish", "mm_phash_pairs",
     ]
     for name in bench_queries:
         t0 = time.time()

@@ -146,3 +146,84 @@ FROM base b FULL OUTER JOIN merged m ON b.c_custkey = m.c_custkey
 WHERE b.c_custkey IS NULL OR m.c_custkey IS NULL OR b.bal_c <> m.bal_c
 ORDER BY c_custkey
 """
+
+
+# ---------------------------------------------------------------------------
+# write-audit-publish (WAP)
+# ---------------------------------------------------------------------------
+
+def write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Iceberg write-audit-publish pattern on the same snapshot
+    machinery: an incoming batch is STAGED as a committed snapshot of
+    a staging table (never visible to readers of the published table),
+    AUDITED with declarative checks, and only the passing rows are
+    PUBLISHED as one atomic commit — the governance verb that
+    completes merge/CDC/time-travel/expire/compaction.
+
+    Batch: per-customer balance rollup. Audit rules (each a codegen
+    predicate, evaluated in one pass): non-negative balance, known
+    market segment. The published table's lineage records staged /
+    failed / published counts, so a monitor can alert on audit-failure
+    spikes without scanning data.
+
+    Returns the per-segment published rollup plus audit totals under
+    segment='__AUDIT__' — all value-checked against plain SQL."""
+    stage_root = tempfile.mkdtemp(prefix="pikes_wap_stage_")
+    pub_root = tempfile.mkdtemp(prefix="pikes_wap_pub_")
+    stage = SnapshotTable(stage_root, sort_cols=["c_custkey"], name="stage")
+    pub = SnapshotTable(pub_root, sort_cols=["c_custkey"], name="published")
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    batch = cust.select(
+        F.col("c_custkey").cast("bigint").alias("c_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        _cents(F.col("c_acctbal")).alias("bal_c"))
+    stage.append(batch, spark, lineage={"op": "wap_stage"})
+
+    staged = stage.read(spark)
+    ok = ((F.col("bal_c") >= 0)
+          & F.col("segment").isin("AUTOMOBILE", "BUILDING", "FURNITURE",
+                                  "HOUSEHOLD", "MACHINERY"))
+    audited = staged.withColumn("_ok", ok)
+    n_staged = staged.count()
+    passing = audited.filter("_ok").drop("_ok")
+    n_pass = passing.count()
+    pub.append(passing, spark,
+               lineage={"op": "wap_publish", "staged": n_staged,
+                        "published": n_pass,
+                        "audit_failed": n_staged - n_pass})
+
+    rollup = (pub.read(spark)
+              .groupBy("segment")
+              .agg(F.count("*").alias("n"),
+                   F.sum("bal_c").alias("bal_c")))
+    rows = rollup.collect() + [("__AUDIT__", int(n_staged - n_pass),
+                                int(n_staged))]
+    import shutil
+    shutil.rmtree(stage_root, ignore_errors=True)
+    shutil.rmtree(pub_root, ignore_errors=True)
+    return (spark.createDataFrame(rows, rollup.schema)
+            .orderBy("segment"))
+
+
+WAP_SQL = """
+WITH batch AS (
+  SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_mktsegment AS segment,
+         CAST(floor(CAST(c_acctbal AS DOUBLE) * 100) AS BIGINT) AS bal_c
+  FROM customer
+),
+audited AS (
+  SELECT *, bal_c >= 0 AND segment IN
+         ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY')
+           AS ok
+  FROM batch
+)
+SELECT segment, COUNT(*) AS n, CAST(SUM(bal_c) AS BIGINT) AS bal_c
+FROM audited WHERE ok GROUP BY segment
+UNION ALL
+SELECT '__AUDIT__',
+       CAST(SUM(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT),
+       COUNT(*)
+FROM audited
+ORDER BY segment
+"""

@@ -201,3 +201,92 @@ def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
     return (media.filter(F.col("kind") == "image")
             .withColumn("out_width", F.floor(F.col("width") * scale).cast("int"))
             .withColumn("out_height", F.floor(F.col("height") * scale).cast("int")))
+
+
+# ---------------------------------------------------------------------------
+# image perceptual hash (aHash) near-duplicate pairs
+# ---------------------------------------------------------------------------
+
+PHASH_SCHEMA = "media_id bigint, ahash bigint"
+_PHASH_BANDS = 4          # 4 x 16-bit bands: complete for hamming <= 3
+_PHASH_MAX_HAMMING = 3
+
+
+def ahash64(px: "np.ndarray") -> int:
+    """64-bit average hash: 8x8 grid-sampled integer gray values
+    thresholded against their integer mean (v*64 >= total avoids the
+    float mean), packed MSB-first. All-integer -> engine/partitioning
+    independent."""
+    h, w, _ = px.shape
+    vals = []
+    for r in range(8):
+        for c in range(8):
+            p = px[r * h // 8, c * w // 8]
+            vals.append(int(p[0]) + int(p[1]) + int(p[2]))
+    total = sum(vals)
+    bits = 0
+    for i, v in enumerate(vals):
+        if v * 64 >= total:
+            bits |= 1 << (63 - i)
+    return int(np.int64(np.uint64(bits)))
+
+
+def _image_corpus(spark: SparkSession) -> DataFrame:
+    """The synthetic images plus a deterministically perturbed
+    near-duplicate of each (media_id + 1000): a handful of pixel
+    tweaks that survive aHash within a small hamming distance."""
+    media = synthetic_media(spark).filter(F.col("kind") == "image")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                px = decode_png(bytes(r.payload))
+                out.append({"media_id": int(r.media_id),
+                            "ahash": ahash64(px)})
+                px2 = px.copy()
+                px2[0, 0, :] = 255 - px2[0, 0, :]
+                px2[-1, -1, 0] ^= 0x1F
+                out.append({"media_id": int(r.media_id) + 1000,
+                            "ahash": ahash64(px2)})
+            yield pd.DataFrame(out, columns=["media_id", "ahash"])
+
+    return media.repartition("media_id").mapInPandas(gen, PHASH_SCHEMA)
+
+
+def phash_pairs(spark: SparkSession, sf_dir: str = "",
+                max_hamming: int = _PHASH_MAX_HAMMING) -> DataFrame:
+    """Image near-duplicate pairs by aHash hamming distance <=
+    `max_hamming`, found via BANDED blocking (the simhash pigeonhole:
+    with 4 disjoint 16-bit bands, any pair within hamming 3 agrees on
+    at least one band) — candidates come from equal-band buckets, so
+    the join never goes all-pairs; the exact hamming verify
+    (bit_count(xor)) runs JVM-side on candidates only.
+
+    sf_dir is unused (the corpus is the deterministic media table);
+    kept for the driver signature. Oracle: frozen VALUES, backed by a
+    brute-force differential pytest."""
+    hashes = _image_corpus(spark).localCheckpoint()
+    bands = hashes.select(
+        "media_id", "ahash",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.shiftright("ahash", 16 * b).bitwiseAND(F.lit(0xFFFF))
+                     .alias("val"))
+            for b in range(_PHASH_BANDS)])).alias("bv"))
+    l = bands.select(F.col("media_id").alias("id1"),
+                     F.col("ahash").alias("h1"),
+                     F.col("bv.band").alias("band"),
+                     F.col("bv.val").alias("val"))
+    r = bands.select(F.col("media_id").alias("id2"),
+                     F.col("ahash").alias("h2"),
+                     F.col("bv.band").alias("band"),
+                     F.col("bv.val").alias("val"))
+    cand = (l.join(r, ["band", "val"])
+            .filter(F.col("id1") < F.col("id2"))
+            .select("id1", "id2", "h1", "h2").distinct())
+    return (cand.select(
+        "id1", "id2",
+        F.bit_count(F.expr("h1 ^ h2")).cast("bigint").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("id1", "id2"))

@@ -1893,3 +1893,55 @@ SELECT grams.doc_id, COUNT(*) AS n_grams,
 FROM grams JOIN first USING (g)
 GROUP BY grams.doc_id ORDER BY grams.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# positional phrase search
+# ---------------------------------------------------------------------------
+
+_PHRASE = ("table", "hash")
+
+
+def phrase_search(spark: SparkSession, sf_dir: str,
+                  phrase=_PHRASE) -> DataFrame:
+    """Exact phrase matching over a POSITIONAL inverted index: the
+    posting lists of the phrase terms are equi-joined on
+    (doc_id, pos + 1 = pos) — the classic IR adjacency join, which at
+    corpus scale touches only the phrase terms' postings (predicate
+    pushdown prunes the explode output to the two terms) instead of
+    re-scanning text. Returns (doc_id, n_hits, first_pos).
+
+    The scan keeps only the needed terms BEFORE the exchange, so the
+    shuffled volume is the two posting lists, not the token stream."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pos = (docs.select("doc_id",
+                       F.posexplode(_tokens(F.col("text")))
+                       .alias("pos", "tok"))
+           .filter(F.col("tok").isin(*phrase)))
+    p1 = pos.filter(F.col("tok") == phrase[0]).select("doc_id", "pos")
+    p2 = (pos.filter(F.col("tok") == phrase[1])
+          .select("doc_id", (F.col("pos") - 1).alias("pos")))
+    return (p1.join(p2, ["doc_id", "pos"])
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_hits"),
+                 (F.min("pos") + 1).cast("bigint").alias("first_pos"))
+            .orderBy("doc_id"))
+
+
+PHRASE_SEARCH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS a
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, i - 1 AS pos, a[i] AS tok
+  FROM toks, UNNEST(range(1, len(a) + 1)) AS u(i)
+  WHERE a[i] IN ('{_PHRASE[0]}', '{_PHRASE[1]}')
+),
+p1 AS (SELECT doc_id, pos FROM pos WHERE tok = '{_PHRASE[0]}'),
+p2 AS (SELECT doc_id, pos - 1 AS pos FROM pos WHERE tok = '{_PHRASE[1]}')
+SELECT doc_id, COUNT(*) AS n_hits,
+       CAST(MIN(p1.pos) + 1 AS BIGINT) AS first_pos
+FROM p1 JOIN p2 USING (doc_id, pos)
+GROUP BY doc_id ORDER BY doc_id
+"""

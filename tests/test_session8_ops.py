@@ -342,3 +342,59 @@ def test_trending_window_group_limit(spark):
     from pikes_spark.operators.events import trending_items
     p = _plan(trending_items(spark, SF))
     assert "WindowGroupLimit" in p
+
+
+# ---------------------------------------------------------------------------
+# phrase search / WAP / perceptual hash
+# ---------------------------------------------------------------------------
+
+def test_phrase_search_adjacency(spark, tmp_path):
+    import pandas as pd
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["table hash table hash",    # 2 hits, first at pos 1
+                 "hash table",               # reversed -> 0 hits
+                 "x table y hash table hash z"],  # 1 hit at pos 5
+    })
+    p = str(tmp_path / "docs")
+    spark.createDataFrame(pdf).write.parquet(p + "/documents.parquet")
+    from pikes_spark.operators.textstats import phrase_search
+    out = {r.doc_id: (r.n_hits, r.first_pos)
+           for r in phrase_search(spark, p).collect()}
+    assert out == {1: (2, 1), 3: (1, 5)}
+
+
+def test_wap_publishes_only_audited(spark):
+    from pikes_spark.operators.cdc import write_audit_publish
+    rows = {r.segment: (r.n, r.bal_c)
+            for r in write_audit_publish(spark, SF).collect()}
+    audit_failed, staged = rows.pop("__AUDIT__")
+    published = sum(n for n, _ in rows.values())
+    assert staged == published + audit_failed
+    assert audit_failed > 0            # negative balances exist in TPC-H
+    # every published balance aggregate is non-negative by the audit rule
+    assert all(bal >= 0 for _, bal in rows.values())
+
+
+def test_phash_banded_equals_bruteforce(spark):
+    """Banded candidate generation is COMPLETE for hamming <= 3 with 4
+    bands (pigeonhole) — operator output must equal all-pairs."""
+    import itertools
+    from pikes_spark.operators.multimodal import phash_pairs, _image_corpus
+    got = sorted((r.id1, r.id2, r.hamming)
+                 for r in phash_pairs(spark).collect())
+    hs = {r.media_id: r.ahash for r in _image_corpus(spark).collect()}
+    bf = sorted((a, b, bin((hs[a] ^ hs[b]) & ((1 << 64) - 1)).count("1"))
+                for a, b in itertools.combinations(sorted(hs), 2))
+    assert got == [(a, b, h) for a, b, h in bf if h <= 3]
+
+
+def test_ahash_deterministic_and_msb_first():
+    import numpy as np
+    from pikes_spark.operators.multimodal import ahash64
+    bright = np.zeros((8, 8, 3), dtype=np.uint8)
+    bright[0, 0] = 255  # one bright pixel -> only bit 63 set... plus mean rule
+    h = ahash64(bright)
+    # single nonzero pixel: v*64 >= total holds only there (and at
+    # zero-pixels 0*64 >= total fails since total > 0)
+    assert h == -(2 ** 63)  # bit 63 as signed int64
