@@ -418,6 +418,11 @@ def multimodal_phash(spark, sf_dir):
     return phash_pairs(spark, sf_dir)
 
 
+def multimodal_audio_fp(spark, sf_dir):
+    from pikes_spark.operators.multimodal import audio_fp_pairs
+    return audio_fp_pairs(spark, sf_dir)
+
+
 # relational layer (SURVEY.md §2.6: scan/filter/agg/join/window on the
 # TPC-H-ish tables) — exact SQL oracles
 def _q_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -850,6 +855,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # deterministic integer-exact sketches (sketch-sized exchanges)
         "txt_count_min": sketches.count_min_estimates,
         "txt_hll_distinct": sketches.hll_distinct_tokens,
+        # grouped HLL: per-language distinct tokens (one 64-register
+        # sketch per group through the exchange, not the item set)
+        "txt_hll_by_lang": sketches.hll_by_lang,
         "kg_bfs_reach": graph.bfs_reach,
         "kg_triangles": graph.triangles_top,
         "kg_pagerank": graph.pagerank_top20,
@@ -948,12 +956,18 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact all-docs k-NN graph via block-grid GEMM with
         # cell-local top-k pruning (SemDeDup/clustering primitive)
         "sim_knn_graph": similarity.knn_graph,
+        # leave-one-out k-NN majority classification on top of the
+        # k-NN graph (integer argmax vote, no window)
+        "sim_knn_classify": similarity.knn_classify,
         # multimodal plumbing
         "mm_media_features": _q_media,
         # image aHash near-dup pairs: banded pigeonhole blocking +
         # JVM-side bit_count(xor) verify; frozen-VALUES oracle backed
         # by a brute-force differential pytest
         "mm_phash_pairs": multimodal_phash,
+        # audio energy-fingerprint near-dup pairs (same banded join +
+        # frozen-VALUES/differential protocol)
+        "mm_audio_fp_pairs": multimodal_audio_fp,
         # relational layer
         "rel_filter_agg": _q_rel_agg,
         # TPC-H Q5/Q14 shapes: 6-way join with broadcast dims; promo
@@ -1129,6 +1143,8 @@ def oracle_sql() -> dict[str, str]:
         # (brute-force hamming differential pytest backs the freeze)
         "mm_phash_pairs": _corpus_values_sql(
             "PHASH_PAIRS", ["id1", "id2", "hamming"], order="id1, id2"),
+        "mm_audio_fp_pairs": _corpus_values_sql(
+            "AUDIO_FP_PAIRS", ["id1", "id2", "hamming"], order="id1, id2"),
         "kg_gold_compaction": _gold_triples_values_sql(
             "EXPECTED_COMPACTION_STATS", ["component", "n", "n_graphs"],
             order="component"),
@@ -1201,6 +1217,8 @@ def oracle_sql() -> dict[str, str]:
         "txt_novelty": textstats.NOVELTY_SQL,
         "txt_phrase_search": textstats.PHRASE_SEARCH_SQL,
         "tbl_write_audit_publish": cdc.WAP_SQL,
+        "sim_knn_classify": similarity.KNN_CLASSIFY_SQL,
+        "txt_hll_by_lang": sketches.hll_by_lang_sql(),
         "txt_dsir_weights": textstats.DSIR_SQL,
         "txt_cooc_pmi": textstats.COOC_PMI_SQL,
         "txt_percentile_filter": textstats.PERCENTILE_FILTER_SQL,

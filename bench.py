@@ -74,7 +74,8 @@ def _run_queries(spark, sf_dir: str) -> dict:
         "txt_cooc_pmi", "txt_curation_funnel", "txt_percentile_filter",
         "tbl_partition_prune", "evt_covisitation", "evt_trending",
         "evt_item_transitions", "txt_novelty", "txt_phrase_search",
-        "tbl_write_audit_publish", "mm_phash_pairs",
+        "tbl_write_audit_publish", "mm_phash_pairs", "mm_audio_fp_pairs",
+        "sim_knn_classify", "txt_hll_by_lang",
     ]
     for name in bench_queries:
         t0 = time.time()

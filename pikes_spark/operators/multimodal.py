@@ -266,20 +266,30 @@ def phash_pairs(spark: SparkSession, sf_dir: str = "",
     sf_dir is unused (the corpus is the deterministic media table);
     kept for the driver signature. Oracle: frozen VALUES, backed by a
     brute-force differential pytest."""
-    hashes = _image_corpus(spark).localCheckpoint()
+    return hamming_pairs(_image_corpus(spark), "media_id", "ahash",
+                         max_hamming)
+
+
+def hamming_pairs(hashes: DataFrame, id_col: str, hash_col: str,
+                  max_hamming: int = _PHASH_MAX_HAMMING) -> DataFrame:
+    """Banded near-dup join over any 64-bit fingerprint column: with 4
+    disjoint 16-bit bands, pigeonhole guarantees every pair within
+    hamming <= 3 shares a band — candidates come from equal-band
+    buckets only, never all-pairs; the exact bit_count(xor) verify is
+    JVM-side codegen on candidates."""
+    hashes = hashes.select(F.col(id_col).alias("_id"),
+                           F.col(hash_col).alias("_h")).localCheckpoint()
     bands = hashes.select(
-        "media_id", "ahash",
+        "_id", "_h",
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"),
-                     F.shiftright("ahash", 16 * b).bitwiseAND(F.lit(0xFFFF))
+                     F.shiftright("_h", 16 * b).bitwiseAND(F.lit(0xFFFF))
                      .alias("val"))
             for b in range(_PHASH_BANDS)])).alias("bv"))
-    l = bands.select(F.col("media_id").alias("id1"),
-                     F.col("ahash").alias("h1"),
+    l = bands.select(F.col("_id").alias("id1"), F.col("_h").alias("h1"),
                      F.col("bv.band").alias("band"),
                      F.col("bv.val").alias("val"))
-    r = bands.select(F.col("media_id").alias("id2"),
-                     F.col("ahash").alias("h2"),
+    r = bands.select(F.col("_id").alias("id2"), F.col("_h").alias("h2"),
                      F.col("bv.band").alias("band"),
                      F.col("bv.val").alias("val"))
     cand = (l.join(r, ["band", "val"])
@@ -290,3 +300,79 @@ def phash_pairs(spark: SparkSession, sf_dir: str = "",
         F.bit_count(F.expr("h1 ^ h2")).cast("bigint").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
         .orderBy("id1", "id2"))
+
+
+# ---------------------------------------------------------------------------
+# audio energy fingerprint near-duplicate pairs
+# ---------------------------------------------------------------------------
+
+AFP_SCHEMA = "media_id bigint, afp bigint"
+_AFP_RATE = 16000
+_AFP_BAND_HZ = 1000
+
+
+def afp64(samples: "np.ndarray") -> int:
+    """64-bit SPECTRAL fingerprint: the power spectrum (rfft) is cut
+    into 64 equal bands; bit i is set iff band i's energy >= the mean
+    band energy (b*64 >= total — no float division at the decision).
+    Amplitude-INVARIANT (scaling the clip scales every band and the
+    threshold equally) and pitch-discriminative — the properties a
+    near-dup fingerprint needs; a time-domain energy envelope is
+    degenerate on amplitude-uniform clips (all windows sit at the
+    mean, so any perturbation flips half the bits).
+
+    The FFT is float, so this fingerprint is pinned by the
+    frozen-VALUES + brute-force-differential protocol (like the zlib
+    digest), not by cross-engine SQL."""
+    x = samples.astype(np.float64)
+    n = len(x)
+    spec = np.abs(np.fft.rfft(x)) ** 2
+    # 64 bands over 0..1000 Hz (15.6 Hz resolution at 16 kHz) — where
+    # the content of speech/music fundamentals lives
+    freqs = np.arange(len(spec)) * (_AFP_RATE / n)
+    band = np.floor(freqs * 64 / _AFP_BAND_HZ).astype(np.int64)
+    mask = band < 64
+    bands = np.bincount(band[mask], weights=spec[mask], minlength=64)
+    total = float(bands.sum())
+    bits = 0
+    for i, b in enumerate(bands):
+        if float(b) * 64 >= total:
+            bits |= 1 << (63 - i)
+    return int(np.int64(np.uint64(bits)))
+
+
+def _audio_corpus(spark: SparkSession) -> DataFrame:
+    """Synthetic audio clips plus a deterministically perturbed
+    near-duplicate of each (media_id + 1000): a short fade applied to
+    one window's worth of samples."""
+    media = synthetic_media(spark).filter(F.col("kind") == "audio")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                samples, _rate = decode_wav(bytes(r.payload))
+                out.append({"media_id": int(r.media_id),
+                            "afp": afp64(samples)})
+                s2 = samples.astype(np.int64).copy()
+                s2[: len(s2) // 64] //= 2       # damp the first window
+                s2[-(len(s2) // 64):] //= 3     # and the last
+                out.append({"media_id": int(r.media_id) + 1000,
+                            "afp": afp64(np.clip(s2, -32768, 32767)
+                                         .astype(np.int16))})
+            yield pd.DataFrame(out, columns=["media_id", "afp"])
+
+    return media.repartition("media_id").mapInPandas(gen, AFP_SCHEMA)
+
+
+_AFP_MAX_HAMMING = 1  # spectral hashes are near-one-hot: two different
+# pitches differ by >= 2 bits, amplitude variants by 0-1
+
+
+def audio_fp_pairs(spark: SparkSession, sf_dir: str = "",
+                   max_hamming: int = _AFP_MAX_HAMMING) -> DataFrame:
+    """Audio near-duplicate pairs by fingerprint hamming distance —
+    same banded pigeonhole join as phash_pairs (hamming_pairs), same
+    frozen-VALUES + brute-force-differential oracle protocol."""
+    return hamming_pairs(_audio_corpus(spark), "media_id", "afp",
+                         max_hamming)

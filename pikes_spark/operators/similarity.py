@@ -594,3 +594,79 @@ FROM c{_KM_ITERS} CROSS JOIN
 ORDER BY cluster, pos
 """.replace("__ITERS__", ",\n".join(_km_iter_sql(t, _KM_K)
                                     for t in range(1, _KM_ITERS + 1)))
+
+
+# ---------------------------------------------------------------------------
+# k-NN majority-vote classification
+# ---------------------------------------------------------------------------
+
+_KNC_ENC = 16  # > max label (labels are 0..9)
+
+
+def knn_classify(spark: SparkSession, sf_dir: str,
+                 k: int = _KNN_K) -> DataFrame:
+    """Leave-one-out k-NN classification over the embeddings table:
+    each vector is labeled by the (most frequent, then smallest) label
+    among its k exact-cosine nearest neighbors — the evaluation loop
+    every embedding-quality dashboard runs.
+
+    Built ON the knn_graph operator (block-grid GEMM, cell-local
+    top-k), so the expensive part is the already-audited exact k-NN;
+    the vote is one (src, label) count + one integer-MAX argmax
+    (cnt*ENC encoding — deterministic ties, no window), then a
+    broadcast join back to the true labels.
+
+    Returns (vec_id, true_label, pred_label, correct)."""
+    knn = knn_graph(spark, sf_dir, k=k)
+    labels = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+              .select(F.col("vec_id").cast("bigint").alias("vec_id"),
+                      F.col("label").cast("bigint").alias("label")))
+    votes = (knn.join(labels.select(F.col("vec_id").alias("dst"),
+                                    F.col("label").alias("nbr_label")),
+                      "dst")
+             .groupBy("src", "nbr_label").agg(F.count("*").alias("cnt")))
+    pred = (votes.groupBy("src")
+            .agg(F.max(F.col("cnt") * _KNC_ENC
+                       + (_KNC_ENC - 1 - F.col("nbr_label"))).alias("m"))
+            .select(F.col("src").alias("vec_id"),
+                    (F.lit(_KNC_ENC - 1) - F.col("m") % _KNC_ENC)
+                    .alias("pred_label")))
+    return (pred.join(labels, "vec_id")
+            .select("vec_id", F.col("label").alias("true_label"),
+                    "pred_label",
+                    (F.col("label") == F.col("pred_label")).alias("correct"))
+            .orderBy("vec_id"))
+
+
+KNN_CLASSIFY_SQL = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+),
+s AS (
+  SELECT x.vec_id AS src, y.vec_id AS dst, y.label AS nbr_label,
+         CAST(floor(list_cosine_similarity(x.v, y.v) * 1000000) AS BIGINT)
+           AS cos_x1e6
+  FROM e x JOIN e y ON x.vec_id <> y.vec_id
+),
+r AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY src ORDER BY cos_x1e6 DESC, dst) AS rk
+  FROM s
+),
+votes AS (
+  SELECT src, nbr_label, COUNT(*) AS cnt
+  FROM r WHERE rk <= {_KNN_K} GROUP BY src, nbr_label
+),
+pred AS (
+  SELECT src AS vec_id,
+         {_KNC_ENC - 1} - MAX(cnt * {_KNC_ENC}
+                              + ({_KNC_ENC - 1} - nbr_label)) % {_KNC_ENC}
+           AS pred_label
+  FROM votes GROUP BY src
+)
+SELECT p.vec_id, CAST(e.label AS BIGINT) AS true_label,
+       CAST(p.pred_label AS BIGINT) AS pred_label,
+       e.label = p.pred_label AS correct
+FROM pred p JOIN e ON e.vec_id = p.vec_id
+ORDER BY p.vec_id
+"""

@@ -282,3 +282,117 @@ SELECT CAST({HLL_M} AS BIGINT) AS m,
        CAST(exact.exact_distinct AS BIGINT) AS exact_distinct
 FROM agg JOIN lc ON lc.v = agg.zero_regs CROSS JOIN exact
 """
+
+
+# ---------------------------------------------------------------------------
+# grouped HyperLogLog: per-language distinct tokens
+# ---------------------------------------------------------------------------
+
+def hll_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language HLL distinct-token cardinality next to the exact
+    count — the GROUPED form of hll_distinct_tokens, demonstrating
+    what makes sketches the scale answer for grouped COUNT(DISTINCT):
+    the exchange carries one m-register sketch per group (m=64 longs)
+    instead of the distinct item set. Same integer-exact estimator and
+    linear-counting branch; per-group registers come from one
+    (lang, bucket) MAX aggregation and the full bucket range is
+    restored with a langs x range(m) cross join (group-count-sized)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    items = (docs.select("lang", F.explode(_tokens_col()).alias("tok"))
+             .filter(F.length("tok") > 0)
+             .select("lang", F.col("tok").alias("item")))
+    h = _polyhash_col(F.col("item"))
+    hv = items.select("lang", (h % HLL_M).alias("bucket"),
+                      (F.floor(h / HLL_M).cast("bigint")
+                       % (1 << HLL_BITS)).alias("v"))
+    msb = F.when(F.col("v") == 0, F.lit(0)) \
+        .otherwise(F.length(F.conv(F.col("v").cast("string"), 10, 2)))
+    regs = (hv.select("lang", "bucket",
+                      (F.lit(HLL_BITS) - msb + 1).alias("rho"))
+            .groupBy("lang", "bucket").agg(F.max("rho").alias("reg")))
+    langs = items.select("lang").distinct()
+    full = (langs.crossJoin(spark.range(HLL_M)
+                            .select(F.col("id").alias("bucket")))
+            .join(regs, ["lang", "bucket"], "left")
+            .select("lang", F.coalesce("reg", F.lit(0)).alias("reg")))
+    agg = full.groupBy("lang").agg(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                     f"{HLL_RHO_MAX} - CAST(reg AS INT))"))
+        .cast("bigint").alias("s"),
+        F.sum(F.when(F.col("reg") == 0, 1).otherwise(0))
+        .cast("bigint").alias("zero_regs"))
+    exact = items.groupBy("lang").agg(
+        F.countDistinct("item").alias("exact_distinct"))
+    est_num = HLL_ALPHA_NUM * HLL_M * HLL_M * (1 << HLL_RHO_MAX)
+    raw = F.floor(F.lit(est_num) / (F.lit(HLL_ALPHA_DEN) * F.col("s"))) \
+        .cast("bigint")
+    lc = F.element_at(F.array(*[F.lit(x) for x in _lc_table()]),
+                      (F.col("zero_regs") + 1).cast("int")).cast("bigint")
+    final = F.when((raw <= F.lit(5 * HLL_M // 2))
+                   & (F.col("zero_regs") > 0), lc).otherwise(raw)
+    return (agg.join(exact, "lang")
+            .select("lang", raw.alias("hll_raw"), "zero_regs",
+                    final.alias("hll_estimate"),
+                    F.col("exact_distinct").cast("bigint"))
+            .orderBy("lang"))
+
+
+def _tokens_col():
+    return F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+
+
+def hll_by_lang_sql() -> str:
+    est_num = HLL_ALPHA_NUM * HLL_M * HLL_M * (1 << HLL_RHO_MAX)
+    lc_rows = ",\n    ".join(f"({v}, {e}::BIGINT)"
+                             for v, e in enumerate(_lc_table()))
+    return f"""
+WITH items AS (
+  SELECT lang, t.tok AS item
+  FROM documents,
+       unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t(tok)
+  WHERE length(t.tok) > 0
+),
+hashed AS (
+  SELECT lang, item,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+            [CAST(ascii(c) AS BIGINT) for c in regexp_split_to_array(item, '')]),
+            (acc, ch) -> (acc * {FP_BASE} + ch) % {FP_MOD}) AS h
+  FROM items
+),
+rhos AS (
+  SELECT lang, h % {HLL_M} AS bucket,
+         {HLL_BITS} - (CASE WHEN (h // {HLL_M}) % {1 << HLL_BITS} = 0 THEN 0
+                       ELSE length(bin((h // {HLL_M}) % {1 << HLL_BITS}))
+                       END) + 1 AS rho
+  FROM hashed
+),
+langs AS (SELECT DISTINCT lang FROM items),
+regs AS (
+  SELECT langs.lang, r.bucket, COALESCE(MAX(rhos.rho), 0) AS reg
+  FROM langs CROSS JOIN range({HLL_M}) AS r(bucket)
+  LEFT JOIN rhos ON rhos.bucket = r.bucket AND rhos.lang = langs.lang
+  GROUP BY langs.lang, r.bucket
+),
+agg AS (
+  SELECT lang, SUM(CAST(1 AS BIGINT) << ({HLL_RHO_MAX} - reg)) AS s,
+         SUM(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS zero_regs
+  FROM regs GROUP BY lang
+),
+lc(v, est) AS (VALUES
+    {lc_rows}
+),
+exact AS (
+  SELECT lang, COUNT(DISTINCT item) AS exact_distinct FROM items GROUP BY lang
+)
+SELECT agg.lang,
+       CAST({est_num} // ({HLL_ALPHA_DEN} * agg.s) AS BIGINT) AS hll_raw,
+       CAST(agg.zero_regs AS BIGINT) AS zero_regs,
+       CAST(CASE WHEN {est_num} // ({HLL_ALPHA_DEN} * agg.s) <= {5 * HLL_M // 2}
+                  AND agg.zero_regs > 0
+            THEN (SELECT est FROM lc WHERE lc.v = agg.zero_regs)
+            ELSE {est_num} // ({HLL_ALPHA_DEN} * agg.s) END AS BIGINT)
+         AS hll_estimate,
+       CAST(exact.exact_distinct AS BIGINT) AS exact_distinct
+FROM agg JOIN exact USING (lang)
+ORDER BY agg.lang
+"""

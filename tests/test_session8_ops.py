@@ -398,3 +398,63 @@ def test_ahash_deterministic_and_msb_first():
     # single nonzero pixel: v*64 >= total holds only there (and at
     # zero-pixels 0*64 >= total fails since total > 0)
     assert h == -(2 ** 63)  # bit 63 as signed int64
+
+
+# ---------------------------------------------------------------------------
+# audio fingerprint / knn classify / grouped HLL
+# ---------------------------------------------------------------------------
+
+def test_audio_fp_banded_equals_bruteforce(spark):
+    import itertools
+    from pikes_spark.operators.multimodal import (
+        audio_fp_pairs, _audio_corpus, _AFP_MAX_HAMMING)
+    got = sorted((r.id1, r.id2, r.hamming)
+                 for r in audio_fp_pairs(spark).collect())
+    hs = {r.media_id: r.afp for r in _audio_corpus(spark).collect()}
+    bf = sorted((a, b, bin((hs[a] ^ hs[b]) & ((1 << 64) - 1)).count("1"))
+                for a, b in itertools.combinations(sorted(hs), 2))
+    assert got == [(a, b, h) for a, b, h in bf if h <= _AFP_MAX_HAMMING]
+    # precision/recall of the spectral fingerprint on this corpus:
+    # exactly the perturbed-variant pairs, no cross-pitch collisions
+    assert got and all(b == a + 1000 for a, b, _ in got)
+
+
+def test_afp64_amplitude_invariant_pitch_discriminative():
+    """The spectral fingerprint's two contract properties: scaling the
+    clip's amplitude leaves the hash unchanged; moving the pitch by a
+    band width changes it."""
+    import numpy as np
+    from pikes_spark.operators.multimodal import afp64
+    t = np.arange(16000)
+    tone = lambda f, a: (a * np.sin(2 * np.pi * f * t / 16000)
+                         ).astype(np.int16)
+    assert afp64(tone(220, 3000)) == afp64(tone(220, 900))
+    assert afp64(tone(220, 3000)) != afp64(tone(280, 3000))
+
+
+def test_knn_classify_majority_tiebreak(spark, tmp_path):
+    import pandas as pd
+    # 6 unit-ish vectors in 2 clusters; labels tie inside a cluster ->
+    # smallest label wins for the probe vector
+    rows = [
+        (0, [1.0, 0.0], 5), (1, [0.99, 0.01], 3), (2, [0.98, 0.02], 3),
+        (3, [0.0, 1.0], 7), (4, [0.01, 0.99], 7), (5, [0.02, 0.98], 1),
+    ]
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    p = str(tmp_path / "emb")
+    spark.createDataFrame(pdf).write.parquet(p + "/embeddings.parquet")
+    from pikes_spark.operators.similarity import knn_classify
+    out = {r.vec_id: r.pred_label for r in
+           knn_classify(spark, p, k=2).collect()}
+    # vec 0's 2-NN are vecs 1,2 (both label 3) -> 3
+    assert out[0] == 3
+    # vec 3's 2-NN are vecs 4 (7) and 5 (1): tie 1v1 -> smallest label 1
+    assert out[3] == 1
+
+
+def test_hll_by_lang_close_to_exact(spark):
+    from pikes_spark.operators.sketches import hll_by_lang
+    for r in hll_by_lang(spark, "/root/testdata/sf0.001").collect():
+        # m=64 registers: expect the estimate within ~40% of exact
+        assert abs(r.hll_estimate - r.exact_distinct) <= \
+            max(10, int(0.4 * r.exact_distinct))
