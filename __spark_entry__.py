@@ -761,6 +761,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_construct": _q_sparql_construct,
         "kg_sparql_describe": _q_sparql_describe,
         "kg_sparql_minus": _q_sparql_minus,
+        # named-graph quads: GRAPH ?var (binds the graph column, all
+        # patterns share one graph) + GRAPH <iri> (graph-pruned scan)
+        "kg_sparql_graph": kgquery.sparql_graph_rel,
         "kg_sparql_gold": _q_sparql_gold,
         "kg_sparql_gold_agg": _q_sparql_gold_agg,
         # text analysis
@@ -1163,6 +1166,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_construct": kgquery.SPARQL_CONSTRUCT_SQL,
         "kg_sparql_describe": kgquery.SPARQL_DESCRIBE_SQL,
         "kg_sparql_minus": kgquery.SPARQL_MINUS_SQL,
+        "kg_sparql_graph": kgquery.SPARQL_GRAPH_SQL,
         "kg_sparql_gold": _gold_triples_values_sql(
             "EXPECTED_SPARQL_GOLD", ["event", "actor", "name"],
             order="event, actor, name"),

@@ -75,7 +75,7 @@ def _run_queries(spark, sf_dir: str) -> dict:
         "tbl_partition_prune", "evt_covisitation", "evt_trending",
         "evt_item_transitions", "txt_novelty", "txt_phrase_search",
         "tbl_write_audit_publish", "mm_phash_pairs", "mm_audio_fp_pairs",
-        "sim_knn_classify", "txt_hll_by_lang",
+        "sim_knn_classify", "txt_hll_by_lang", "kg_sparql_graph",
     ]
     for name in bench_queries:
         t0 = time.time()

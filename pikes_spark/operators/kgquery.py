@@ -441,6 +441,10 @@ class SparqlQuery:
         self.exists: List[Tuple[list, List[str]]] = []
         # nested { SELECT ... } subqueries: raw text, joined on shared vars
         self.subqueries: List[str] = []
+        # GRAPH groups: (graph _Term or None-for-var, var name or None,
+        # patterns, filters) — quads against the `graph` column
+        self.graph_groups: List[Tuple[Optional[str], Optional[str],
+                                      list, List[str]]] = []
         # GROUP_CONCAT alias -> separator (default " ")
         self.agg_sep: Dict[str, str] = {}
         # VALUES blocks: (var names, rows of str-or-None)
@@ -645,6 +649,23 @@ class SparqlQuery:
             self.subqueries.append(body[sm.start() + 1: end - 1].strip())
             body = body[: sm.start()] + " " + body[end:]
 
+        def _grab_graph(gm_):
+            gtok = gm_.group(1)
+            pats, filts = self._parse_group(gm_.group(2))
+            if gtok.startswith("?"):
+                self.graph_groups.append((None, gtok[1:], pats, filts))
+            else:
+                iri = _parse_term(gtok, self.prefixes)
+                if iri.kind != "iri":
+                    raise SparqlError(f"GRAPH needs an IRI or ?var: {gtok!r}")
+                self.graph_groups.append((iri.value, None, pats, filts))
+            return " "
+
+        body = re.sub(
+            r"GRAPH\s+(\?\w+|<[^>\s]+>|[A-Za-z_][\w.-]*:[\w.%-]*)"
+            r"\s*\{([^{}]*)\}",
+            _grab_graph, body, flags=re.I | re.S)
+
         def _values_terms(chunk):
             out = []
             for tok in _VALUES_TOKEN_RE.findall(chunk):
@@ -756,7 +777,7 @@ class SparqlQuery:
         if om2:
             self.offset = int(om2.group(1))
         if (not self.patterns and not self.unions and not self.values
-                and not self.subqueries):
+                and not self.subqueries and not self.graph_groups):
             raise SparqlError("empty WHERE clause")
 
 
@@ -821,10 +842,16 @@ def _path_step_df(triples: DataFrame, p: _Term) -> DataFrame:
 
 
 def _pattern_df(triples: DataFrame, pat: Tuple[_Term, _Term, _Term],
-                idx: int) -> Tuple[DataFrame, Dict[str, str]]:
-    """One triple pattern -> filtered projection; returns (df, var->col)."""
+                idx: int, gvar: Optional[str] = None
+                ) -> Tuple[DataFrame, Dict[str, str]]:
+    """One triple pattern -> filtered projection; returns (df, var->col).
+    With ``gvar`` set, the pattern is a QUAD: the triple's `graph`
+    column binds the GRAPH variable as well."""
     s, p, o = pat
     if p.kind == "path":
+        if gvar is not None:
+            raise SparqlError(
+                "property paths inside GRAPH ?var are not supported")
         df = _path_step_df(triples, p)
         binds: Dict[str, str] = {}
         first_col: Dict[str, str] = {}
@@ -863,6 +890,14 @@ def _pattern_df(triples: DataFrame, pat: Tuple[_Term, _Term, _Term],
             df = df.filter(F.col(col) == term.value)
             if col == "object" and "object_is_literal" in triples.columns:
                 df = df.filter(F.col("object_is_literal"))
+    if gvar is not None:
+        if gvar in binds:  # GRAPH ?g { ?g ... } — same var reused
+            df = df.filter(F.col("graph") == F.col(first_col[gvar]))
+        else:
+            alias = f"_v{idx}_{gvar}"
+            binds[gvar] = alias
+            first_col[gvar] = "graph"
+            cols.append(F.col("graph").alias(alias))
     out = df.select(*cols) if cols else df.select(F.lit(1).alias(f"_m{idx}"))
     n_const = 3 - len(binds)
     if n_const >= 2:
@@ -907,7 +942,7 @@ def _filter_expr(expr: str, bound: Dict[str, str], prefixes: Dict[str, str]):
 
 
 def _compile_bgp(triples: DataFrame, patterns, filters, prefixes,
-                 idx_offset: int = 0):
+                 idx_offset: int = 0, gvar: Optional[str] = None):
     """Compile a pattern group to (df, var->col). Greedy connected
     ordering: seed with the most-constrained pattern, then always
     extend with a pattern sharing a bound variable (most constants
@@ -934,7 +969,7 @@ def _compile_bgp(triples: DataFrame, patterns, filters, prefixes,
     bound: Dict[str, str] = {}
     pending = list(filters)
     for i in order:
-        df, binds = _pattern_df(triples, patterns[i], idx_offset + i)
+        df, binds = _pattern_df(triples, patterns[i], idx_offset + i, gvar)
         if acc is None:
             acc = df
             bound.update(binds)
@@ -997,6 +1032,31 @@ def sparql_query(triples: DataFrame, query: str) -> DataFrame:
                                        q.prefixes)
     off = len(q.patterns)
     uid = 0
+    # GRAPH groups: quads against the `graph` column. Fixed-IRI groups
+    # compile over the graph-filtered scan (partition pruning on a
+    # graph-partitioned store); ?var groups bind the graph column per
+    # pattern, so all patterns in the group share ONE graph.
+    for giri, gname, pats, filts in q.graph_groups:
+        if "graph" in triples.columns:
+            quads = triples
+        else:
+            raise SparqlError("GRAPH requires a `graph` column on the "
+                              "triple view")
+        if giri is not None:
+            gdf, gb, gpend = _compile_bgp(quads.filter(F.col("graph") == giri),
+                                          pats, filts, q.prefixes,
+                                          idx_offset=off)
+        else:
+            gdf, gb, gpend = _compile_bgp(quads, pats, filts, q.prefixes,
+                                          idx_offset=off, gvar=gname)
+        off += len(pats)
+        if gpend:
+            raise SparqlError(f"FILTER uses unbound variable: {gpend[0]!r}")
+        if acc is None:
+            acc = gdf
+            bound.update(gb)
+        else:
+            acc, _ = _join_on_shared(acc, bound, gdf, gb)
     # UNION blocks: each branch compiles independently; branches align
     # on the union of their variables (missing -> NULL), then the block
     # joins the accumulated solution on shared vars
@@ -2119,3 +2179,61 @@ FROM triples ORDER BY nt_line
 
 def nt_export_sql() -> str:
     return NT_EXPORT_SQL.format(rel=REL_TRIPLES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# named-graph (quad) view + GRAPH driver query
+# ---------------------------------------------------------------------------
+
+def rel_quads(spark, sf_dir: str) -> DataFrame:
+    """The relational triple view as QUADS: graph = 'g:' + the
+    subject's entity kind (the per-source-table named-graph layout a
+    federated KG store uses; the distiller's own output carries real
+    murmur3 fact graphs in the same column)."""
+    t = rel_triples(spark, sf_dir)
+    return t.withColumn(
+        "graph", F.concat(F.lit("g:"), F.split(F.col("subject"), ":")[0]))
+
+
+REL_QUADS_SQL = (
+    "SELECT *, 'g:' || split_part(subject, ':', 1) AS graph FROM ("
+    + REL_TRIPLES_SQL + ")")
+
+# GRAPH driver query: both forms in one query — a variable graph group
+# (nation partOf+name quads bind ?g) joined with a fixed-IRI graph
+# group (customer segment quads read only the g:cust partition)
+REL_BGP_GRAPH = """
+PREFIX ex: <http://example.org/>
+SELECT ?g ?c ?s ?nm ?seg WHERE {
+  GRAPH ?g { ?s ex:partOf ?o . ?s ex:name ?nm }
+  GRAPH <g:cust> { ?c ex:segment ?seg . ?c ex:partOf ?s }
+}
+ORDER BY ?c LIMIT 2000
+"""
+
+SPARQL_GRAPH_SQL = f"""
+    WITH quads AS ({REL_QUADS_SQL}),
+    pg AS (
+      SELECT p1.graph AS g, p1.subject AS s, p2.object AS nm
+      FROM quads p1
+      JOIN quads p2 ON p2.subject = p1.subject AND p2.graph = p1.graph
+       AND p2.predicate = '{_EX}name' AND p2.object_is_literal
+      WHERE p1.predicate = '{_EX}partOf'
+    ),
+    pc AS (
+      SELECT c1.subject AS c, c1.object AS seg, c2.object AS s
+      FROM quads c1
+      JOIN quads c2 ON c2.subject = c1.subject AND c2.graph = 'g:cust'
+       AND c2.predicate = '{_EX}partOf'
+      WHERE c1.predicate = '{_EX}segment' AND c1.graph = 'g:cust'
+        AND c1.object_is_literal
+    )
+    SELECT pg.g, pc.c, pg.s, pg.nm, pc.seg
+    FROM pg JOIN pc ON pc.s = pg.s
+    ORDER BY pc.c LIMIT 2000
+"""
+
+
+def sparql_graph_rel(spark, sf_dir: str) -> DataFrame:
+    out = sparql_query(rel_quads(spark, sf_dir), REL_BGP_GRAPH)
+    return out.select(*[F.col(c) for c in ["g", "c", "s", "nm", "seg"]])

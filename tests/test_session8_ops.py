@@ -458,3 +458,60 @@ def test_hll_by_lang_close_to_exact(spark):
         # m=64 registers: expect the estimate within ~40% of exact
         assert abs(r.hll_estimate - r.exact_distinct) <= \
             max(10, int(0.4 * r.exact_distinct))
+
+
+# ---------------------------------------------------------------------------
+# SPARQL GRAPH (named graphs)
+# ---------------------------------------------------------------------------
+
+def _quads(spark):
+    rows = [
+        ("a", "p:knows", "b", False, "g1"),
+        ("b", "p:knows", "c", False, "g1"),
+        ("a", "p:knows", "c", False, "g2"),
+        ("c", "p:name", "C", True, "g2"),
+    ]
+    return spark.createDataFrame(
+        rows, ["subject", "predicate", "object", "object_is_literal",
+               "graph"])
+
+
+def test_graph_fixed_iri_prunes(spark):
+    from pikes_spark.operators.kgquery import sparql_query
+    out = sparql_query(_quads(spark), """
+      SELECT ?s ?o WHERE { GRAPH <g1> { ?s <p:knows> ?o } } ORDER BY ?s
+    """).collect()
+    assert [(r.s, r.o) for r in out] == [("a", "b"), ("b", "c")]
+
+
+def test_graph_var_binds_and_constrains(spark):
+    """All patterns in one GRAPH ?g group must match in the SAME
+    graph: a-knows-? and ?-name-? co-occur only in g2."""
+    from pikes_spark.operators.kgquery import sparql_query
+    out = sparql_query(_quads(spark), """
+      SELECT ?g ?o ?nm WHERE {
+        GRAPH ?g { ?s <p:knows> ?o . ?o <p:name> ?nm }
+      }
+    """).collect()
+    assert [(r.g, r.o, r.nm) for r in out] == [("g2", "c", "C")]
+
+
+def test_graph_joins_default_bgp(spark):
+    from pikes_spark.operators.kgquery import sparql_query
+    out = sparql_query(_quads(spark), """
+      SELECT ?g ?s WHERE {
+        ?s <p:knows> <c> .
+        GRAPH ?g { ?s <p:knows> <b> }
+      }
+    """).collect()
+    # default BGP matches subjects a (g2) and b (g1); the graph group
+    # needs s-knows-b, which only a has (in g1)
+    assert [(r.g, r.s) for r in out] == [("g1", "a")]
+
+
+def test_graph_requires_graph_column(spark):
+    import pytest as _pt
+    from pikes_spark.operators.kgquery import sparql_query, SparqlError
+    t = _quads(spark).drop("graph")
+    with _pt.raises(SparqlError):
+        sparql_query(t, "SELECT ?s WHERE { GRAPH ?g { ?s <p:knows> ?o } }")
