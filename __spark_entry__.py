@@ -909,6 +909,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # write-audit-publish: batch staged as an invisible snapshot,
         # audited declaratively, only passing rows atomically published
         "tbl_write_audit_publish": cdc.write_audit_publish,
+        # the Iceberg history/snapshots metadata view over the commit
+        # manifests (pure metadata scan; deterministic columns only)
+        "tbl_snapshot_history": cdc.snapshot_history,
         # RDF property-table materialization (star BGP -> one scan)
         "kg_entity_pivot": kgquery.entity_property_table,
         # web-URL hygiene family (Common-Crawl-style ingest)
@@ -1223,6 +1226,7 @@ def oracle_sql() -> dict[str, str]:
         "tbl_write_audit_publish": cdc.WAP_SQL,
         "sim_knn_classify": similarity.KNN_CLASSIFY_SQL,
         "txt_hll_by_lang": sketches.hll_by_lang_sql(),
+        "tbl_snapshot_history": cdc.SNAPSHOT_HISTORY_SQL,
         "txt_dsir_weights": textstats.DSIR_SQL,
         "txt_cooc_pmi": textstats.COOC_PMI_SQL,
         "txt_percentile_filter": textstats.PERCENTILE_FILTER_SQL,

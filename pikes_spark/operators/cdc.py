@@ -227,3 +227,62 @@ SELECT '__AUDIT__',
 FROM audited
 ORDER BY segment
 """
+
+
+# ---------------------------------------------------------------------------
+# snapshot history (the Iceberg `history`/`snapshots` metadata table)
+# ---------------------------------------------------------------------------
+
+def snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The table-history metadata view over the commit manifests (what
+    Iceberg exposes as `SELECT * FROM t.history/t.snapshots`): one row
+    per commit with its operation, matched/inserted lineage counts and
+    the row-count accounting. Runs the real base-append + MERGE flow
+    on the snapshot machinery and reads the manifests back — a pure
+    metadata scan, no data files touched.
+
+    All emitted columns are deterministic functions of the input
+    tables (wall-clock fields are excluded), so the history
+    value-checks against plain relational SQL."""
+    tbl = _build_customer_table(spark, sf_dir)
+    rows = []
+    for seq in range(tbl.latest_snapshot()["sequence"] + 1):
+        man = tbl.snapshot(seq)
+        lin = man.get("lineage", {})
+        rows.append((int(man["sequence"]), str(lin.get("op", "")),
+                     int(lin.get("matched", -1)),
+                     int(lin.get("inserted", -1)),
+                     int(man["added_rows"]), int(man["total_rows"])))
+    import shutil
+    shutil.rmtree(tbl.root, ignore_errors=True)
+    return (spark.createDataFrame(
+        rows, "sequence bigint, op string, matched bigint, "
+              "inserted bigint, added_rows bigint, total_rows bigint")
+        .orderBy("sequence"))
+
+
+SNAPSHOT_HISTORY_SQL = """
+WITH base AS (
+  SELECT CAST(c_custkey AS BIGINT) AS c_custkey FROM customer
+  WHERE c_custkey % 2 = 0
+),
+upd AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS c_custkey FROM orders),
+stats AS (
+  SELECT (SELECT COUNT(*) FROM base) AS n_base,
+         (SELECT COUNT(*) FROM upd) AS n_upd,
+         (SELECT COUNT(*) FROM base JOIN upd USING (c_custkey)) AS n_matched,
+         (SELECT COUNT(*) FROM (SELECT c_custkey FROM base
+                                UNION SELECT c_custkey FROM upd)) AS n_merged
+)
+SELECT CAST(0 AS BIGINT) AS sequence, 'base' AS op,
+       CAST(-1 AS BIGINT) AS matched, CAST(-1 AS BIGINT) AS inserted,
+       CAST(n_base AS BIGINT) AS added_rows,
+       CAST(n_base AS BIGINT) AS total_rows
+FROM stats
+UNION ALL
+SELECT 1, 'merge', CAST(n_matched AS BIGINT),
+       CAST(n_upd - n_matched AS BIGINT),
+       CAST(n_merged AS BIGINT), CAST(n_merged AS BIGINT)
+FROM stats
+ORDER BY sequence
+"""

@@ -515,3 +515,20 @@ def test_graph_requires_graph_column(spark):
     t = _quads(spark).drop("graph")
     with _pt.raises(SparqlError):
         sparql_query(t, "SELECT ?s WHERE { GRAPH ?g { ?s <p:knows> ?o } }")
+
+
+# ---------------------------------------------------------------------------
+# snapshot history metadata view
+# ---------------------------------------------------------------------------
+
+def test_snapshot_history_accounting(spark):
+    from pikes_spark.operators.cdc import snapshot_history
+    rows = snapshot_history(spark, SF).collect()
+    assert [r.sequence for r in rows] == [0, 1]
+    base, merge = rows
+    assert base.op == "base" and merge.op == "merge"
+    # overwrite semantics: total == added on the merge commit
+    assert merge.total_rows == merge.added_rows
+    # merge accounting: merged rows = base + inserted
+    assert merge.total_rows == base.total_rows + merge.inserted
+    assert merge.matched <= base.total_rows
