@@ -955,6 +955,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pairs -> groups -> keep/drop representative per group (CC
         # over the LSH pair graph via the canonicalization operator)
         "dedup_group_representatives": dedup.dedup_group_representatives,
+        # cluster-size histogram over the near-dup groups (the corpus
+        # release stat: groups of size k, docs removed)
+        "dedup_cluster_sizes": dedup.dedup_cluster_sizes,
         # similarity search
         "sim_brute_force_topk": lambda s, d: similarity.brute_force_topk(s, d, 0, 10),
         "sim_ivf_topk": _q_sim_ivf,
@@ -1299,6 +1302,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": dedup.NGRAM_JACCARD_SQL,
         "dedup_embedding_cosine": dedup.EMB_NEARDUP_SQL,
         "dedup_group_representatives": dedup.DEDUP_GROUPS_SQL,
+        "dedup_cluster_sizes": dedup.DEDUP_CLUSTER_SIZES_SQL,
         "sim_brute_force_topk": similarity.brute_force_topk_sql(0, 10),
 
         "tbl_schema_evolution": """

@@ -76,7 +76,7 @@ def _run_queries(spark, sf_dir: str) -> dict:
         "evt_item_transitions", "txt_novelty", "txt_phrase_search",
         "tbl_write_audit_publish", "mm_phash_pairs", "mm_audio_fp_pairs",
         "sim_knn_classify", "txt_hll_by_lang", "kg_sparql_graph",
-        "tbl_snapshot_history",
+        "tbl_snapshot_history", "dedup_cluster_sizes",
     ]
     for name in bench_queries:
         t0 = time.time()

@@ -985,3 +985,27 @@ FROM pairs
 WHERE i > 0 AND floor(i * 1000.0 / (szsum - i)) >= {int(JACCARD_T * 1000)}
 ORDER BY new_id, old_id
 """
+
+
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size histogram — the headline dedup stat every
+    corpus release publishes (how many groups of size 2, 3, ...; how
+    many docs the dedup removes). One (rep_id) count over the group
+    map + one (size) count over groups; both map-side combinable, the
+    exchanges carry group- and histogram-sized rows only."""
+    groups = dedup_group_representatives(spark, sf_dir)
+    sizes = groups.groupBy("rep_id").agg(F.count("*").alias("size"))
+    return (sizes.groupBy("size")
+            .agg(F.count("*").alias("n_groups"),
+                 (F.count("*") * (F.first("size") - 1))
+                 .cast("bigint").alias("docs_removed"))
+            .orderBy("size"))
+
+
+DEDUP_CLUSTER_SIZES_SQL = f"""
+WITH groups AS ({DEDUP_GROUPS_SQL.replace("ORDER BY doc_id", "")}),
+sizes AS (SELECT rep_id, COUNT(*) AS size FROM groups GROUP BY rep_id)
+SELECT size, COUNT(*) AS n_groups,
+       CAST(COUNT(*) * (size - 1) AS BIGINT) AS docs_removed
+FROM sizes GROUP BY size ORDER BY size
+"""

@@ -532,3 +532,17 @@ def test_snapshot_history_accounting(spark):
     # merge accounting: merged rows = base + inserted
     assert merge.total_rows == base.total_rows + merge.inserted
     assert merge.matched <= base.total_rows
+
+
+def test_dedup_cluster_sizes_accounting(spark):
+    from pikes_spark.operators.dedup import (
+        dedup_cluster_sizes, dedup_group_representatives)
+    hist = dedup_cluster_sizes(spark, "/root/testdata/sf0.001").collect()
+    groups = dedup_group_representatives(
+        spark, "/root/testdata/sf0.001").collect()
+    # histogram mass equals the group map: sum(size*n) = grouped docs,
+    # sum(docs_removed) = dropped docs
+    assert sum(r.size * r.n_groups for r in hist) == len(groups)
+    assert sum(r.docs_removed for r in hist) == \
+        sum(1 for g in groups if not g.keep)
+    assert all(r.size >= 2 for r in hist)
