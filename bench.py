@@ -227,13 +227,26 @@ def main() -> None:
     spark.stop()
 
     kg_wall = res["timings"]["kg_pipeline"]
+    # Per-query timings on their OWN line first: the sweep is ~85 queries
+    # and the dict outgrew the driver's stdout-tail capture in r4
+    # (BENCH_r04.json parsed:null). The headline line below is short and
+    # printed LAST so a tail capture always parses it.
+    print(json.dumps({"queries": res["timings"]}), flush=True)
+    headline = [
+        "kg_pipeline", "txt_token_counts", "dedup_exact", "dedup_minhash_lsh",
+        "sim_ivf_topk", "rel_filter_agg", "kg_sparql_rel", "kg_triangles",
+        "txt_bm25_topk", "warc_read_pages",
+    ]
     out = {
         "metric": "kg_pipeline_triples_per_sec",
         "value": round(res["n_triples"] / kg_wall, 1),
         "unit": "triples/sec",
-        "queries": res["timings"],
         "sf": sf,
         "n_triples": res["n_triples"],
+        "kg_pipeline_seconds": kg_wall,
+        "queries": {k: res["timings"][k] for k in headline
+                    if k in res["timings"]},
+        "n_queries": len(res["timings"]),
         "total_seconds": total,
         # host-health calibration for this measurement window: how many
         # of the nominal cores the shared host actually delivered
@@ -242,7 +255,7 @@ def main() -> None:
     }
     if scaling:
         out["scaling"] = scaling
-    print(json.dumps(out))
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

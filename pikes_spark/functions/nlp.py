@@ -1267,6 +1267,97 @@ def srl_remove_wrong_refs(preds: List[dict], tags: List[Tagged]) -> List[dict]:
     return out
 
 
+_SRL_ROLE_RE = re.compile(r"A(\d).*")
+
+
+def srl_self_arg_fixing(preds: List[dict], tags: List[Tagged],
+                        graph: DepGraph) -> List[dict]:
+    """F13 srlSelfArgFixing (NAFFilter.java:1246-1308): for each
+    NON-verb predicate whose NomBank roleset is in the index, check
+    the roles whose head IS the predicate term (self-roles):
+
+    - a self-role whose sem_role does not match ``A(\\d).*`` with an
+      argnum in the roleset's mandatory∪optional lists is REMOVED
+      (NAFFilter.java:1269-1287 — note the reference records the
+      parsed argnum as ``currentNum`` even when it then removes the
+      role, and the pattern is case-sensitive, so an ``AM-TMP``
+      self-role is invalid by non-match);
+    - every MANDATORY argnum other than ``currentNum`` is ADDED as a
+      self-role spanning the predicate head's dependency descendants
+      (NAFFilter.java:1290-1305).
+
+    The nominal SRL generator (extract_predicates) already emits the
+    NomBank-mandated self-arg at creation, so on this engine's own
+    annotations the filter is a verified no-op — it exists to fix
+    upstream SRL output that violates the NomBank contract, exactly
+    the reference's use."""
+    from .resource_loaders import nombank_index
+    nb = nombank_index()
+    if nb is None:
+        return preds
+    out: List[dict] = []
+    for pred in preds:
+        head = pred.get("head_id")
+        if head is None or tags[head].pos == "V":
+            out.append(pred)
+            continue
+        rid = next((r["reference"] for r in pred.get("refs") or []
+                    if (r.get("resource") or "").lower() == "nombank"), None)
+        rs = nb.roleset(rid) if rid else None
+        if rs is None:
+            out.append(pred)
+            continue
+        mandatory = list(rs.mandatory_args)
+        valid_nums = set(mandatory) | set(rs.optional_args)
+        current = -1
+        kept = []
+        for role in pred.get("roles") or []:
+            rh = role.get("head_id")
+            if rh is None:
+                tids = role.get("term_ids") or []
+                rh = tids[0] if len(tids) == 1 else None
+            # the reference checks the NAF semRole, which for nominal
+            # predicates IS the NomBank argnum; this engine's roles may
+            # carry the pb argnum in sem_role with the nb argnum in
+            # arg_by_res["nombank"] (NOMINAL_NB_SHIFT preds), so the
+            # nb-side label is what F13 must validate
+            by_res = role.get("arg_by_res") or {}
+            sr = (by_res["nombank"] if "nombank" in by_res
+                  else role.get("sem_role"))
+            if rh != head or not sr:
+                kept.append(role)
+                continue
+            valid = False
+            m = _SRL_ROLE_RE.fullmatch(sr)
+            if m:
+                current = int(m.group(1))
+                valid = current in valid_nums
+            if valid:
+                kept.append(role)
+            # else: invalid self-role removed (reference :1281-1286)
+        missing = [a for a in mandatory if a != current]
+        if missing:
+            span = sorted(graph.descendants([head]))  # includes head
+            for a in missing:
+                role = {"sem_role": f"A{a}", "term_ids": span,
+                        "head_id": head, "refs": []}
+                # pin the pb layer through the roleset's own nb->pb
+                # argnum column, same as the broad-nominal generator
+                if rs.arg_pb_nums:
+                    pbn = (rs.arg_pb_nums[a]
+                           if a < len(rs.arg_pb_nums) else -1)
+                    if pbn < 0:
+                        role["arg_by_res"] = {"propbank": None}
+                    elif pbn != a:
+                        role["arg_by_res"] = {"propbank": f"A{pbn}"}
+                kept.append(role)
+        if kept != (pred.get("roles") or []):
+            pred = dict(pred)
+            pred["roles"] = kept
+        out.append(pred)
+    return out
+
+
 def extract_predicates(tokens: List[Token], tags: List[Tagged],
                        graph: DepGraph) -> List[dict]:
     """PropBank/NomBank-contract SRL (AnnotationPipeline.java:522-824):
@@ -2159,6 +2250,10 @@ def annotate_document(text: str) -> dict:
     from .srl_merge import merge_srl_sources
     predicates = merge_srl_sources(predicates, graph)
     predicates = srl_remove_wrong_refs(predicates, tagged)
+    # F13 srlSelfArgFixing (NAFFilter.java:1246-1308) — a verified
+    # no-op on this engine's own SRL (the nominal generator already
+    # emits the mandatory self-arg); fixes external SRL input
+    predicates = srl_self_arg_fixing(predicates, tagged, graph)
     corefs = extract_corefs(tokens, tagged, entities)
     # a BARE anaphoric nominal ("the group" referring back) does not
     # evoke its FrameNet frame — gold types fn:Organization only when

@@ -50,6 +50,37 @@ def word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("token").agg(F.count("*").alias("freq")))
 
 
+# Driver-pull bounds (VERDICT r4 finding 4): a 100 TB crawl's junk-token
+# tail (hashes, base64, URLs) makes the DISTINCT-word table unbounded, so
+# the collect below must be capped the way real trainers cap it —
+# SentencePiece/HF both cut by min frequency and/or top-V before the merge
+# loop. (freq DESC, token ASC) is a total order, so the cut is
+# deterministic; on the frozen corpus (no hapaxes, 31-word vocabulary)
+# neither bound fires and the frozen merge oracle is unchanged.
+_MAX_VOCAB = 65_536
+_MIN_FREQ = 2
+
+
+def cap_vocab(wf: DataFrame, max_vocab: int = _MAX_VOCAB,
+              min_freq: int = _MIN_FREQ) -> DataFrame:
+    """Bound a (token, freq) table to the training vocabulary: filter
+    to freq >= min_freq, keep the top max_vocab by (freq DESC, token
+    ASC). The limit compiles to TakeOrderedAndProject (per-partition
+    top-V, merged on the driver), not a global sort."""
+    return (wf.filter(F.col("freq") >= min_freq)
+            .orderBy(F.col("freq").desc(), F.col("token").asc())
+            .limit(max_vocab))
+
+
+def collect_vocab(spark: SparkSession, sf_dir: str,
+                  max_vocab: int = _MAX_VOCAB,
+                  min_freq: int = _MIN_FREQ) -> List[Tuple[str, int]]:
+    """BOUNDED driver pull of the training vocabulary — the driver
+    never holds more than max_vocab rows regardless of corpus size."""
+    top = cap_vocab(word_freq(spark, sf_dir), max_vocab, min_freq)
+    return [(r["token"], r["freq"]) for r in top.collect()]
+
+
 def _pair_counts(vocab: Dict[Tuple[str, ...], int]) -> Dict[Tuple[str, str], int]:
     pairs: Dict[Tuple[str, str], int] = {}
     for sym, f in vocab.items():
@@ -111,8 +142,7 @@ def bpe_train(spark: SparkSession, sf_dir: str,
     """Driver query: the learned merge table (rank, lhs, rhs,
     pair_freq), ordered by rank. (lhs/rhs, not left/right — those
     are SQL keywords and would break the VALUES oracle.)"""
-    freqs = [(r["token"], r["freq"])
-             for r in word_freq(spark, sf_dir).collect()]
+    freqs = collect_vocab(spark, sf_dir)
     merges = train_merges(sorted(freqs), n_merges)
     return spark.createDataFrame(
         merges, "rank int, lhs string, rhs string, pair_freq bigint"
@@ -152,10 +182,10 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str,
     map; per-doc sums partial-aggregate map-side."""
     from .dedup import _documents
     from .textstats import _tokens
-    freqs = [(r["token"], r["freq"])
-             for r in word_freq(spark, sf_dir).collect()]
+    freqs = collect_vocab(spark, sf_dir)
     merges = train_merges(sorted(freqs), n_merges)
     words = word_freq(spark, sf_dir).select("token")
+    n_words = words.count()  # encode vocabulary (uncapped distinct words)
     enc = F.broadcast(_encode_words(spark, words, merges)
                       .select("token", "n_pieces"))
     docs = _documents(spark, sf_dir)
@@ -170,6 +200,6 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str,
                 ":", F.col("doc_id").cast("string"),
                 F.col("np").cast("string"))))
             .agg(F.count("*").cast("bigint").alias("n_docs"),
-                 F.lit(len(freqs)).cast("bigint").alias("n_words"),
+                 F.lit(n_words).cast("bigint").alias("n_words"),
                  F.sum("np").cast("bigint").alias("sum_pieces"),
                  F.expr("bit_xor(h)").alias("checksum")))

@@ -271,8 +271,17 @@ def canonicalize_triples(triples: DataFrame, max_iter: int = 50,
                        .withColumnRenamed("component", "_cs"), "subject", "left")
                  .join(mapping.withColumnRenamed("node", "object")
                        .withColumnRenamed("component", "_co"), "object", "left")
+                 # a row that was ALREADY a self-loop stays one (its
+                 # subject and object rewrite identically), so keep it;
+                 # drop only self-loops CREATED by the rewrite — two
+                 # DISTINCT coreferent nodes collapsing to one URI.
+                 # Same spirit as dissolve_composites' _hit guard.
+                 .withColumn("_was_loop",
+                             F.col("subject") == F.col("object"))
                  .withColumn("subject", F.coalesce("_cs", "subject"))
                  .withColumn("object", F.coalesce("_co", "object"))
                  .drop("_cs", "_co")
-                 .filter(F.col("subject") != F.col("object")))
+                 .filter(F.col("_was_loop")
+                         | (F.col("subject") != F.col("object")))
+                 .drop("_was_loop"))
     return rewritten.dropDuplicates(["subject", "predicate", "object", "graph", "url"])

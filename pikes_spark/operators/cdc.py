@@ -118,8 +118,8 @@ base AS (
 ),
 upd AS (
   SELECT CAST(o_custkey AS BIGINT) AS c_custkey,
-         SUM(CAST(floor(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT))
-           AS delta
+         CAST(SUM(CAST(floor(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT))
+              AS BIGINT) AS delta
   FROM orders GROUP BY 1
 ),
 merged AS (

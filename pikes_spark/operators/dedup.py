@@ -290,16 +290,11 @@ def minhash_signatures(shingles: DataFrame) -> DataFrame:
         "doc_id", sig_udf("hs").alias("sig"))
 
 
-def minhash_lsh_pairs(spark: SparkSession, sf_dir: str,
-                      threshold: float = JACCARD_T) -> DataFrame:
-    """LSH candidates (band bucket join) verified with EXACT jaccard —
-    output identical to ngram_jaccard_pairs when LSH recall is 1.0 at
-    the threshold (banding tuned for that; verified in tests)."""
-    # no cache: shingle_df is a parquet scan + Catalyst transforms that
-    # pipeline into each consumer; caching it leaked storage across the
-    # multi-query driver session for no measured win
-    sh = shingle_df(spark, sf_dir)
-    sigs = minhash_signatures(sh)
+def _lsh_candidates(sh_keyed: DataFrame) -> DataFrame:
+    """Band-sharing candidate pairs (a < b) for a (doc_id, shingles)
+    frame — the raw LSH probe, exposed separately so tests can assert
+    its size stays O(n) on duplicate-heavy input."""
+    sigs = minhash_signatures(sh_keyed.select("doc_id", "shingles"))
     bands = sigs.select(
         "doc_id",
         F.posexplode(F.transform(
@@ -308,19 +303,72 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str,
         )).alias("band", "bucket"))
     left = bands.select(F.col("doc_id").alias("a"), "band", "bucket")
     right = bands.select(F.col("doc_id").alias("b"), "band", "bucket")
-    cands = (left.join(right, ["band", "bucket"])
-             .filter(F.col("a") < F.col("b"))
-             .select("a", "b").distinct())
-    # exact verification of candidates only
-    sa = sh.select(F.col("doc_id").alias("a"), F.col("shingles").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("b"), F.col("shingles").alias("sh_b"))
-    verified = (cands.join(sa, "a").join(sb, "b")
-                .withColumn("i", F.size(F.array_intersect("sh_a", "sh_b")))
-                .withColumn("u", F.size("sh_a") + F.size("sh_b") - F.col("i"))
-                .withColumn("jaccard_x1000",
-                            F.floor(F.col("i") * 1000.0 / F.col("u")).cast("bigint"))
-                .filter(F.col("jaccard_x1000") >= int(threshold * 1000)))
-    return verified.select("a", "b", "jaccard_x1000").orderBy("a", "b")
+    return (left.join(right, ["band", "bucket"])
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b").distinct())
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str,
+                      threshold: float = JACCARD_T) -> DataFrame:
+    """LSH candidates (band bucket join) verified with EXACT jaccard —
+    output identical to ngram_jaccard_pairs when LSH recall is 1.0 at
+    the threshold (banding tuned for that; verified in tests).
+
+    Hot-bucket hardening (VERDICT r4 finding 5): byte-identical docs
+    have byte-identical signatures, so a megadup boilerplate page
+    with f copies would put all f into ONE (band, bucket) and emit
+    f²/2 candidate pairs into the verify join. We therefore pre-group
+    docs by their exact shingle SET, push only one REPRESENTATIVE per
+    group through LSH + exact verify, then expand: within-group pairs
+    are jaccard=1000 by construction, and a verified (rep_a, rep_b)
+    pair holds for every (member_a, member_b) cross pair because
+    Jaccard depends only on the sets. The expensive candidate/verify
+    stage thus sees each distinct shingle set once — O(distinct²
+    within a bucket), never O(f²) — while the OUTPUT (the true pair
+    list) is unchanged."""
+    # no cache: shingle_df is a parquet scan + Catalyst transforms that
+    # pipeline into each consumer; caching it leaked storage across the
+    # multi-query driver session for no measured win
+    sh = shingle_df(spark, sf_dir)
+    return _lsh_pairs_from_shingles(sh, int(threshold * 1000))
+
+
+def _lsh_pairs_from_shingles(sh: DataFrame, t1000: int) -> DataFrame:
+    # exact-set group key: order-insensitive (sorted) shingle hash
+    keyed = sh.withColumn(
+        "grp", F.xxhash64(F.concat_ws("\x1f", F.array_sort("shingles"))))
+    members = keyed.select("doc_id", "grp")
+    reps = members.groupBy("grp").agg(F.min("doc_id").alias("rep"))
+    rep_sh = (keyed.join(reps, ["grp"])
+              .filter(F.col("doc_id") == F.col("rep"))
+              .select("doc_id", "shingles"))
+    cands = _lsh_candidates(rep_sh)
+    # exact verification of representative candidates only
+    sa = rep_sh.select(F.col("doc_id").alias("a"), F.col("shingles").alias("sh_a"))
+    sb = rep_sh.select(F.col("doc_id").alias("b"), F.col("shingles").alias("sh_b"))
+    rep_pairs = (cands.join(sa, "a").join(sb, "b")
+                 .withColumn("i", F.size(F.array_intersect("sh_a", "sh_b")))
+                 .withColumn("u", F.size("sh_a") + F.size("sh_b") - F.col("i"))
+                 .withColumn("jaccard_x1000",
+                             F.floor(F.col("i") * 1000.0 / F.col("u")).cast("bigint"))
+                 .filter(F.col("jaccard_x1000") >= t1000)
+                 .select("a", "b", "jaccard_x1000"))
+    # membership with its representative
+    m = members.join(reps, "grp").select("doc_id", "rep", "grp")
+    # (1) within-group pairs: identical shingle sets, jaccard = 1000
+    mx = m.select(F.col("grp").alias("g"), F.col("doc_id").alias("a"))
+    my = m.select(F.col("grp").alias("g"), F.col("doc_id").alias("b"))
+    within = (mx.join(my, "g").filter(F.col("a") < F.col("b"))
+              .select("a", "b", F.lit(1000).cast("bigint")
+                      .alias("jaccard_x1000")))
+    # (2) cross-group pairs: expand each verified rep pair to members
+    ma = m.select(F.col("rep").alias("a"), F.col("doc_id").alias("da"))
+    mb = m.select(F.col("rep").alias("b"), F.col("doc_id").alias("db"))
+    cross = (rep_pairs.join(ma, "a").join(mb, "b")
+             .select(F.least("da", "db").alias("a"),
+                     F.greatest("da", "db").alias("b"),
+                     "jaccard_x1000"))
+    return within.unionByName(cross).orderBy("a", "b")
 
 
 # ---------------------------------------------------------------------------

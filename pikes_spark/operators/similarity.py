@@ -549,7 +549,7 @@ def kmeans_codebook(spark: SparkSession, sf_dir: str,
 def _km_iter_sql(t: int, k: int) -> str:
     prev = f"c{t - 1}"
     return f"""a{t} AS (
-  SELECT vec_id, arg_min(cluster, CAST(d AS BIGINT) * 4 + cluster)
+  SELECT vec_id, arg_min(cluster, CAST(d AS BIGINT) * {k} + cluster)
            AS cluster
   FROM (
     SELECT v.vec_id, c.cluster,

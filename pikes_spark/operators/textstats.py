@@ -368,7 +368,7 @@ WITH tc AS (
   FROM tc
 )
 SELECT lang, CAST(floor(prefix / 4096) AS BIGINT) AS batch,
-       count(*) AS n_docs, SUM(n_tokens) AS batch_tokens,
+       count(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS batch_tokens,
        MIN(doc_id) AS first_doc
 FROM pre GROUP BY lang, batch ORDER BY lang, batch
 """
@@ -499,8 +499,9 @@ bi AS (
   FROM bi_counts GROUP BY doc_id
 )
 SELECT u.doc_id,
-       u.n_tokens, u.n_distinct, u.top_token, u.top_token_n,
-       COALESCE(b.n_bigrams, 0) AS n_bigrams,
+       CAST(u.n_tokens AS BIGINT) AS n_tokens,
+       u.n_distinct, u.top_token, u.top_token_n,
+       CAST(COALESCE(b.n_bigrams, 0) AS BIGINT) AS n_bigrams,
        b.top_bigram,
        COALESCE(b.top_bigram_n, 0) AS top_bigram_n,
        (u.top_token_n * 5 < u.n_tokens
@@ -588,7 +589,7 @@ WITH toks AS (
            * 1e6) AS BIGINT) AS s
   FROM tf JOIN dfreq d USING (term) CROSS JOIN corpus c
 )
-SELECT doc_id, SUM(s) AS score_x1e6
+SELECT doc_id, CAST(SUM(s) AS BIGINT) AS score_x1e6
 FROM scored GROUP BY doc_id
 ORDER BY score_x1e6 DESC, doc_id LIMIT 20
 """
@@ -1324,7 +1325,7 @@ w0 AS (
   FROM range(0, {_LP_DIM})
 ),
 __ITERS__
-SELECT bucket, w FROM w{_LP_ITERS} ORDER BY bucket
+SELECT bucket, CAST(w AS BIGINT) AS w FROM w{_LP_ITERS} ORDER BY bucket
 """.replace("__ITERS__", ",\n".join(_lp_iter_sql(k)
                                     for k in range(1, _LP_ITERS + 1)))
 
@@ -1823,10 +1824,10 @@ WITH base AS (
   FROM s3
 )
 SELECT lang, COUNT(*) AS n0_all,
-       SUM(CASE WHEN q_ok THEN 1 ELSE 0 END) AS n1_quality,
-       SUM(CASE WHEN dedup_ok THEN 1 ELSE 0 END) AS n2_dedup,
-       SUM(CASE WHEN decon_ok THEN 1 ELSE 0 END) AS n3_decon,
-       SUM(CASE WHEN cap_ok THEN 1 ELSE 0 END) AS n4_capped
+       CAST(SUM(CASE WHEN q_ok THEN 1 ELSE 0 END) AS BIGINT) AS n1_quality,
+       CAST(SUM(CASE WHEN dedup_ok THEN 1 ELSE 0 END) AS BIGINT) AS n2_dedup,
+       CAST(SUM(CASE WHEN decon_ok THEN 1 ELSE 0 END) AS BIGINT) AS n3_decon,
+       CAST(SUM(CASE WHEN cap_ok THEN 1 ELSE 0 END) AS BIGINT) AS n4_capped
 FROM s4 GROUP BY lang ORDER BY lang
 """
 
@@ -1855,13 +1856,18 @@ def novelty_scores(spark: SparkSession, sf_dir: str,
     shuffle never carries raw text."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     toks = _tokens(F.col("text"))
-    grams = (docs.select(
-        "doc_id",
-        F.explode(F.transform(
+    # Short-doc guard (like _shingles_of): size < n would make
+    # F.sequence descend and F.slice start at 0 -> runtime error. A
+    # <n-token doc has zero n-grams and drops out — matching the
+    # oracle's empty range(1, len-n+2).
+    gram_arr = F.when(
+        F.size(toks) >= n,
+        F.transform(
             F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, n)))))
-        .alias("g"))
-        .distinct())
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, n))))
+    ).otherwise(F.array().cast("array<string>"))
+    grams = (docs.select("doc_id", F.explode(gram_arr).alias("g"))
+             .distinct())
     first = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
     return (grams.join(first, "g")
             .groupBy("doc_id")

@@ -192,7 +192,8 @@ DOMAIN_STATS_SQL = f"""
           '([^.]+\\.[^.]+)$', 1) AS domain
       FROM u)
     SELECT p.domain, COUNT(*) AS n_pages, AVG(d.n_chars) AS avg_chars,
-           COUNT(DISTINCT d.lang) AS n_langs, SUM(d.n_chars) AS total_chars
+           COUNT(DISTINCT d.lang) AS n_langs,
+           CAST(SUM(d.n_chars) AS BIGINT) AS total_chars
     FROM p JOIN documents d USING (doc_id)
     GROUP BY p.domain ORDER BY p.domain
 """

@@ -79,6 +79,14 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str,
 
     The landing dir receives the events table TWICE (byte-identical
     redelivery); the committed output must equal the batch DISTINCT.
+
+    Single-batch assumption: equality with the batch oracle holds
+    because the availableNow pass reads the whole landing dir in ONE
+    micro-batch (no maxFilesPerTrigger/maxBytesPerTrigger is set, so
+    the file source takes everything available). If it were split, a
+    redelivered row arriving after the watermark advanced past its ts
+    would be dropped as late — correct streaming semantics, but not
+    the batch DISTINCT.
     """
     schema = ("event_id bigint, ts timestamp, user_id bigint, "
               "event_type string")

@@ -67,9 +67,16 @@ def run_view_click_join(spark: SparkSession, sf_dir: str,
     availableNow pass, commit results to ``out`` as parquet."""
     schema = ("event_id bigint, ts timestamp, user_id bigint, "
               "event_type string")
+    # Land as ONE file: the data spans days but the watermark is
+    # minutes, so batch-oracle equivalence requires the availableNow
+    # pass to see everything in a single micro-batch (a second batch
+    # after the watermark advanced would drop rows as late). One input
+    # file with no maxFilesPerTrigger = exactly one micro-batch; on a
+    # real continuous deployment the watermark bounds state and late
+    # rows are dropped BY DESIGN (the docstring contract).
     (spark.read.parquet(f"{sf_dir}/events.parquet")
      .select("event_id", "ts", "user_id", "event_type")
-     .write.parquet(landing))
+     .coalesce(1).write.parquet(landing))
     stream = spark.readStream.schema(schema).parquet(landing)
     q = (streaming_view_click_join(stream).writeStream
          .format("parquet").outputMode("append")

@@ -36,6 +36,62 @@ def _norm(v):
     return str(v)
 
 
+# The driver's value hash is type-sensitive: DuckDB HUGEINT (e.g. an
+# un-CAST SUM over an integer column) round-trips through pandas as
+# float64 and hashes differently from Spark's bigint even when every
+# value is equal.  str()-normalization above masks that, so we
+# additionally canonicalize both engines' column TYPES and fail on (a)
+# any type outside the driver-safe set and (b) a cross-engine class
+# mismatch (int column vs float column).  VERDICT r4 finding 2.
+_DUCK_CANON = {
+    "TINYINT": "int", "SMALLINT": "int", "INTEGER": "int", "BIGINT": "int",
+    "FLOAT": "float", "DOUBLE": "float",
+    "VARCHAR": "str", "BOOLEAN": "bool", "DATE": "date", "BLOB": "binary",
+    "TIMESTAMP": "timestamp", "TIMESTAMP WITH TIME ZONE": "timestamp",
+    "TIMESTAMP_NS": "timestamp", "TIMESTAMP_MS": "timestamp",
+}
+_SPARK_CANON = {
+    "tinyint": "int", "smallint": "int", "int": "int", "bigint": "int",
+    "float": "float", "double": "float",
+    "string": "str", "boolean": "bool", "date": "date", "binary": "binary",
+    "timestamp": "timestamp", "timestamp_ntz": "timestamp",
+}
+
+
+def _canon_duck_type(t) -> str:
+    s = str(t).upper()
+    if s.endswith("[]") or s.startswith("STRUCT") or s.startswith("MAP"):
+        return "nested"
+    return _DUCK_CANON.get(s, f"BANNED({s})")
+
+
+def _canon_spark_type(dt) -> str:
+    s = dt.simpleString()
+    if s.startswith(("array", "struct", "map")):
+        return "nested"
+    return _SPARK_CANON.get(s, f"BANNED({s})")
+
+
+def type_audit(spark_schema, spark_cols, duck_types, duck_cols):
+    """Return a list of human-readable type problems (empty = clean)."""
+    problems = []
+    duck_by_col = {c: _canon_duck_type(t) for c, t in zip(duck_cols, duck_types)}
+    spark_by_col = {}
+    for f, c in zip(spark_schema.fields, spark_cols):
+        spark_by_col[c] = _canon_spark_type(f.dataType)
+    for c, ct in duck_by_col.items():
+        if ct.startswith("BANNED"):
+            problems.append(f"duckdb col {c!r} has driver-unsafe type {ct}")
+    for c, ct in spark_by_col.items():
+        if ct.startswith("BANNED"):
+            problems.append(f"spark col {c!r} has driver-unsafe type {ct}")
+    for c in set(duck_by_col) & set(spark_by_col):
+        a, b = spark_by_col[c], duck_by_col[c]
+        if a != b and not (a.startswith("BANNED") or b.startswith("BANNED")):
+            problems.append(f"col {c!r} class mismatch: spark {a} vs duckdb {b}")
+    return problems
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -67,6 +123,7 @@ def main():
         try:
             rel = con.sql(oracles[name])
             duck_cols = [c.lower() for c in rel.columns]
+            duck_types = list(rel.types)
             duck_rows = rel.fetchall()
         except Exception as exc:
             failures.append(name)
@@ -75,15 +132,18 @@ def main():
         sc = [c.lower() for c in spark_cols]
         ok_schema = sorted(sc) == sorted(duck_cols)
         ok_count = len(spark_rows) == len(duck_rows)
+        type_problems = type_audit(df.schema, sc, duck_types, duck_cols)
         h_s = value_hash([[r[c] for c in spark_cols] for r in spark_rows], sc)
         h_d = value_hash(duck_rows, duck_cols)
-        ok_hash = h_s == h_d
+        ok_hash = h_s == h_d and not type_problems
         status = "OK  " if (ok_schema and ok_count and ok_hash) else "FAIL"
         if status == "FAIL":
             failures.append(name)
         print(f"{status} {name}: rows {len(spark_rows)}/{len(duck_rows)} "
               f"schema={'ok' if ok_schema else f'{sc} vs {duck_cols}'} "
               f"hash={'ok' if ok_hash else f'{h_s} vs {h_d}'}")
+        for p in type_problems:
+            print(f"   TYPE {p}")
         if not ok_hash and ok_schema and ok_count:
             # show first differing rows for debugging
             ss = sorted(tuple(_norm(r[c]) for c in spark_cols) for r in spark_rows)

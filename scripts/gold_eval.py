@@ -83,6 +83,13 @@ def main() -> None:
     parts.append(report(spark_ref,
                         "THIS repo's pipeline vs PIKES-reference output "
                         "(north-rule parity measure)"))
+    parts.append("""
+This table is the literal north-rule comparison: this engine's graphs
+aligned DIRECTLY against the reference system's own emitted triples
+(`src/site/resources/eval-pm/pikes/pikes.{1..8}.ttl`) — reference-team-
+produced outputs shipped in the reference repo, so the standard has no
+authorship conflict with this build. Regression floors:
+`tests/test_gold_eval.py::test_spark_vs_reference_emissions_floor`.""")
 
     # --- F15 FrameBase evaluation (eval-framebase gold set) -----------
     fb_gold = load_framebase_gold_graphs()

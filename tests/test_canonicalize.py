@@ -82,6 +82,39 @@ def test_canonicalize_triples_merges_surface_forms(spark):
     assert len(subs) == 1  # merged to a single canonical subject
 
 
+def test_canonicalize_preserves_preexisting_self_loops(spark):
+    """VERDICT r4 finding 6: a (X, p, X) row that existed BEFORE
+    canonicalization must survive it — both when X is untouched by the
+    mapping and when X itself is merged (the loop rewrites to
+    (C, p, C)). Only self-loops CREATED by collapsing two distinct
+    coreferent nodes are dropped."""
+    rows = [
+        # pre-existing self-loop on a node outside any merge
+        ("u1", "e:solo", "p:relatedTo", "e:solo", "g1", "instance"),
+        # merge pair: two URIs linked by sameAs
+        ("u1", "e:a", "http://www.w3.org/2002/07/owl#sameAs", "e:b",
+         "", "instance"),
+        # pre-existing self-loop on a MERGED node
+        ("u1", "e:a", "p:relatedTo", "e:a", "g1", "instance"),
+        # a cross edge that COLLAPSES to a self-loop -> must be dropped
+        ("u1", "e:a", "p:knows", "e:b", "g1", "instance"),
+        ("u1", "e:b", "rdf:type", "T", "g1", "instance"),
+    ]
+    triples = spark.createDataFrame(
+        rows, "url string, subject string, predicate string, "
+              "object string, graph string, component string")
+    out = canonicalize_triples(triples)
+    loops = {(r["subject"], r["predicate"], r["object"])
+             for r in out.filter(F.col("subject") == F.col("object"))
+             .collect()}
+    assert ("e:solo", "p:relatedTo", "e:solo") in loops
+    # the merged node's self-loop survives under the canonical URI
+    assert any(p == "p:relatedTo" and s == o and s != "e:solo"
+               for s, p, o in loops)
+    # the collapsed cross edge is gone
+    assert not any(p == "p:knows" for _, p, _ in loops)
+
+
 def test_include_composite_dissolution(spark):
     from pikes_spark.operators.canonicalize import dissolve_composites
     ks = "http://dkm.fbk.eu/ontologies/knowledgestore#"

@@ -104,3 +104,23 @@ def test_spark_vs_reference_instances(spark_scores):
     _, vs_ref = spark_scores
     assert vs_ref["instances"].precision >= 0.90
     assert vs_ref["instances"].f1 >= 0.80
+
+
+# Floors for the literal north-rule comparison: this engine aligned
+# against the reference's OWN emitted graphs
+# (src/site/resources/eval-pm/pikes/pikes.{1..8}.ttl) — reference-team-
+# produced data, no authorship conflict. Triple-level output parity is
+# structurally capped near ~.6 because the two systems err against
+# gold in DIFFERENT places (this repo far less: gold triples F1 .99 vs
+# the reference's .64), so these floors guard against regression, not
+# assert near-1.0 (see EVAL.md "Reading").
+SPARK_VS_REFERENCE_FLOORS = {"instances": 0.90, "triples": 0.55,
+                             "linking": 0.70, "edges": 0.70,
+                             "types_pb": 0.65, "roles_pb": 0.60}
+
+
+@pytest.mark.parametrize("comp", sorted(SPARK_VS_REFERENCE_FLOORS))
+def test_spark_vs_reference_emissions_floor(spark_scores, comp):
+    _, vs_ref = spark_scores
+    assert vs_ref[comp].f1 >= SPARK_VS_REFERENCE_FLOORS[comp], \
+        f"{comp} f1 vs reference emissions = {vs_ref[comp].f1:.3f}"
