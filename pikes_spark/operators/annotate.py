@@ -95,17 +95,37 @@ def _row_annotations(url: str, lang: str, text: str) -> dict:
     }
 
 
-def annotate_pages(pages: DataFrame, from_html: bool = True) -> DataFrame:
+def annotate_pages(pages: DataFrame, from_html: bool = True,
+                   pos_model_npz: str | None = None) -> DataFrame:
     """pages -> annotations. Language/length guards are Catalyst
-    filters (pushed down); the NLP stack runs inside mapInPandas."""
+    filters (pushed down); the NLP stack runs inside mapInPandas.
+
+    ``pos_model_npz``: optional path to a NumpyTagger artifact
+    (scripts/train_slot_tagger.py). The PATH is what the closure
+    captures — each Python worker loads the model ONCE on its first
+    batch and registers it in its own process (the per-worker
+    singleton the model-slot contract promises; driver-side
+    register_tagger() cannot reach executor workers)."""
     filtered = (pages
                 .filter(F.col("lang") == "en")
                 .filter(F.length("text") > 0)
                 .filter(F.length("text") <= MAX_TEXT_LEN))
 
     use_html = from_html
+    model_path = pos_model_npz
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pikes_spark.functions import model_slot
+        active = model_slot.active_tagger()
+        if model_path is not None:
+            if getattr(active, "_src", None) != model_path:
+                tagger = model_slot.NumpyTagger(model_path)
+                tagger._src = model_path
+                model_slot.register_tagger(tagger)
+        elif getattr(active, "_src", None) is not None:
+            # reused worker with a stale closure-registered model:
+            # restore the rule default for model-less jobs
+            model_slot.register_tagger(None)
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):

