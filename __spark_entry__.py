@@ -106,6 +106,29 @@ def _q_gold_links(spark, sf_dir):
             .orderBy("gold_id", "dbpedia_uri"))
 
 
+def _q_naf_export(spark, sf_dir):
+    """S2's NAF-XML debug dump on the gold corpus: per-page layer
+    counts + byte length + xxhash64 of the serialized document
+    (operators/annotate.annotations_to_naf), value-checked against
+    frozen expectations (EXPECTED_NAF_STATS — serializer determinism
+    means any layer OR layout drift flips the checksum). Structural
+    well-formedness and offset fidelity are pytest-differential
+    (tests/test_naf_export.py)."""
+    from pikes_spark.operators.annotate import annotations_to_naf
+    ann = _gold_ann(spark)
+    naf = annotations_to_naf(ann)
+    counts = ann.select(
+        "url", F.size("tokens").alias("n_wf"),
+        F.size("predicates").alias("n_preds"))
+    return (naf.join(counts, "url")
+            .select(_gid(F.col("url")).alias("gold_id"),
+                    F.col("n_wf").cast("int").alias("n_wf"),
+                    F.col("n_preds").cast("int").alias("n_preds"),
+                    F.length("naf").cast("bigint").alias("naf_len"),
+                    F.xxhash64("naf").alias("checksum"))
+            .orderBy("gold_id"))
+
+
 def _gold_triples(spark):
     """Gold-corpus triples via the full annotate -> link -> distill path."""
     ann = _gold_ann(spark).localCheckpoint()
@@ -744,6 +767,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_gold_entities": _q_gold_entities,
         "kg_gold_links": _q_gold_links,
         "kg_gold_triples": _q_gold_triples,
+        "kg_naf_export": _q_naf_export,
         "kg_gold_canonicalize": _q_gold_canonicalize,
         "kg_gold_compaction": _q_gold_compaction,
         "kg_sparql_rel": _q_sparql_rel,
@@ -1114,6 +1138,10 @@ def oracle_sql() -> dict[str, str]:
         "kg_gold_triples": _gold_triples_values_sql(
             "EXPECTED_TRIPLE_STATS", ["gold_id", "component", "n", "checksum"],
             order="gold_id, component"),
+        "kg_naf_export": _gold_triples_values_sql(
+            "EXPECTED_NAF_STATS",
+            ["gold_id", "n_wf", "n_preds", "naf_len", "checksum"],
+            order="gold_id"),
         "kg_gold_canonicalize": _gold_triples_values_sql(
             "EXPECTED_CANONICAL_STATS", ["component", "n", "n_subjects"],
             order="component"),

@@ -144,6 +144,28 @@ def annotate_pages(pages: DataFrame, from_html: bool = True,
     return filtered.select(*cols).mapInPandas(gen, ANNOTATIONS_SCHEMA)
 
 
+def annotations_to_naf(annotations: DataFrame) -> DataFrame:
+    """S2's optional debug dump (SURVEY §2.1): one NAF v3 XML document
+    per annotated page (functions/naf_xml.doc_to_naf — the reference's
+    ReadWriteManager.java:1918-2400 layer layout). Output: (url, naf).
+    mapInArrow for the same reason as distill_annotations: pyarrow's
+    to_pandas can crash on Spark-produced chunked nested columns;
+    RecordBatch.to_pylist is safe and the serializer wants dicts."""
+    import pyarrow as pa
+
+    from pikes_spark.functions.naf_xml import doc_to_naf
+
+    out_schema = pa.schema([("url", pa.string()), ("naf", pa.string())])
+
+    def gen(batches):
+        for batch in batches:
+            rows = [{"url": r["url"], "naf": doc_to_naf(r)}
+                    for r in batch.to_pylist()]
+            yield pa.RecordBatch.from_pylist(rows, schema=out_schema)
+
+    return annotations.mapInArrow(gen, "url string, naf string")
+
+
 def distill_annotations(annotations: DataFrame,
                         links: DataFrame | None = None) -> DataFrame:
     """annotations (+ optional per-url entity links) -> triple rows.
