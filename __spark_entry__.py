@@ -22,6 +22,7 @@ from pikes_spark.operators.annotate import (
 from pikes_spark.operators import (
     textstats, dedup, similarity, events, kgquery, graph, skew, weburl, cdc,
     sketches, weblinks, bpe, layout, rdfs)
+from pikes_spark.operators import sentiment as _sentiment
 from pikes_spark.operators.linking import candidates_df, link_entities
 from pikes_spark.operators.canonicalize import canonicalize_triples
 
@@ -134,6 +135,25 @@ def _gold_triples(spark):
     ann = _gold_ann(spark).localCheckpoint()
     links = link_entities(ann, candidates_df(spark))
     return distill_annotations(ann, links)
+
+
+def _q_gold_opinions(spark, sf_dir):
+    """F19/D8 golden fixture: the opinion layer distilled with
+    emit_opinions=True (OFF in the default pipeline, like the
+    reference without pikes-raid) — per-page opinion triples shaped to
+    local names, value-checked against frozen expectations
+    (EXPECTED_OPINIONS). Rules + lexicon: functions/opinions.py."""
+    ann = _gold_ann(spark)
+    t = distill_annotations(ann, None, emit_opinions=True)
+    frag = F.element_at(F.split(F.col("subject"), "#"), -1)
+    prop = F.element_at(F.split(F.col("predicate"), "[#/]"), -1)
+    obj = F.when(F.col("object_is_literal"), F.col("object")) \
+        .otherwise(F.element_at(F.split(F.col("object"), "[#/]"), -1))
+    return (t.filter(F.col("component") == "opinion")
+            .select(_gid(F.col("url")).alias("gold_id"),
+                    frag.alias("opinion"), prop.alias("prop"),
+                    obj.alias("obj"))
+            .orderBy("gold_id", "opinion", "prop", "obj"))
 
 
 def _q_gold_triples(spark, sf_dir):
@@ -768,6 +788,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_gold_links": _q_gold_links,
         "kg_gold_triples": _q_gold_triples,
         "kg_naf_export": _q_naf_export,
+        "kg_gold_opinions": _q_gold_opinions,
+        "txt_sentiment": _sentiment.sentiment_scores,
         "kg_gold_canonicalize": _q_gold_canonicalize,
         "kg_gold_compaction": _q_gold_compaction,
         "kg_sparql_rel": _q_sparql_rel,
@@ -1142,6 +1164,10 @@ def oracle_sql() -> dict[str, str]:
             "EXPECTED_NAF_STATS",
             ["gold_id", "n_wf", "n_preds", "naf_len", "checksum"],
             order="gold_id"),
+        "kg_gold_opinions": _gold_triples_values_sql(
+            "EXPECTED_OPINIONS", ["gold_id", "opinion", "prop", "obj"],
+            order="gold_id, opinion, prop, obj"),
+        "txt_sentiment": _sentiment.sentiment_sql(),
         "kg_gold_canonicalize": _gold_triples_values_sql(
             "EXPECTED_CANONICAL_STATS", ["component", "n", "n_subjects"],
             order="component"),

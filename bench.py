@@ -77,6 +77,9 @@ def _run_queries(spark, sf_dir: str) -> dict:
         "tbl_write_audit_publish", "mm_phash_pairs", "mm_audio_fp_pairs",
         "sim_knn_classify", "txt_hll_by_lang", "kg_sparql_graph",
         "tbl_snapshot_history", "dedup_cluster_sizes",
+        # r5 additions: lexicon sentiment (F19 sf-scaled face),
+        # NAF XML debug export
+        "txt_sentiment", "kg_naf_export",
     ]
     for name in bench_queries:
         t0 = time.time()

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..functions.htmltext import MAX_TEXT_LEN, extract_text
 from ..functions.nlp import annotate_document
-from .distill import distill_document
+from .distill import Distiller, distill_document  # noqa: F401 (distill_document re-exported)
 
 # FIXTURES.md §2 annotations schema
 ANNOTATIONS_SCHEMA = """
@@ -167,7 +167,8 @@ def annotations_to_naf(annotations: DataFrame) -> DataFrame:
 
 
 def distill_annotations(annotations: DataFrame,
-                        links: DataFrame | None = None) -> DataFrame:
+                        links: DataFrame | None = None,
+                        emit_opinions: bool = False) -> DataFrame:
     """annotations (+ optional per-url entity links) -> triple rows.
 
     ``links`` schema: url, begin, end, uri, score — the output of
@@ -213,7 +214,9 @@ def distill_annotations(annotations: DataFrame,
                 }
                 _merge_links(doc, r.get("_links") or [])
                 try:
-                    out.extend(distill_document(r["url"], r["text"], doc, r["lang"]))
+                    out.extend(Distiller(
+                        r["url"], r["text"], doc, r["lang"],
+                        emit_opinions=emit_opinions).run())
                 except Exception:
                     continue
             yield pa.RecordBatch.from_pylist(out, schema=out_schema)

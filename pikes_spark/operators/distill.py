@@ -111,6 +111,10 @@ _PROPERTY_TYPES = {"money", "cardinal", "ordinal", "percent", "language",
 
 _SUMO_NS = "http://www.ontologyportal.org/SUMO.owl#"
 
+# D8 opinions default (see Distiller.__init__): the reference's
+# default pipeline has no raid stage, so emission defaults OFF
+ENABLE_OPINIONS = False
+
 # F20 srlPreMOnIRIs (on by default like the reference,
 # NAFFilter.java:1644-1720; prefixes NAFUtils.java:85-97)
 PREMON_NS = "http://premon.fbk.eu/resource/"
@@ -180,11 +184,18 @@ class Distiller:
     def __init__(self, url: str, text: str, doc: dict, lang: str = "en",
                  strict_rolesets: Optional[bool] = None,
                  emit_conn: bool = False,
-                 created: Optional[str] = None):
+                 created: Optional[str] = None,
+                 emit_opinions: Optional[bool] = None):
         if strict_rolesets is None:
             from ..functions.resource_loaders import broad_roleset_inventory
             strict_rolesets = broad_roleset_inventory() is not None
         self.strict_rolesets = strict_rolesets
+        # D8 opinions (RDFGenerator.java:1393-1467): OFF by default —
+        # the reference's default triple pipeline runs without
+        # pikes-raid, so no opinions layer ever reaches its generator;
+        # the flag is this engine's equivalent of running raid
+        self.emit_opinions = (ENABLE_OPINIONS if emit_opinions is None
+                              else emit_opinions)
         # conn:<lemma-path> edges (RDFGenerator.java:1127,1370): in the
         # reference the "conn" namespace is COMMENTED OUT of
         # DEFAULT_NAMESPACE_MAP (:143 "TODO .put(conn, ...)"), so
@@ -475,6 +486,8 @@ class Distiller:
         self.process_corefs()     # D6
         self.process_modifiers()  # D5
         self.process_roles()      # D7
+        if self.emit_opinions:
+            self.process_opinions()  # D8 (off by default, like reference)
         # patch deferred fact-graph ids in one vectorized murmur3 batch
         ids = murmur3_ids_batch(self._hash_keys)
         for t in self.triples:
@@ -1144,6 +1157,51 @@ class Distiller:
             self.emit_fact(iri, KS_MOD, mod_iri, None, "edge", sent)
         self.emit_meta(iri, GAF_DENOTED_BY, mention, "mention")
         return iri
+
+    # D8 (RDFGenerator.java:1393-1467 processOpinion +
+    # :1469-1501 emitOpinionArgument)
+    def process_opinions(self) -> None:
+        """Opinion instances: mint an IRI per opinion, type it
+        sumo:Entity + ks:Opinion + ks:{Positive,Negative,Neutral}Opinion
+        (Opinion.Polarity.forLabel's pos/neg normalization), label it
+        with the expression's NAF text, and link ks:expression /
+        ks:target / ks:holder to the HEAD term's node — the reference
+        call passes spanProperty=null, so only head edges are emitted
+        (:1417-1439); a head with no entity/predicate IRI gets an
+        attribute node via emitTerm when its POS is A/G/V and it does
+        not govern a VC chain (:1447-1457)."""
+        from ..functions.opinions import extract_opinions
+        opinions = extract_opinions(self.tokens, self.terms, self.graph)
+        for op in opinions:
+            iri = self.mint_iri("opinion:" + op["id"], op["id"])
+            sent = self.tokens[op["head_id"]]["sent"]
+            self.emit_fact(iri, RDF_TYPE, _SUMO_NS + "Entity", None,
+                           "opinion", sent)
+            self.emit_fact(iri, RDF_TYPE, NS["ks"] + "Opinion", None,
+                           "opinion", sent)
+            pol = op["polarity"].capitalize()  # Positive/Negative/Neutral
+            self.emit_fact(iri, RDF_TYPE, NS["ks"] + pol + "Opinion",
+                           None, "opinion", sent)
+            self.emit_fact(iri, RDFS_LABEL,
+                           self.naf_text(op["expression_ids"]), None,
+                           "opinion", sent, o_literal=True)
+            for prop, head in (
+                    ("expression", op["head_id"]),
+                    ("target", self.graph.head_of_span(op["target_ids"])
+                     if op["target_ids"] else None),
+                    ("holder", self.graph.head_of_span(op["holder_ids"])
+                     if op["holder_ids"] else None)):
+                if head is None:
+                    continue
+                uri = self.ann_obj.get(head) or self.ann_pred.get(head)
+                if uri is None \
+                        and (self.terms[head]["pos"] or "O")[0].upper() in "AGV" \
+                        and not any(lab == "VC" for _, lab
+                                    in self.graph.children.get(head, [])):
+                    uri = self.emit_term(head)
+                if uri:
+                    self.emit_fact(iri, NS["ks"] + prop, uri, None,
+                                   "opinion", sent)
 
     # D7 (RDFGenerator.java:1261-1391)
     def process_roles(self) -> None:
