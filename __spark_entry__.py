@@ -790,6 +790,14 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_naf_export": _q_naf_export,
         "kg_gold_opinions": _q_gold_opinions,
         "txt_sentiment": _sentiment.sentiment_scores,
+        # r5: RAG token-window chunking (shuffle-free explode)
+        "txt_chunks": textstats.chunk_documents,
+        # r5: bucketed interval range join (views within 30 min
+        # before each purchase; bounded 2x explode, one equi-join)
+        "evt_range_join": events.range_join_views,
+        # r5: SemDeDup — within-cluster semantic near-dup drop on the
+        # fixed-point k-means partition (bit-deterministic membership)
+        "sim_semdedup": similarity.semdedup,
         "kg_gold_canonicalize": _q_gold_canonicalize,
         "kg_gold_compaction": _q_gold_compaction,
         "kg_sparql_rel": _q_sparql_rel,
@@ -1168,6 +1176,9 @@ def oracle_sql() -> dict[str, str]:
             "EXPECTED_OPINIONS", ["gold_id", "opinion", "prop", "obj"],
             order="gold_id, opinion, prop, obj"),
         "txt_sentiment": _sentiment.sentiment_sql(),
+        "txt_chunks": textstats.CHUNKS_SQL,
+        "evt_range_join": events.RANGE_JOIN_SQL,
+        "sim_semdedup": similarity.SEMDEDUP_SQL,
         "kg_gold_canonicalize": _gold_triples_values_sql(
             "EXPECTED_CANONICAL_STATS", ["component", "n", "n_subjects"],
             order="component"),

@@ -80,6 +80,9 @@ def _run_queries(spark, sf_dir: str) -> dict:
         # r5 additions: lexicon sentiment (F19 sf-scaled face),
         # NAF XML debug export
         "txt_sentiment", "kg_naf_export",
+        # r5 session-2 additions: RAG chunking, bucketed interval
+        # range join, SemDeDup within-cluster semantic drop
+        "txt_chunks", "evt_range_join", "sim_semdedup",
     ]
     for name in bench_queries:
         t0 = time.time()

@@ -670,3 +670,102 @@ SELECT p.vec_id, CAST(e.label AS BIGINT) AS true_label,
 FROM pred p JOIN e ON e.vec_id = p.vec_id
 ORDER BY p.vec_id
 """
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup inside k-means clusters
+# ---------------------------------------------------------------------------
+
+_SD_THETA2 = 1_300_000_000_000  # L2^2 on the 1e-6 fixed-point grid
+
+
+def semdedup(spark: SparkSession, sf_dir: str, k: int = _KM_K,
+             iters: int = _KM_ITERS,
+             theta2: int = _SD_THETA2) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the embedding table with
+    k-means, then drop near-duplicate members WITHIN each cluster —
+    the scale trick is that the cluster partition turns an O(n^2)
+    all-pairs semantic-similarity dedup into k independent
+    O((n/k)^2) blocks, and with k grown ~sqrt(n) the per-block work
+    stays flat as the corpus grows.
+
+    All arithmetic inherits kmeans_codebook's integer fixed point, so
+    membership is BIT-DETERMINISTIC across engines: assignment is the
+    same integer argmin the trainer uses, and the dedup rule is the
+    deterministic pair form "drop v if some u < v in the same cluster
+    has ||u - v||^2 <= theta2" (the paper keeps one arbitrary member
+    per epsilon-group; min-vec_id is that choice made reproducible).
+
+    Plan: broadcast k x dim codebook -> map-side argmin (NO exchange
+    for assignment), ONE shuffle on cluster for the self-join, exact
+    distance filter in the join stage, left-anti style flag join back.
+    Returns (vec_id, cluster, kept) for every vector.
+    """
+    codebook = kmeans_codebook(spark, sf_dir, k, iters)
+    cents = (codebook.groupBy("cluster")
+             .agg(F.transform(
+                 F.array_sort(F.collect_list(F.struct("pos", "val"))),
+                 lambda st: st["val"]).alias("c")))
+    vecs = _km_int_vecs(spark, sf_dir)
+    assign = (vecs.crossJoin(F.broadcast(cents))
+              .select("vec_id", "v", "cluster",
+                      _km_dist(F.col("v"), F.col("c")).alias("d"))
+              .groupBy("vec_id")
+              .agg(F.min_by("cluster", F.col("d") * k + F.col("cluster"))
+                   .alias("cluster"),
+                   F.first("v").alias("v"))
+              .localCheckpoint())
+    a = assign.select(F.col("cluster"), F.col("vec_id").alias("a_id"),
+                      F.col("v").alias("a_v"))
+    b = assign.select(F.col("cluster"), F.col("vec_id").alias("b_id"),
+                      F.col("v").alias("b_v"))
+    dropped = (a.join(b, "cluster")
+               .filter(F.col("a_id") < F.col("b_id"))
+               .filter(_km_dist(F.col("a_v"), F.col("b_v")) <= theta2)
+               .select(F.col("b_id").alias("vec_id"))
+               .distinct())
+    return (assign.join(dropped.withColumn("_drop", F.lit(1)),
+                        "vec_id", "left")
+            .select("vec_id", F.col("cluster").cast("bigint").alias("cluster"),
+                    F.col("_drop").isNull().alias("kept"))
+            .orderBy("vec_id"))
+
+
+SEMDEDUP_SQL = f"""
+WITH vecs AS (
+  SELECT vec_id,
+         [CAST(floor(CAST(x AS DOUBLE) * {_KM_SCALE}) AS BIGINT)
+          for x in embedding] AS v
+  FROM embeddings
+),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+           AS cluster, v AS c
+  FROM (SELECT vec_id, v FROM vecs ORDER BY vec_id LIMIT {_KM_K})
+),
+__ITERS__,
+af AS (
+  SELECT vec_id, arg_min(cluster, CAST(d AS BIGINT) * {_KM_K} + cluster)
+           AS cluster
+  FROM (
+    SELECT v.vec_id, c.cluster,
+           list_sum(list_transform(range(1, {_KM_DIM} + 1),
+             i -> (v.v[i] - c.c[i]) * (v.v[i] - c.c[i]))) AS d
+    FROM vecs v CROSS JOIN c{_KM_ITERS} c
+  ) GROUP BY vec_id
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM af a JOIN af b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  JOIN vecs va ON va.vec_id = a.vec_id
+  JOIN vecs vb ON vb.vec_id = b.vec_id
+  WHERE list_sum(list_transform(range(1, {_KM_DIM} + 1),
+          i -> (va.v[i] - vb.v[i]) * (va.v[i] - vb.v[i])))
+        <= {_SD_THETA2}
+)
+SELECT af.vec_id, CAST(af.cluster AS BIGINT) AS cluster,
+       d.vec_id IS NULL AS kept
+FROM af LEFT JOIN dropped d USING (vec_id)
+ORDER BY af.vec_id
+""".replace("__ITERS__", ",\n".join(_km_iter_sql(t, _KM_K)
+                                    for t in range(1, _KM_ITERS + 1)))

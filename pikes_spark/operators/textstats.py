@@ -1951,3 +1951,70 @@ SELECT doc_id, COUNT(*) AS n_hits,
 FROM p1 JOIN p2 USING (doc_id, pos)
 GROUP BY doc_id ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# RAG chunking: overlapping token windows
+# ---------------------------------------------------------------------------
+
+_CHUNK_SIZE = 64
+_CHUNK_STRIDE = 48
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str,
+                    size: int = _CHUNK_SIZE,
+                    stride: int = _CHUNK_STRIDE) -> DataFrame:
+    """Split every document into overlapping token-window CHUNKS — the
+    retrieval-corpus preparation step of a RAG pipeline (fixed token
+    budget per chunk, stride < size so context spans chunk borders).
+    Chunk starts are 0, stride, 2*stride, ... while < n_tokens, each
+    chunk is the next ``size`` tokens (the final ones run short), so
+    every token is covered and chunk count is ceil(n/stride).
+
+    Returns (doc_id, chunk_idx, start_tok, n_tokens, chunk_hash) —
+    the md5 of the joined chunk text stands in for the chunk body so
+    the checked result stays narrow; a real pipeline would carry the
+    text column to the embedding stage.
+
+    Scale shape: one narrow projection + explode, NO shuffle at all
+    until the caller aggregates — chunking is embarrassingly parallel
+    and Catalyst keeps it inside a single WholeStageCodegen scan. The
+    explode fan-out is bounded by ceil(n_tokens/stride) per row.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = _tokens(F.col("text"))
+    starts = F.when(F.size(toks) > 0,
+                    F.sequence(F.lit(0), F.size(toks) - 1,
+                               F.lit(stride))
+                    ).otherwise(F.array().cast("array<int>"))
+    return (docs.select("doc_id", toks.alias("t"),
+                        F.posexplode(starts).alias("chunk_idx", "start"))
+            .select("doc_id",
+                    F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+                    F.col("start").cast("bigint").alias("start_tok"),
+                    F.size(F.slice(F.col("t"), F.col("start") + 1,
+                                   size)).cast("bigint").alias("n_tokens"),
+                    F.md5(F.concat_ws(
+                        " ", F.slice(F.col("t"), F.col("start") + 1, size)))
+                    .alias("chunk_hash"))
+            .orderBy("doc_id", "chunk_idx"))
+
+
+CHUNKS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, t, i AS start,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1
+              AS BIGINT) AS chunk_idx
+  FROM toks, UNNEST(range(0, len(t), {_CHUNK_STRIDE})) AS u(i)
+)
+SELECT doc_id, chunk_idx, CAST(start AS BIGINT) AS start_tok,
+       CAST(len(t[start + 1 : start + {_CHUNK_SIZE}]) AS BIGINT) AS n_tokens,
+       md5(array_to_string(t[start + 1 : start + {_CHUNK_SIZE}], ' '))
+         AS chunk_hash
+FROM starts
+ORDER BY doc_id, chunk_idx
+"""
