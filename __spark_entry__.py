@@ -116,7 +116,9 @@ def _q_naf_export(spark, sf_dir):
     well-formedness and offset fidelity are pytest-differential
     (tests/test_naf_export.py)."""
     from pikes_spark.operators.annotate import annotations_to_naf
-    ann = _gold_ann(spark)
+    # two consumers (naf serialization + layer counts) branch from the
+    # same annotations; checkpoint so the NLP stage runs once
+    ann = _gold_ann(spark).localCheckpoint()
     naf = annotations_to_naf(ann)
     counts = ann.select(
         "url", F.size("tokens").alias("n_wf"),

@@ -12,7 +12,10 @@ shape the north_rule prescribes:
     mentions (url, begin, end, surface)
       JOIN broadcast(candidates) ON surface          -- map-side, no shuffle
       -> score = prior * (1 + jaccard(doc context, candidate context))
-      -> Window.partitionBy(url, begin, end).orderBy(desc(score)) rn=1
+      -> groupBy(url, begin, end).agg(min_by((uri, score), (-score, uri)))
+         (the argmax the reference's per-span best pick implements; a
+         partial aggregation, so the exchange carries one candidate per
+         span per task instead of every scored candidate row)
 
 Scale notes: the candidate dictionary is the small side (<= a few GB
 -> broadcast); mentions are the big side and never shuffle for the
@@ -26,7 +29,7 @@ from __future__ import annotations
 
 from typing import List
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.resources import LINKING_STOPWORDS
 from ..functions.el_dict import el_candidates
@@ -97,12 +100,23 @@ def link_entities(annotations: DataFrame, candidates: DataFrame,
     joined = mentions.join(F.broadcast(candidates), "surface", "inner")
     # context similarity: |candidate ctx ∩ doc tokens| / |ctx|
     overlap = F.size(F.array_intersect("ctx", "doc_tokens")) / F.size("ctx")
-    scored = joined.withColumn("score", F.col("prior") * (1.0 + overlap))
-    w = Window.partitionBy("url", "begin", "end").orderBy(
-        F.desc("score"), F.asc("uri"))
-    linked = (scored.withColumn("rn", F.row_number().over(w))
-              .filter(F.col("rn") == 1)
+    # project BEFORE the exchange: doc_tokens/ctx are consumed by the
+    # score expression map-side; shipping them through the per-span
+    # shuffle was the measured cost of this stage (every candidate row
+    # carried the full lowered token list of its document). The argmax
+    # is a partial-aggregated min_by — same (score desc, uri asc)
+    # winner the row_number window picked, but map-side combine sends
+    # one candidate per span per task instead of all of them.
+    scored = (joined.withColumn("score", F.col("prior") * (1.0 + overlap))
               .select("url", "begin", "end", "uri", "score"))
+    best = F.min_by(F.struct("uri", "score"),
+                    F.struct((-F.col("score")).alias("s"),
+                             F.col("uri").alias("u")))
+    linked = (scored.groupBy("url", "begin", "end")
+              .agg(best.alias("_best"))
+              .select("url", "begin", "end",
+                      F.col("_best.uri").alias("uri"),
+                      F.col("_best.score").alias("score")))
     if not open_vocab:
         return linked
     surfaces = candidates.select("surface").distinct()

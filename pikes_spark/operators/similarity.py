@@ -107,7 +107,14 @@ def ivf_topk(spark: SparkSession, sf_dir: str, query_vec_id: int = 0,
     cdf = spark.createDataFrame(cent_rows, "cid int, cv array<double>")
 
     e = emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
-    sim = _dot(F.col("v"), F.col("cv")) / (_norm(F.col("v")) * _norm(F.col("cv")))
+    # hoist the two norms out of the ×nlist expansion: ||v|| is computed
+    # once per vector (not once per centroid pair) and ||cv|| once per
+    # centroid row inside the broadcast build — the same doubles the
+    # inline expressions produced, so sim (and every argmax) is
+    # bit-identical, at 1/nlist the aggregate work
+    e = e.withColumn("nv", _norm(F.col("v")))
+    cdf = cdf.withColumn("cn", _norm(F.col("cv")))
+    sim = _dot(F.col("v"), F.col("cv")) / (F.col("nv") * F.col("cn"))
     # centroid assignment is an argmax per vec_id: max_by with a
     # (sim, -cid) tie-break runs as ONE partial-then-final aggregation
     # (map-side combine shrinks the exchange to one row per vec_id); a
@@ -123,7 +130,10 @@ def ivf_topk(spark: SparkSession, sf_dir: str, query_vec_id: int = 0,
                      F.any_value("v").alias("v"))
                 .select("vec_id", "v", "cid"))
 
-    qv = assigned.filter(F.col("vec_id") == query_vec_id).collect()[0]["v"]
+    # the query row is read straight from the base table — pulling it
+    # out of `assigned` forced the whole ×nlist assignment aggregation
+    # to run twice (once for this collect, once for the probe scan)
+    qv = e.filter(F.col("vec_id") == query_vec_id).collect()[0]["v"]
     qnp = np.array(qv)
     csim = cents @ qnp
     cn = np.linalg.norm(cents, axis=1) * np.linalg.norm(qnp)
@@ -131,7 +141,8 @@ def ivf_topk(spark: SparkSession, sf_dir: str, query_vec_id: int = 0,
     probe = np.argsort(-(csim / cn))[:nprobe].tolist()
 
     qdf = spark.createDataFrame([([float(x) for x in qv],)], "qv array<double>")
-    cos = _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv")))
+    qdf = qdf.withColumn("qn", _norm(F.col("qv")))  # once, in the broadcast
+    cos = _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * F.col("qn"))
     return (assigned.filter(F.col("cid").isin(probe))
             .filter(F.col("vec_id") != query_vec_id)
             .crossJoin(F.broadcast(qdf))

@@ -36,7 +36,8 @@ def _tokens(col):
 
 def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace token count + char count per doc."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from .dedup import _documents
+    docs = _documents(spark, sf_dir)
     return (docs.select(
         "doc_id",
         F.size(_tokens(F.col("text"))).alias("n_tokens"),
@@ -56,7 +57,8 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stopword-vote language ID; ties broken by language
     code order (en < de handled by explicit ordering: greatest hit
     count, then lexicographic lang)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from .dedup import _documents
+    docs = _documents(spark, sf_dir)  # re-split tiny single-file input to cores
     toks = _tokens(F.col("text"))
     scored = docs.select("doc_id", F.col("lang").alias("true_lang"), *[
         F.size(F.filter(toks, lambda t: t.isin(*LANG_MARKERS[lang])))
@@ -102,7 +104,8 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic quality features: length, mean token length x1000
     (integer), punctuation count, stopword hits — the
     length/punct/stopword-ratio family of pretraining quality filters."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from .dedup import _documents
+    docs = _documents(spark, sf_dir)  # re-split tiny single-file input to cores
     toks = _tokens(F.col("text"))
     n_tok = F.size(toks)
     punct = F.length("text") - F.length(F.regexp_replace("text", r"[.,;:!?]", ""))
@@ -144,7 +147,8 @@ def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling polynomial hash over the UTF-8 code units of the text:
     acc = (acc*131 + code) % 1e9+7. Spark: aggregate() over a char
     split; DuckDB: list_reduce over the same split. JVM-side, no UDF."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from .dedup import _documents
+    docs = _documents(spark, sf_dir)  # re-split tiny single-file input to cores
     chars = F.split(F.col("text"), "")
     fp = F.aggregate(
         chars,
@@ -175,7 +179,8 @@ def top_terms(spark: SparkSession, sf_dir: str, k: int = 3,
     All JVM-side; no Python."""
     from pyspark.sql import Window
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from .dedup import _documents
+    docs = _documents(spark, sf_dir)  # re-split tiny single-file input to cores
     toks = (docs.select("doc_id", F.explode(
         F.split(F.lower("text"), "[^a-z]+")).alias("term"))
         .filter(F.length("term") >= min_len))
@@ -1129,8 +1134,12 @@ def dsir_weights(spark: SparkSession, sf_dir: str,
     estimator itself costs two tiny aggregations, exactly why DSIR is
     the standard cheap data-selection pass before expensive training.
     """
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    f = _dsir_features(docs)
+    from .dedup import _documents
+    docs = _documents(spark, sf_dir)  # re-split tiny single-file input to cores
+    # materialize the hashed feature stream once: three consumers (raw
+    # counts, target counts, the final per-doc sum) each re-ran the
+    # char-fold polyhash over every feature otherwise
+    f = _dsir_features(docs).localCheckpoint()
     raw = f.groupBy("bucket").agg(F.count("*").alias("cr"))
     tgt = (f.filter(F.col("lang") == target_lang)
            .groupBy("bucket").agg(F.count("*").alias("ct")))
@@ -1234,7 +1243,8 @@ def train_linear_probe(spark: SparkSession, sf_dir: str,
     aggregations — exactly how parameter-server-free full-batch
     distributed training is shaped.
     """
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from .dedup import _documents
+    docs = _documents(spark, sf_dir)  # re-split tiny single-file input to cores
     toks = (docs.select("doc_id", "lang",
                         F.explode(_tokens(F.col("text"))).alias("tok"))
             .filter(F.length("tok") > 0))
@@ -1854,7 +1864,8 @@ def novelty_scores(spark: SparkSession, sf_dir: str,
     the gram key; the final per-doc ratio is a partial-agg count
     pair. Grams are md5-hashed to 16 bytes before the exchange so the
     shuffle never carries raw text."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from .dedup import _documents
+    docs = _documents(spark, sf_dir)  # re-split tiny single-file input to cores
     toks = _tokens(F.col("text"))
     # Short-doc guard (like _shingles_of): size < n would make
     # F.sequence descend and F.slice start at 0 -> runtime error. A
