@@ -182,9 +182,14 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str,
     map; per-doc sums partial-aggregate map-side."""
     from .dedup import _documents
     from .textstats import _tokens
-    freqs = collect_vocab(spark, sf_dir)
+    # one (token, freq) aggregation feeds the bounded training pull,
+    # the encode vocabulary and its count — it was recomputed from the
+    # corpus for each of the three
+    wf = word_freq(spark, sf_dir).localCheckpoint()
+    freqs = [(r["token"], r["freq"])
+             for r in cap_vocab(wf).collect()]
     merges = train_merges(sorted(freqs), n_merges)
-    words = word_freq(spark, sf_dir).select("token")
+    words = wf.select("token")
     n_words = words.count()  # encode vocabulary (uncapped distinct words)
     enc = F.broadcast(_encode_words(spark, words, merges)
                       .select("token", "n_pieces"))

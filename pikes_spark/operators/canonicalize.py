@@ -228,13 +228,17 @@ def canonicalize_triples(triples: DataFrame, max_iter: int = 50,
     merged instances appear) -> broadcast join both rewrites."""
     if dissolve_includes:
         triples = dissolve_composites(triples)
-    edges = build_sameas_edges(triples)
+    # materialize the edge set once: the size probe AND the collect (or
+    # the star iterations) each re-ran the dissolve joins + explodes
+    # over the full triple table otherwise — one full pass saved per
+    # run. The edge set is sameAs/name-sized, far below the table.
+    edges = build_sameas_edges(triples).localCheckpoint()
     # size probe (counted aggregate, one cheap job): small edge sets
     # take the driver union-find fast path — and then the canonical
     # map is KNOWN small (driver-built from those same edges), so the
     # byte-stats job below is skipped entirely. Fixed per-job latency
     # is the dominant non-scaling term of J4 on short runs.
-    n_edges = edges.select("src", "dst").count()
+    n_edges = edges.count()
     driver_path = n_edges <= 2_000_000
     if driver_path:
         comp = _local_union_find_rows(triples.sparkSession,

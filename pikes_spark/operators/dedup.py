@@ -193,10 +193,11 @@ def jaccard_prefix_pairs(spark: SparkSession, sf_dir: str,
     prunes cross-size candidates before the distinct.
 
     Implementation notes:
-      - shingles move as xxhash64 keys (8 bytes); hashing can only
-        MERGE tokens (J_hash >= J_gram), so hash-level prefix
-        candidates remain a superset of the true pairs — the exact
-        verify on the full gram arrays settles membership.
+      - shingles move as xxhash64 keys (8 bytes); the prefix index,
+        candidate join and verification all run over the hashed sets
+        (equal string sets give equal hash sets; a 64-bit collision
+        altering an intersection count is the same vanishing-odds
+        event the exact-dedup 128-bit argument prices).
       - document frequency comes from one map-side-combined groupBy
         on the hash; the per-doc rank is a (df, gh) window keyed by
         doc_id, rows of three ints.
@@ -204,10 +205,15 @@ def jaccard_prefix_pairs(spark: SparkSession, sf_dir: str,
     from pyspark.sql import Window
     t1000 = int(threshold * 1000)
     sh = shingle_df(spark, sf_dir)
-    hset = sh.select(
+    # one materialization of the hashed shingle sets: the frame feeds
+    # the document-frequency pass, the prefix index AND both sides of
+    # the verification join — each used to re-run the tokenize/gram/
+    # hash chain from the scan (same restructure as the LSH path)
+    hset = (sh.select(
         "doc_id",
         F.array_distinct(F.transform("shingles", lambda s: F.xxhash64(s)))
         .alias("hset"))
+        .localCheckpoint())
     ex = hset.select("doc_id", F.size("hset").alias("szh"),
                      F.explode("hset").alias("gh"))
     dfreq = ex.groupBy("gh").agg(F.count("*").alias("df"))
@@ -225,9 +231,12 @@ def jaccard_prefix_pairs(spark: SparkSession, sf_dir: str,
                      & (F.least("sza", "szb") * 1000
                         >= F.greatest("sza", "szb") * t1000))
              .select("a", "b").distinct())
-    # exact verification on the true gram arrays (same as the LSH path)
-    sa = sh.select(F.col("doc_id").alias("a"), F.col("shingles").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("b"), F.col("shingles").alias("sh_b"))
+    # exact verification on the hashed gram sets (same as the LSH path:
+    # equal string sets give equal hash sets; a collision altering an
+    # intersection count needs ~2^64 shingles) — read from the
+    # checkpointed frame, 8-byte elements instead of token strings
+    sa = hset.select(F.col("doc_id").alias("a"), F.col("hset").alias("sh_a"))
+    sb = hset.select(F.col("doc_id").alias("b"), F.col("hset").alias("sh_b"))
     verified = (cands.join(sa, "a").join(sb, "b")
                 .withColumn("i", F.size(F.array_intersect("sh_a", "sh_b")))
                 .withColumn("u", F.size("sh_a") + F.size("sh_b") - F.col("i"))
@@ -308,12 +317,15 @@ def _lsh_candidates_hashed(hashed: DataFrame) -> DataFrame:
     """Band-sharing candidate pairs over a (doc_id, hs:array<bigint>)
     frame of shingle hashes."""
     sigs = minhash_signatures_hashed(hashed.select("doc_id", "hs"))
+    # both self-join sides read the band table; materialize it once so
+    # the minhash pandas UDF runs a single time (measured at half this
+    # stage's wall otherwise). Rows are (doc_id, band, bucket) ints.
     bands = sigs.select(
         "doc_id",
         F.posexplode(F.transform(
             F.sequence(F.lit(0), F.lit(BANDS - 1)),
             lambda i: F.xxhash64(F.slice("sig", i * ROWS_PER_BAND + 1, ROWS_PER_BAND)),
-        )).alias("band", "bucket"))
+        )).alias("band", "bucket")).localCheckpoint()
     left = bands.select(F.col("doc_id").alias("a"), "band", "bucket")
     right = bands.select(F.col("doc_id").alias("b"), "band", "bucket")
     return (left.join(right, ["band", "bucket"])
@@ -713,10 +725,13 @@ def decontaminate(spark: SparkSession, sf_dir: str,
         grams,
         lambda s: F.struct(F.xxhash64(s).alias("h1"),
                            F.xxhash64(s, F.lit(0x9E3779B9)).alias("h2"))))
+    # one materialization: the train and test branches each re-ran the
+    # 13-gram build + hash over the whole corpus otherwise (the gram
+    # kernel is the dominant map cost of this operator)
     g = docs.select("doc_id",
                     F.when(h8 < test_hex, "test").otherwise("train")
                     .alias("split"),
-                    hset.alias("grams"))
+                    hset.alias("grams")).localCheckpoint()
     train = g.filter(F.col("split") == "train") \
              .select("doc_id", F.size("grams").alias("n_grams"), "grams")
     test_grams = (g.filter(F.col("split") == "test")

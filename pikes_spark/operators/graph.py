@@ -175,18 +175,24 @@ def triangle_counts(edges: DataFrame, src: str = "src",
     """
     e = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
          .filter(F.col("a") != F.col("b")))
+    # materialize the deduped undirected edge set once: the degree agg
+    # and both join sides re-ran the upstream scan + distinct otherwise
     und = (e.unionAll(e.select(F.col("b").alias("a"),
-                               F.col("a").alias("b"))).distinct())
+                               F.col("a").alias("b"))).distinct()
+           .localCheckpoint())
     deg = und.groupBy("a").agg(F.count("*").alias("deg"))
     # orient low (deg, id) -> high (deg, id): keeps out-degree O(sqrt m)
     dd = (und.join(deg, "a")
           .join(deg.select(F.col("a").alias("b"),
                            F.col("deg").alias("deg_b")), "b")
           .select("a", "b", "deg", "deg_b"))
+    # three consumers (wedge left/right sides + the closing probe) —
+    # checkpoint the oriented edges so orientation runs once
     oriented = (dd.filter(
         (F.col("deg") < F.col("deg_b"))
         | ((F.col("deg") == F.col("deg_b")) & (F.col("a") < F.col("b"))))
-        .select("a", "b"))
+        .select("a", "b")
+        .localCheckpoint())
     # wedges at the source: a -> (b, c) with b < c (each unordered pair once)
     o2 = oriented.select(F.col("a").alias("a2"), F.col("b").alias("c"))
     wedges = (oriented.join(o2, oriented.a == o2.a2)
@@ -327,10 +333,15 @@ def common_neighbors(edges: DataFrame, src: str = "src", dst: str = "dst",
       - the pair count aggregation is map-side combinable.
     The cap is part of the operator's CONTRACT (documented, mirrored in
     the oracle), not a silent truncation."""
-    e = edges.select(F.col(src).alias("c"), F.col(dst).alias("p")).distinct()
+    # the distinct bipartite edge set feeds the degree pass and the
+    # pruning join; checkpoint so the upstream join/scan runs once
+    e = (edges.select(F.col(src).alias("c"), F.col(dst).alias("p"))
+         .distinct().localCheckpoint())
     small = (e.groupBy("p").count()
              .filter(F.col("count") <= hub_cap).select("p"))
-    pruned = e.join(F.broadcast(small), "p")
+    # both self-join sides read the pruned set — checkpoint it too
+    # (neighbor-capped, so it is never larger than the edge set)
+    pruned = e.join(F.broadcast(small), "p").localCheckpoint()
     a = pruned.select(F.col("c").alias("ca"), "p")
     b = pruned.select(F.col("c").alias("cb"), "p")
     return (a.join(b, "p")
@@ -490,12 +501,15 @@ def coreness(edges: DataFrame, max_iter: int = 64) -> DataFrame:
         upd = (adj.join(nbr_est, "nbr")
                .groupBy("node")
                .agg(_hindex(F.collect_list("nbr_est")).alias("h")))
+        # carry the previous estimate through the checkpoint so the
+        # convergence probe is a filter-count over the materialized
+        # frame instead of a second join against the old frontier
         new_est = (est.join(upd, "node")
-                   .select("node", F.least("est", "h").alias("est"))
+                   .select("node", F.col("est").alias("old"),
+                           F.least("est", "h").alias("est"))
                    .localCheckpoint())
-        changed = (new_est.join(est.withColumnRenamed("est", "old"), "node")
-                   .filter(F.col("est") != F.col("old")).count())
-        est = new_est
+        changed = new_est.filter(F.col("est") != F.col("old")).count()
+        est = new_est.select("node", "est")
         if changed == 0:
             break
         nbr_est = est.select(F.col("node").alias("nbr"),

@@ -95,8 +95,11 @@ def rdfs_entail(triples: DataFrame) -> DataFrame:
     rng_df = F.broadcast(spark.createDataFrame(RANGE, ["p", "rng_class"]))
     sc_df = F.broadcast(spark.createDataFrame(sc_closed, ["cls", "super_cls"]))
 
+    # three rule branches (rdfs7, rdfs2, rdfs3) each scan the ABox;
+    # materialize the 4-column projection once instead of re-running
+    # the upstream relational derivation per branch
     data = triples.select("subject", "predicate", "object",
-                          "object_is_literal")
+                          "object_is_literal").localCheckpoint()
 
     # rdfs7: (s p o) + (p sp* q) => (s q o)
     prop = (data.join(sp_df, data.predicate == sp_df.p)

@@ -727,15 +727,39 @@ def semdedup(spark: SparkSession, sf_dir: str, k: int = _KM_K,
                    .alias("cluster"),
                    F.first("v").alias("v"))
               .localCheckpoint())
-    a = assign.select(F.col("cluster"), F.col("vec_id").alias("a_id"),
-                      F.col("v").alias("a_v"))
-    b = assign.select(F.col("cluster"), F.col("vec_id").alias("b_id"),
-                      F.col("v").alias("b_v"))
-    dropped = (a.join(b, "cluster")
-               .filter(F.col("a_id") < F.col("b_id"))
-               .filter(_km_dist(F.col("a_v"), F.col("b_v")) <= theta2)
-               .select(F.col("b_id").alias("vec_id"))
-               .distinct())
+    # Within-cluster pair scan as ONE integer GEMM per cluster (the
+    # paper's cluster-resident matrix step): the cluster-keyed self-join
+    # materialized O((n/k)^2) pair rows, each paying two 64-element
+    # array allocations for the zip_with/aggregate fold. Here each
+    # cluster ships its member matrix once and numpy computes
+    # ||u-v||^2 = |u|^2+|v|^2-2u.v in int64 — integer addition is
+    # associative, so membership is bit-identical to the fold.
+    import pandas as pd
+    from typing import Iterator, List
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            out: List[np.ndarray] = []
+            for row in pdf.itertuples(index=False):
+                ids = np.array([r["vec_id"] for r in row.rows],
+                               dtype=np.int64)
+                V = np.array([r["v"] for r in row.rows], dtype=np.int64)
+                order = np.argsort(ids)
+                ids, V = ids[order], V[order]
+                G = V @ V.T
+                sq = np.diag(G)
+                d2 = sq[:, None] + sq[None, :] - 2 * G
+                # drop j if some i < j (ids sorted asc) has d2 <= theta2
+                close = np.tril(d2 <= theta2, k=-1)
+                out.append(ids[close.any(axis=1)])
+            data = (np.concatenate(out) if out
+                    else np.array([], dtype=np.int64))
+            yield pd.DataFrame({"vec_id": pd.Series(data, dtype="int64")})
+
+    grouped = (assign.select("cluster",
+                             F.struct("vec_id", "v").alias("row"))
+               .groupBy("cluster").agg(F.collect_list("row").alias("rows")))
+    dropped = grouped.mapInPandas(gen, "vec_id long")
     return (assign.join(dropped.withColumn("_drop", F.lit(1)),
                         "vec_id", "left")
             .select("vec_id", F.col("cluster").cast("bigint").alias("cluster"),

@@ -1862,8 +1862,8 @@ def novelty_scores(spark: SparkSession, sf_dir: str,
     Plan: gram explode -> distinct -> one gram-keyed exchange
     computing min(doc_id) per gram (map-side combinable), rejoined on
     the gram key; the final per-doc ratio is a partial-agg count
-    pair. Grams are md5-hashed to 16 bytes before the exchange so the
-    shuffle never carries raw text."""
+    pair. Grams are xxhash64-hashed to 8-byte ints before the exchange
+    so the shuffle never carries raw text."""
     from .dedup import _documents
     docs = _documents(spark, sf_dir)  # re-split tiny single-file input to cores
     toks = _tokens(F.col("text"))
@@ -1875,8 +1875,8 @@ def novelty_scores(spark: SparkSession, sf_dir: str,
         F.size(toks) >= n,
         F.transform(
             F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, n))))
-    ).otherwise(F.array().cast("array<string>"))
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, n))))
+    ).otherwise(F.array().cast("array<bigint>"))
     grams = (docs.select("doc_id", F.explode(gram_arr).alias("g"))
              .distinct())
     first = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))

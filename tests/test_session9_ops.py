@@ -117,7 +117,10 @@ def test_semdedup_matches_numpy_differential(spark):
         for c in range(k):
             m = a == c
             if m.any():
-                C[c] = V[m].sum(0) // m.sum()
+                # truncate toward zero like Spark's `s div n` and
+                # DuckDB's `//` — numpy's floor-div rounds negative
+                # components down instead (ADVICE r5: latent flake)
+                C[c] = np.trunc(V[m].sum(0) / m.sum()).astype("int64")
     d = ((V[:, None, :] - C[None, :, :]) ** 2).sum(-1)
     a = np.argmin(d * k + np.arange(k)[None, :], axis=1)
     dropped = set()
