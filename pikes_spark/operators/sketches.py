@@ -29,6 +29,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from .dedup import _documents
+
 from .textstats import FP_BASE, FP_MOD, _tokens
 
 # Count-Min geometry: d rows x w buckets; per-row affine mixers (odd
@@ -65,7 +67,7 @@ def _polyhash_py(tok: str) -> int:
 
 
 def _docs_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _documents(spark, sf_dir)
     return (docs.select(F.explode(_tokens(F.col("text"))).alias("tok"))
             .filter(F.length("tok") > 0))
 
@@ -297,7 +299,7 @@ def hll_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear-counting branch; per-group registers come from one
     (lang, bucket) MAX aggregation and the full bucket range is
     restored with a langs x range(m) cross join (group-count-sized)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _documents(spark, sf_dir)
     items = (docs.select("lang", F.explode(_tokens_col()).alias("tok"))
              .filter(F.length("tok") > 0)
              .select("lang", F.col("tok").alias("item")))

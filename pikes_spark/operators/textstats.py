@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from .dedup import _documents
+
 # English/German/French/Spanish stopword markers for the n-gram-free
 # deterministic language-ID heuristic (rule: argmax stopword hits).
 LANG_MARKERS = {
@@ -226,7 +228,7 @@ def postings(spark: SparkSession, sf_dir: str, min_len: int = 4) -> DataFrame:
     before the collect_list; the synthetic corpus's vocabulary is tiny
     and shared (df ≈ 0.8·N for every term), so the unsharded plan is
     the honest one here and the skew note lives in this docstring."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _documents(spark, sf_dir)
     toks = (docs.select("doc_id", F.explode(
         F.split(F.lower("text"), "[^a-z]+")).alias("term"))
         .filter(F.length("term") >= min_len)
@@ -261,7 +263,7 @@ def length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     same (lang) partitioning — the exchange is reused."""
     from pyspark.sql import Window
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _documents(spark, sf_dir)
     tc = docs.select(
         "doc_id", "lang",
         F.size(_tokens(F.col("text"))).alias("n_tokens"))
@@ -305,7 +307,7 @@ def train_test_split(spark: SparkSession, sf_dir: str,
     training pipeline needs so a document never migrates between
     splits across runs, engines, or cluster sizes. Pure Catalyst;
     embarrassingly parallel (no shuffle before the per-lang count)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _documents(spark, sf_dir)
     h8 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
     labeled = docs.select(
         "doc_id", "lang",
@@ -343,7 +345,7 @@ def token_batches(spark: SparkSession, sf_dir: str,
     Per-lang window = one exchange; the cumsum stays inside it."""
     from pyspark.sql import Window
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _documents(spark, sf_dir)
     tc = docs.select(
         "doc_id", "lang",
         F.size(_tokens(F.col("text"))).alias("n_tokens"))
@@ -390,7 +392,7 @@ def redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 of the redacted text — both engines produce identical
     lowercase-hex md5, so the oracle verifies the REDACTED BYTES, not
     just the counts. Pure Catalyst; embarrassingly parallel."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _documents(spark, sf_dir)
     red = F.regexp_replace(
         F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"),
         _URL_RE, "<URL>")
@@ -430,7 +432,7 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     no window function, no Python. The explode is ~n_tokens rows per
     doc but carries only (doc_id, token) through the exchange.
     """
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _documents(spark, sf_dir)
     toks = docs.select("doc_id", _tokens(F.col("text")).alias("t"))
     uni = (toks.select("doc_id", F.explode("t").alias("w"))
            .groupBy("doc_id", "w").agg(F.count("*").alias("n"))
@@ -543,7 +545,7 @@ def bm25_topk(spark: SparkSession, sf_dir: str,
     prunes everything else with an isin filter pushed to the gram
     explode)."""
     qterms = list(dict.fromkeys(query.split()))
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _documents(spark, sf_dir)
     toks = F.split(F.regexp_replace(F.trim(F.lower("text")), r"\s+", " "), " ")
     ex = docs.select("doc_id", F.size(toks).alias("dl"),
                      F.explode(toks).alias("term"))
@@ -613,7 +615,7 @@ def stratified_sample(spark: SparkSession, sf_dir: str,
     the k-cutoff below the shuffle in Spark >= 3.5), so only ~k rows
     per stratum survive to the output."""
     from pyspark.sql import Window
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _documents(spark, sf_dir)
     w = (Window.partitionBy("lang")
          .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id"))
     return (docs.select("lang", "doc_id", F.length("text").alias("n_chars"),
@@ -650,7 +652,7 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     it millions of rows at web scale, far smaller than the corpus —
     so Spark broadcasts it under AQE; the only big exchange is the
     per-doc sum, pre-aggregated map-side."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _documents(spark, sf_dir)
     toks = F.split(F.regexp_replace(F.trim(F.lower("text")), r"\s+", " "), " ")
     ex = docs.select("doc_id", F.explode(toks).alias("term"))
     uni = ex.groupBy("term").agg(F.count("*").alias("c"))
@@ -708,7 +710,7 @@ def hash_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``fingerprints``) -> map-side-combined groupBy(doc_id) SUM. One
     doc-keyed exchange carrying one partial sum per task — the weight
     "table" is an expression, so nothing is broadcast at all."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _documents(spark, sf_dir)
     toks = (docs.select("doc_id", F.explode(_tokens(F.col("text")))
                         .alias("tok"))
             .filter(F.length("tok") > 0))
@@ -1374,7 +1376,7 @@ def domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation (domain-count rows); rates join back as a broadcast;
     the keep-filter is pure codegen. Output: per-domain
     (n_docs_kept, tokens_kept, rate_ppm) — the recipe audit table."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _documents(spark, sf_dir)
     toks = (docs.select("doc_id", "lang",
                         F.size(_tokens(F.col("text"))).cast("bigint")
                         .alias("n_tok")))
@@ -1460,7 +1462,7 @@ def compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     media-codec features are."""
     import pandas as pd
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+    docs = _documents(spark, sf_dir) \
         .select("doc_id", "text")
 
     def batches(it):
@@ -1637,7 +1639,7 @@ def cooc_pmi(spark: SparkSession, sf_dir: str,
     vocab-restricted doc-term table ON doc_id, so per-doc work is
     bounded by v^2 and the pair aggregation is map-side combinable.
     Nothing in the plan carries more than (docs x v) rows."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _documents(spark, sf_dir)
     dt = (docs.select("doc_id",
                       F.explode(_tokens(F.col("text"))).alias("tok"))
           .distinct())
@@ -1705,7 +1707,7 @@ def percentile_filter(spark: SparkSession, sf_dir: str,
     same exchange; the verdict is a codegen comparison. At 10^12 docs
     the window is per-language (the natural partition) — skewed
     languages shard with the same salting recipe as any hot key."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _documents(spark, sf_dir)
     toks = _tokens(F.col("text"))
     stop_hits = F.size(F.filter(toks, lambda t: t.isin(*LANG_MARKERS["en"])))
     scored = docs.select(
@@ -1771,7 +1773,7 @@ def curation_funnel(spark: SparkSession, sf_dir: str,
     per-lang conditional aggregation — three exchanges total, each on
     a natural key; everything else is codegen column math."""
     from pyspark.sql import Window
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _documents(spark, sf_dir)
     toks = _tokens(F.col("text"))
     n_tok = F.size(toks)
     mean_len_x1000 = F.floor(
@@ -1930,7 +1932,7 @@ def phrase_search(spark: SparkSession, sf_dir: str,
 
     The scan keeps only the needed terms BEFORE the exchange, so the
     shuffled volume is the two posting lists, not the token stream."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _documents(spark, sf_dir)
     pos = (docs.select("doc_id",
                        F.posexplode(_tokens(F.col("text")))
                        .alias("pos", "tok"))
@@ -1992,7 +1994,7 @@ def chunk_documents(spark: SparkSession, sf_dir: str,
     and Catalyst keeps it inside a single WholeStageCodegen scan. The
     explode fan-out is bounded by ceil(n_tokens/stride) per row.
     """
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _documents(spark, sf_dir)
     toks = _tokens(F.col("text"))
     starts = F.when(F.size(toks) > 0,
                     F.sequence(F.lit(0), F.size(toks) - 1,

@@ -161,7 +161,8 @@ def extract_links(pages: DataFrame) -> DataFrame:
 
 def page_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver query: anchors extracted from the synthesized pages."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    from .dedup import _documents
+    docs = _documents(spark, sf_dir).select(
         "doc_id", "text", "source")
     docs = docs.repartition(max(spark.sparkContext.defaultParallelism, 8))
     return extract_links(_page_html(docs)).drop("src_host")
@@ -178,7 +179,8 @@ def host_graph(links: DataFrame) -> DataFrame:
 
 
 def host_graph_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    from .dedup import _documents
+    docs = _documents(spark, sf_dir).select(
         "doc_id", "text", "source")
     return host_graph(extract_links(_page_html(docs)))
 
@@ -203,7 +205,8 @@ def anchor_priors(links: DataFrame) -> DataFrame:
 
 
 def anchor_priors_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    from .dedup import _documents
+    docs = _documents(spark, sf_dir).select(
         "doc_id", "text", "source")
     return anchor_priors(extract_links(_page_html(docs)))
 
@@ -235,7 +238,8 @@ def host_pagerank(spark: SparkSession, sf_dir: str,
     Value-checkable (frozen expectations) because the integer kernel
     is partitioning-independent; the node set is the crawl's hosts,
     so every row is checked, not a top-k."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    from .dedup import _documents
+    docs = _documents(spark, sf_dir).select(
         "doc_id", "text", "source")
     edges = host_graph(extract_links(_page_html(docs))).select(
         F.col("src_host").alias("src"), F.col("dst_host").alias("dst"))

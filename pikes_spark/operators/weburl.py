@@ -27,6 +27,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from .dedup import _documents
+
 _TLDS = ["com", "org", "net"]
 
 # tracking query parameters stripped by canonicalization (the usual
@@ -41,7 +43,7 @@ def synth_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     the source tag + a shard digit, TLD / path depth / query shape /
     port / fragment cycling on doc_id residues. Returns
     (doc_id, url)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _documents(spark, sf_dir)
     did = F.col("doc_id")
     host = F.concat(F.lit("www"), (did % 7).cast("string"), F.lit("."),
                     F.col("source"), F.lit("-site."),
@@ -136,7 +138,7 @@ def domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     languages — the inputs to source-level quality filtering. One
     shuffle, keyed on the (small) domain set; the join to documents is
     on doc_id, co-partitioned with the parse's scan."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _documents(spark, sf_dir)
     parsed = url_parse(spark, sf_dir).select("doc_id", "domain")
     return (parsed.join(docs.select("doc_id", "n_chars", "lang"), "doc_id")
             .groupBy("domain")
@@ -218,7 +220,7 @@ def corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-page shuffle anywhere."""
     from pikes_spark.operators.textstats import quality_scores
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _documents(spark, sf_dir)
     q = quality_scores(spark, sf_dir).select(
         "doc_id", "n_chars", "stop_ratio_x1000", "mean_tok_len_x1000")
     q = q.join(docs.select("doc_id", "lang"), "doc_id")
