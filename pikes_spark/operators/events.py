@@ -8,6 +8,19 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events scan re-split to the session core count when the source
+    has fewer parquet splits than cores (same rationale as
+    dedup._documents: a small single-file input otherwise runs every
+    map — JSON parsing, timestamp math — on one task until the first
+    exchange; a no-op on real many-file inputs)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    par = spark.sparkContext.defaultParallelism
+    if ev.rdd.getNumPartitions() < par:
+        ev = ev.repartition(par)
+    return ev
+
 SESSION_GAP_MIN = 30
 
 
@@ -16,7 +29,7 @@ def sessionize(spark: SparkSession, sf_dir: str,
     """Classic lag+cumsum sessionization: a new session starts when the
     gap to the previous event of the same user exceeds gap_minutes.
     Returns per-session stats."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     epoch = F.col("ts").cast("timestamp").cast("long")  # ts is TIMESTAMP_NTZ; session tz is UTC
     gap = epoch - F.lag(epoch).over(w)
@@ -58,7 +71,7 @@ FROM s GROUP BY user_id, sess_no ORDER BY user_id, sess_no
 def windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour windows per event_type (batch form of the
     streaming windowed agg)."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     return (ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
             .agg(F.count("*").alias("n"),
                  F.floor(F.sum(F.col("value").cast("decimal(38,6)")))
@@ -97,7 +110,7 @@ def asof_join(spark: SparkSession, sf_dir: str,
     at-or-before is inclusive — exactly DuckDB's ``ON l.ts >= r.ts``.
     Non-matching left rows are dropped (inner as-of).
     """
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     left = (ev.filter(F.col("event_type") == left_type)
             .select("user_id", "ts", "event_id",
                     F.lit(None).cast("timestamp").alias("r_ts"),
@@ -149,7 +162,7 @@ def sliding_window_count(spark: SparkSession, sf_dir: str,
     as any other window — no self-join. DuckDB oracle uses the
     equivalent RANGE BETWEEN INTERVAL frame.
     """
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     secs = F.col("ts").cast("timestamp").cast("long")
     w = (Window.partitionBy("user_id").orderBy(F.col("ts_s"))
          .rangeBetween(-minutes * 60, 0))
@@ -186,7 +199,7 @@ def funnel_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange, and the stage tables join user-to-user (same key, so
     AQE plans them shuffle-local); nothing row-level ever crosses
     stages."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+    ev = _events(spark, sf_dir) \
               .select("user_id", "event_type", "ts")
     users = ev.select("user_id").distinct()
     v = (ev.filter(F.col("event_type") == "view")
@@ -246,7 +259,7 @@ def retention_cohorts(spark, sf_dir: str):
     the per-user min-week agg share one exchange key, and the join
     between them is user-keyed (AQE broadcastable since the cohort
     side is one row per user)."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     week = F.floor(F.datediff(F.to_date("ts"), F.lit("1970-01-01")) / 7)
     uw = ev.select("user_id", week.alias("week")).distinct()
     cohort = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
@@ -292,7 +305,7 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: ONE hash exchange on user_id feeds both windows
     (lag + lead share the partitioning/sort); rows are (long, string,
     long) — the event payload is projected away before the shuffle."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     chg = (ev.select("user_id", "event_id", "ts", "event_type")
            .withColumn("prev", F.lag("event_type").over(w))
@@ -346,7 +359,7 @@ def json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the parse is the map stage's CPU; a repeated-access production
     table would materialize the field once (schema evolution), which
     is what the snapshot MERGE machinery here already covers."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     k = F.get_json_object("props", "$.k").cast("bigint")
     return (ev.select("event_type", k.alias("k"))
             .groupBy("event_type")
@@ -394,7 +407,7 @@ def covisitation(spark: SparkSession, sf_dir: str,
     discipline as common_neighbors' hub cap) so the per-user pair
     blowup is bounded by cap^2; pair counting is map-side
     combinable."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     ui = (ev.filter(F.col("event_type").isin("view", "click"))
           .select("user_id",
                   F.get_json_object("props", "$.k").cast("bigint")
@@ -445,7 +458,7 @@ def trending_items(spark: SparkSession, sf_dir: str,
     day-partitioned rank window whose k-cutoff Spark pushes below the
     shuffle (WindowGroupLimit), so only ~k rows per day survive."""
     from pyspark.sql import Window
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     daily = (ev.filter(F.col("event_type") == "view")
              .groupBy(F.to_date("ts").cast("string").alias("day"),
                       F.get_json_object("props", "$.k").cast("bigint")
@@ -496,7 +509,7 @@ def item_transitions(spark: SparkSession, sf_dir: str,
     Output: (src_item, dst_item, n) with n >= min_n, plus the exact
     rational row share p_fp = n * 1e6 // row_total for ranking."""
     from pyspark.sql import Window
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     stream = (ev.filter(F.col("event_type").isin("view", "click"))
               .select("user_id", "ts", "event_id",
                       F.get_json_object("props", "$.k").cast("bigint")
@@ -568,7 +581,7 @@ def range_join_views(spark: SparkSession, sf_dir: str,
     Returns per purchase: n_views in window and seconds since the
     most recent one (NULL when none — left join keeps zero rows).
     """
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
     ts_s = F.col("ts").cast("timestamp").cast("long")
     p = (ev.filter(F.col("event_type") == "purchase")
          .select("event_id", "user_id", ts_s.alias("p_s"),

@@ -69,15 +69,15 @@ def run_pipeline(spark: SparkSession, sf_dir: str, out_root: str,
             before = pages.count()
             pages = pages.join(done, "url", "left_anti")
             skipped = before - pages.count()
-
-    # even out per-task work: hash-repartition on url (2x parallelism for
-    # scheduler slack). NOTE: range-partitioning on length(text) was tried
-    # and is WORSE here — lengths cluster, so ranges skew; hash on the
-    # unique key distributes evenly. At true web scale with heavy-tailed
-    # documents, pair this with a length cap (valid_page guard) rather
-    # than range partitioning.
-    pages = pages.repartition(
-        2 * max(spark.sparkContext.defaultParallelism, 8), "url")
+            # rebalance only after the anti-join skewed the partitions;
+            # a fresh run keeps the source's 2x-parallelism round-robin
+            # split — repartitioning again here moved every html payload
+            # through a SECOND exchange for no balance gain. NOTE:
+            # range-partitioning on length(text) was tried and is WORSE
+            # (lengths cluster, ranges skew); hash on the unique key
+            # distributes evenly.
+            pages = pages.repartition(
+                2 * max(spark.sparkContext.defaultParallelism, 8), "url")
 
     # J1 materializes annotations (the inter-job IR — the reference's NAF
     # files, EP2): linking and distillation both read the materialized

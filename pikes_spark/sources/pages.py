@@ -53,8 +53,13 @@ def pages_from_documents(spark: SparkSession, sf_dir: str,
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     # the parquet is a single small file -> one scan task; without this
     # repartition the html synthesis (and everything pipelined onto the
-    # scan) runs serially in that task
-    docs = docs.repartition(max(spark.sparkContext.defaultParallelism, 8))
+    # scan) runs serially in that task. 2x parallelism gives scheduler
+    # slack against uneven per-document cost downstream (annotate) —
+    # this is the ONLY exchange the pages feed pays; callers must not
+    # repartition again (the old pipeline re-exchange moved every html
+    # payload a second time).
+    docs = docs.repartition(
+        2 * max(spark.sparkContext.defaultParallelism, 8))
     pages = docs.select(
         F.concat(F.lit("http://example.org/doc/"), F.col("doc_id").cast("string")).alias("url"),
         (F.to_timestamp(F.lit("2026-01-01 00:00:00"))
