@@ -98,10 +98,10 @@ def ivf_topk(spark: SparkSession, sf_dir: str, query_vec_id: int = 0,
     query. Returns (vec_id, cos_x1e6); recall vs brute force is
     checked in tests."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    sample = np.array(
-        [r["embedding"] for r in
-         emb.select("embedding").orderBy("vec_id").limit(2048).collect()],
-        dtype=np.float64)
+    sample_rows = (emb.select("vec_id", "embedding")
+                   .orderBy("vec_id").limit(2048).collect())
+    sample = np.array([r["embedding"] for r in sample_rows],
+                      dtype=np.float64)
     cents = train_centroids(sample, nlist)
     cent_rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)]
     cdf = spark.createDataFrame(cent_rows, "cid int, cv array<double>")
@@ -130,10 +130,17 @@ def ivf_topk(spark: SparkSession, sf_dir: str, query_vec_id: int = 0,
                      F.any_value("v").alias("v"))
                 .select("vec_id", "v", "cid"))
 
-    # the query row is read straight from the base table — pulling it
-    # out of `assigned` forced the whole ×nlist assignment aggregation
-    # to run twice (once for this collect, once for the probe scan)
-    qv = e.filter(F.col("vec_id") == query_vec_id).collect()[0]["v"]
+    # the query row comes from the already-collected training sample
+    # when it is in it (float32 -> float64 is exact, so the values are
+    # the same doubles the JVM cast produced), else one cheap base-table
+    # collect — pulling it out of `assigned` forced the whole ×nlist
+    # assignment aggregation to run twice
+    qrow = next((r for r in sample_rows if r["vec_id"] == query_vec_id),
+                None)
+    if qrow is not None:
+        qv = [float(x) for x in qrow["embedding"]]
+    else:
+        qv = e.filter(F.col("vec_id") == query_vec_id).collect()[0]["v"]
     qnp = np.array(qv)
     csim = cents @ qnp
     cn = np.linalg.norm(cents, axis=1) * np.linalg.norm(qnp)
