@@ -177,10 +177,22 @@ def distill_annotations(annotations: DataFrame,
     NAFFilter.java:667-750)."""
     ann = annotations
     if links is not None:
+        # materialize the per-url link lists once, then decide the join
+        # side from their OBSERVED size (canonicalize.py discipline):
+        # broadcasting keeps the fat nested annotation rows out of any
+        # exchange (measured 2x on the distill stage — the SMJ shuffled
+        # every annotation row to meet a KB-sized link table), while a
+        # corpus-scale link table (the 100 TB case) falls back to the
+        # co-partitioned shuffle join.
         grouped = (links.groupBy("url")
                    .agg(F.collect_list(F.struct("begin", "end", "uri", "score"))
-                        .alias("_links")))
-        ann = ann.join(grouped, "url", "left")
+                        .alias("_links"))
+                   .localCheckpoint())
+        n_links = grouped.agg(
+            F.coalesce(F.sum(F.size("_links")), F.lit(0)).alias("m")
+        ).collect()[0]["m"]
+        side = F.broadcast(grouped) if n_links <= 500_000 else grouped
+        ann = ann.join(side, "url", "left")
     else:
         ann = ann.withColumn("_links", F.lit(None).cast(
             "array<struct<begin:int,end:int,uri:string,score:double>>"))
